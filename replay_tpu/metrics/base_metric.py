@@ -1,0 +1,169 @@
+"""Metric base class.
+
+Reworks the reference's triple spark/polars/dict dispatch (reference:
+replay/metrics/base_metric.py:34-389) into one path: inputs (pandas frames or
+dicts) are normalized to per-user item lists sorted by (score desc, item
+desc); per-user kernels are numpy-vectorized; aggregation goes through
+CalculationDescriptor.
+"""
+
+import warnings
+from abc import ABC, abstractmethod
+from typing import Any, Dict, List, Mapping, Union
+
+import numpy as np
+import pandas as pd
+
+from replay_tpu.metrics.descriptors import CalculationDescriptor, Mean
+
+MetricsDataFrameLike = Union[pd.DataFrame, dict]
+MetricsMeanReturnType = Mapping[str, float]
+MetricsPerUserReturnType = Mapping[str, Mapping[Any, float]]
+MetricsReturnType = Union[MetricsMeanReturnType, MetricsPerUserReturnType]
+
+
+class MetricDuplicatesWarning(Warning):
+    """Recommendations contain duplicate (query, item) pairs."""
+
+
+def _normalize_value(value: Any) -> Any:
+    if isinstance(value, np.generic):
+        return value.item()
+    return value
+
+
+class Metric(ABC):
+    """Base offline ranking metric."""
+
+    def __init__(
+        self,
+        topk: Union[List[int], int],
+        query_column: str = "query_id",
+        item_column: str = "item_id",
+        rating_column: str = "rating",
+        mode: CalculationDescriptor = None,
+    ) -> None:
+        if isinstance(topk, list):
+            for item in topk:
+                if not isinstance(item, int):
+                    msg = f"{item} is not int"
+                    raise ValueError(msg)
+        elif isinstance(topk, int):
+            topk = [topk]
+        else:
+            msg = "topk not list or int"
+            raise ValueError(msg)
+        self.topk = sorted(topk)
+        self.query_column = query_column
+        self.item_column = item_column
+        self.rating_column = rating_column
+        self._mode = mode if mode is not None else Mean()
+
+    @property
+    def __name__(self) -> str:
+        mode_name = self._mode.__name__
+        return str(type(self).__name__) + (f"-{mode_name}" if mode_name != "Mean" else "")
+
+    # -- input normalization -------------------------------------------------
+    def _check_dataframes_equal_types(self, a, b) -> None:
+        if not isinstance(a, type(b)):
+            msg = "All given data frames must have the same type"
+            raise ValueError(msg)
+
+    def _duplicate_warn(self):
+        warnings.warn(
+            "The recommendations contain duplicated users and items. "
+            "The metrics may be higher than the actual ones.",
+            MetricDuplicatesWarning,
+        )
+
+    def _check_duplicates_dict(self, recommendations: dict) -> None:
+        for items in recommendations.values():
+            if len(items) != len(set(items)):
+                self._duplicate_warn()
+                return
+
+    def _convert_pandas_to_dict_with_score(self, data: pd.DataFrame) -> dict:
+        return (
+            data.sort_values(
+                by=[self.rating_column, self.item_column], ascending=False, kind="stable"
+            )
+            .groupby(self.query_column)[self.item_column]
+            .apply(list)
+            .to_dict()
+        )
+
+    def _convert_dict_to_dict_with_score(self, data: dict) -> dict:
+        converted = {}
+        for user, items in data.items():
+            if any(items[i - 1][1] < items[i][1] for i in range(1, len(items))):
+                items = sorted(items, key=lambda x: x[1], reverse=True)
+            converted[user] = [item for item, _ in items]
+        return converted
+
+    def _convert_pandas_to_dict_without_score(self, data: pd.DataFrame) -> dict:
+        return data.groupby(self.query_column)[self.item_column].apply(list).to_dict()
+
+    # -- main entry ------------------------------------------------------------
+    def __call__(
+        self,
+        recommendations: MetricsDataFrameLike,
+        ground_truth: MetricsDataFrameLike,
+    ) -> MetricsReturnType:
+        """Compute the metric.
+
+        ``recommendations``: frame with (query, item, score) or dict
+        query -> [(item, score), ...].  ``ground_truth``: frame with (query,
+        item) or dict query -> [items].
+        """
+        self._check_dataframes_equal_types(recommendations, ground_truth)
+        is_pandas = isinstance(recommendations, pd.DataFrame)
+        recommendations = (
+            self._convert_pandas_to_dict_with_score(recommendations)
+            if is_pandas
+            else self._convert_dict_to_dict_with_score(recommendations)
+        )
+        self._check_duplicates_dict(recommendations)
+        ground_truth = (
+            self._convert_pandas_to_dict_without_score(ground_truth) if is_pandas else ground_truth
+        )
+        assert isinstance(ground_truth, dict)
+        return self._dict_call(
+            list(ground_truth),
+            pred_item_id=recommendations,
+            ground_truth=ground_truth,
+        )
+
+    def _dict_call(self, users: list, **kwargs: dict) -> MetricsReturnType:
+        """Evaluate the per-user kernel for every user; aggregate via the mode."""
+        keys_list = sorted(kwargs.keys())
+        distribution_per_user: Dict[Any, List[float]] = {}
+        for user in users:
+            args = [kwargs[key].get(user) for key in keys_list]
+            distribution_per_user[user] = self._get_metric_value_by_user(self.topk, *args)
+        if self._mode.__name__ == "PerUser":
+            return self._aggregate_results_per_user(distribution_per_user)
+        distribution = np.stack(list(distribution_per_user.values()))
+        metrics = [self._mode.cpu(distribution[:, k]) for k in range(distribution.shape[1])]
+        return self._aggregate_results(metrics)
+
+    def _aggregate_results_per_user(self, distribution_per_user) -> MetricsPerUserReturnType:
+        res: Dict[str, Dict[Any, float]] = {}
+        for index, val in enumerate(self.topk):
+            name = f"{self.__name__}@{val}"
+            res[name] = {
+                user: _normalize_value(vals[index]) for user, vals in distribution_per_user.items()
+            }
+        return res
+
+    def _aggregate_results(self, metrics: list) -> MetricsMeanReturnType:
+        return {
+            f"{self.__name__}@{val}": _normalize_value(metrics[i])
+            for i, val in enumerate(self.topk)
+        }
+
+    @staticmethod
+    @abstractmethod
+    def _get_metric_value_by_user(ks: List[int], *args) -> List[float]:
+        """Per-user metric values for each cutoff k."""
+        raise NotImplementedError

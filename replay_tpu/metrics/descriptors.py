@@ -1,0 +1,50 @@
+"""Metric aggregation descriptors (reference: replay/metrics/descriptors.py:35-121)."""
+
+from abc import abstractmethod
+from typing import Any
+
+import numpy as np
+from scipy.stats import norm, sem
+
+
+class CalculationDescriptor:
+    """Strategy for aggregating a per-user metric distribution."""
+
+    @property
+    def __name__(self) -> str:
+        return str(self.__class__.__name__)
+
+    @abstractmethod
+    def cpu(self, distribution: np.ndarray) -> Any: ...
+
+
+class Mean(CalculationDescriptor):
+    """Average over users."""
+
+    def cpu(self, distribution: np.ndarray):
+        return float(np.mean(distribution))
+
+
+class PerUser(CalculationDescriptor):
+    """Return the raw per-user distribution."""
+
+    def cpu(self, distribution: np.ndarray):
+        return distribution
+
+
+class Median(CalculationDescriptor):
+    """Median over users."""
+
+    def cpu(self, distribution: np.ndarray):
+        return float(np.median(distribution))
+
+
+class ConfidenceInterval(CalculationDescriptor):
+    """Half-width of the normal confidence interval of the user mean."""
+
+    def __init__(self, alpha: float):
+        self.alpha = alpha
+
+    def cpu(self, distribution: np.ndarray):
+        quantile = norm.ppf((1 + self.alpha) / 2)
+        return float(quantile * sem(distribution))
