@@ -1,0 +1,128 @@
+"""Neighbourhood recommender base (reference: replay/models/base_neighbour_rec.py:23).
+
+score(u, j) = Σ_{i ∈ history(u)} sim(i, j), computed on device as a blocked
+dense matmul R_block @ S where R is the binary user-profile matrix built from
+the *prediction-time* dataset and S is the truncated item-item similarity.
+"""
+
+from abc import ABC
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy.sparse import csr_matrix
+
+from replay_tpu.data.dataset import Dataset
+from replay_tpu.models.base_rec import Recommender
+
+
+class NeighbourRec(Recommender, ABC):
+    """Base class for models that predict via an item-item similarity matrix."""
+
+    similarity: pd.DataFrame  # columns: item_idx_one, item_idx_two, similarity
+    can_predict_item_to_item: bool = True
+    can_predict_cold_queries: bool = True
+    can_change_metric: bool = False
+    item_to_item_metrics = ["similarity"]
+    _similarity_metric = "similarity"
+
+    _sim_dense: Optional[jnp.ndarray] = None  # [n_fit_items, n_fit_items]
+
+    @property
+    def _dataframes(self):
+        return {"similarity": self.similarity}
+
+    def _get_save_state(self):
+        return {"sim_dense_np": np.asarray(self._sim_dense) if self._sim_dense is not None else None}
+
+    def _set_save_state(self, state):
+        arr = state.get("sim_dense_np")
+        if arr is not None:
+            self._sim_dense = jnp.asarray(arr)
+
+    @property
+    def similarity_metric(self):
+        return self._similarity_metric
+
+    @similarity_metric.setter
+    def similarity_metric(self, value):
+        if not self.can_change_metric:
+            msg = "This class does not support changing similarity metrics"
+            raise ValueError(msg)
+        if value not in self.item_to_item_metrics:
+            msg = f"Select one of the valid metrics for predict: {self.item_to_item_metrics}"
+            raise ValueError(msg)
+        self._similarity_metric = value
+
+    def _clear_cache(self):
+        self._sim_dense = None
+
+    # -- device structures ---------------------------------------------------
+    def _set_similarity_dense(self, sim: np.ndarray) -> None:
+        """Install the [n_fit_items, n_fit_items] similarity matrix on device and
+        mirror it as the reference-compatible long-format frame."""
+        self._sim_dense = jnp.asarray(sim, dtype=jnp.float32)
+        rows, cols = np.nonzero(sim)
+        self.similarity = pd.DataFrame(
+            {
+                "item_idx_one": self.fit_items[rows],
+                "item_idx_two": self.fit_items[cols],
+                "similarity": sim[rows, cols].astype(np.float64),
+            }
+        )
+
+    def _profiles_for(self, query_ids: np.ndarray, dataset: Dataset) -> np.ndarray:
+        """Binary [len(query_ids), n_fit_items] profile matrix from the
+        prediction dataset's interactions (duplicates accumulate, matching the
+        reference's raw-join semantics)."""
+        inter = dataset.interactions
+        q = inter[self.query_column].to_numpy()
+        i = inter[self.item_column].to_numpy()
+        q_pos = np.searchsorted(query_ids, q)
+        valid_q = (q_pos < len(query_ids)) & (
+            query_ids[np.minimum(q_pos, len(query_ids) - 1)] == q
+        )
+        i_pos = np.searchsorted(self.fit_items, i)
+        valid_i = (i_pos < len(self.fit_items)) & (
+            self.fit_items[np.minimum(i_pos, len(self.fit_items) - 1)] == i
+        )
+        keep = valid_q & valid_i
+        profiles = csr_matrix(
+            (np.ones(int(keep.sum()), dtype=np.float32), (q_pos[keep], i_pos[keep])),
+            shape=(len(query_ids), len(self.fit_items)),
+        )
+        return profiles.toarray()
+
+    def _score_block(
+        self, query_ids: np.ndarray, item_ids: np.ndarray, dataset: Optional[Dataset] = None
+    ) -> np.ndarray:
+        if dataset is None:
+            msg = "interactions are not provided, but required for prediction"
+            raise ValueError(msg)
+        profiles = jnp.asarray(self._profiles_for(query_ids, dataset))
+        scores = jnp.dot(profiles, self._sim_dense, preferred_element_type=jnp.float32)
+        item_pos = np.searchsorted(self.fit_items, item_ids)
+        return np.asarray(scores)[:, item_pos]
+
+    def get_nearest_items(
+        self, items, k: int, metric: Optional[str] = None
+    ) -> pd.DataFrame:
+        """Top-k most similar items for each given item."""
+        if metric is not None and metric not in self.item_to_item_metrics:
+            msg = f"Select one of the valid metrics for predict: {self.item_to_item_metrics}"
+            raise ValueError(msg)
+        items = np.asarray(list(items) if not isinstance(items, np.ndarray) else items)
+        pos = np.searchsorted(self.fit_items, items)
+        sims = np.asarray(self._sim_dense)[pos]
+        k_eff = min(k, sims.shape[1])
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :k_eff]
+        vals = np.take_along_axis(sims, idx, axis=1)
+        out = pd.DataFrame(
+            {
+                "item_idx_one": np.repeat(items, k_eff),
+                "item_idx_two": self.fit_items[idx.ravel()],
+                "similarity": vals.ravel().astype(np.float64),
+            }
+        )
+        return out[out["similarity"] != 0]

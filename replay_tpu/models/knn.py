@@ -1,0 +1,138 @@
+"""Item-based KNN with modified cosine similarity (reference: replay/models/knn.py:15).
+
+The reference computes item-item dot products as a Spark self-join + shuffle;
+here the co-occurrence Gram matrix Rᵀ·R is a blocked dense matmul on the TPU
+MXU, followed by shrink-normalized cosine and per-row top-``num_neighbours``
+truncation — the whole fit is a handful of XLA kernels.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.sparse import csr_matrix
+
+from replay_tpu.data.dataset import Dataset
+from replay_tpu.models.base_neighbour_rec import NeighbourRec
+
+_search_space = {
+    "num_neighbours": {"type": "int", "args": [1, 100]},
+    "shrink": {"type": "int", "args": [0, 100]},
+    "weighting": {"type": "categorical", "args": [None, "tf_idf", "bm25"]},
+}
+
+
+class ItemKNN(NeighbourRec):
+    """Item-item cosine KNN with optional shrink and tf-idf/bm25 reweighting."""
+
+    bm25_k1 = 1.2
+    bm25_b = 0.75
+    _valid_weightings = [None, "tf_idf", "bm25"]
+    _search_space = _search_space
+
+    def __init__(
+        self,
+        num_neighbours: int = 10,
+        use_rating: bool = False,
+        shrink: float = 0.0,
+        weighting: Optional[str] = None,
+        index_builder=None,
+    ):
+        self.shrink = shrink
+        self.use_rating = use_rating
+        self.num_neighbours = num_neighbours
+        if weighting not in self._valid_weightings:
+            msg = f"weighting must be one of {self._valid_weightings}"
+            raise ValueError(msg)
+        self.weighting = weighting
+        self.index_builder = index_builder
+
+    @property
+    def _init_args(self):
+        return {
+            "shrink": self.shrink,
+            "use_rating": self.use_rating,
+            "num_neighbours": self.num_neighbours,
+            "weighting": self.weighting,
+            "index_builder": None,
+        }
+
+    # -- weighting -------------------------------------------------------------
+    def _reweight(self, q_pos: np.ndarray, i_pos: np.ndarray, rating: np.ndarray) -> np.ndarray:
+        """Apply bm25 term-frequency and idf reweighting to interaction ratings.
+
+        Mirrors the reference exactly (reference: replay/models/knn.py:95-158):
+        'idf' is computed over *query* profile lengths (DF = items per query).
+        """
+        if self.weighting == "bm25":
+            n_queries_per_item = np.bincount(i_pos, minlength=len(self.fit_items)).astype(
+                np.float64
+            )
+            avgdl = n_queries_per_item[n_queries_per_item > 0].mean()
+            tf_denom = rating + self.bm25_k1 * (
+                1 - self.bm25_b + self.bm25_b * n_queries_per_item[i_pos] / avgdl
+            )
+            rating = rating * (self.bm25_k1 + 1) / tf_denom
+
+        df_per_query = np.bincount(q_pos, minlength=len(self.fit_queries)).astype(np.float64)
+        n_items = len(np.unique(i_pos))
+        if self.weighting == "tf_idf":
+            idf = np.log1p(n_items / df_per_query[q_pos])
+        else:  # bm25
+            idf = np.log1p((n_items - df_per_query[q_pos] + 0.5) / (df_per_query[q_pos] + 0.5))
+        return rating * idf
+
+    # -- fit ----------------------------------------------------------------------
+    def _fit(self, dataset: Dataset) -> None:
+        inter = dataset.interactions
+        q = inter[self.query_column].to_numpy()
+        i = inter[self.item_column].to_numpy()
+        q_pos = np.searchsorted(self.fit_queries, q)
+        i_pos = np.searchsorted(self.fit_items, i)
+        if self.use_rating:
+            rating = inter[self.rating_column].to_numpy(dtype=np.float64)
+        else:
+            rating = np.ones(len(inter), dtype=np.float64)
+        if self.weighting:
+            rating = self._reweight(q_pos, i_pos, rating)
+
+        n_q, n_i = len(self.fit_queries), len(self.fit_items)
+        ratings_matrix = csr_matrix(
+            (rating.astype(np.float32), (q_pos, i_pos)), shape=(n_q, n_i)
+        )
+
+        gram = self._gram_device(ratings_matrix)
+        norms = np.sqrt(np.asarray(ratings_matrix.power(2).sum(axis=0)).ravel())
+        denom = norms[:, None] * norms[None, :] + self.shrink
+        sim = np.divide(gram, denom, out=np.zeros_like(gram), where=denom != 0)
+        np.fill_diagonal(sim, 0.0)
+
+        # keep top-num_neighbours per row (ties: higher item index first,
+        # matching reference orderBy(similarity desc, item_idx_two desc))
+        k = min(self.num_neighbours, n_i - 1)
+        if k < n_i - 1:
+            kth = np.partition(sim, -k, axis=1)[:, -k][:, None]
+            drop = sim < kth
+            # on ties at the boundary keep highest item indices
+            for row in np.where((sim == kth).sum(axis=1) > 1)[0]:
+                tied = np.where(sim[row] == kth[row, 0])[0]
+                keep_n = k - int((sim[row] > kth[row, 0]).sum())
+                drop_items = tied[: len(tied) - keep_n] if keep_n > 0 else tied
+                drop[row, drop_items] = True
+                drop[row, tied[len(tied) - keep_n :] if keep_n > 0 else []] = False
+            sim = np.where(drop, 0.0, sim)
+        self._set_similarity_dense(sim.astype(np.float32))
+
+    def _gram_device(self, ratings_matrix: csr_matrix, block: int = 4096) -> np.ndarray:
+        """Item co-occurrence Gram matrix RᵀR as blocked MXU matmuls."""
+        n_q, n_i = ratings_matrix.shape
+        gram = np.zeros((n_i, n_i), dtype=np.float64)
+        dot = jax.jit(lambda a: jnp.dot(a.T, a, preferred_element_type=jnp.float32))
+        for start in range(0, n_q, block):
+            dense = ratings_matrix[start : start + block].toarray()
+            gram += np.asarray(dot(jnp.asarray(dense)), dtype=np.float64)
+        return gram
+
+    def _get_ann_infer_params(self) -> dict:
+        return {"features_col": None}
