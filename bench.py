@@ -1,0 +1,167 @@
+"""Benchmark: SASRec training throughput (examples/s/chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol (matches BASELINE.json's headline config — SASRec on an
+MovieLens-1M-scale catalog):
+- model: SasRec, 2 blocks, 2 heads, d=64, L=50, catalog 3706 items
+  (ML-1M item count), full-softmax CE loss — the reference example's
+  notebook 09 configuration scale.
+- measure: steady-state jitted train-step throughput on the default JAX
+  device (TPU under the driver; CPU locally), batch 256.
+- vs_baseline: the same model/loss/step implemented in PyTorch, run in this
+  same image (CPU — the only torch backend available here), measured with
+  identical shapes.  The reference publishes no examples/s numbers
+  (BASELINE.md "Throughput"), so the in-situ torch measurement is the only
+  non-fabricated baseline available; the driver's BASELINE.json target is
+  ≥10× the torch per-chip rate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_ITEMS = 3706
+SEQ_LEN = 50
+BATCH = 256
+DIM = 64
+BLOCKS = 2
+HEADS = 2
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from replay_tpu.data.nn.schema import (
+        TensorFeatureInfo,
+        TensorFeatureSource,
+        TensorFeatureType,
+        TensorSchema,
+    )
+    from replay_tpu.data.schema import FeatureHint, FeatureSource
+    from replay_tpu.nn.losses import CELoss
+    from replay_tpu.nn.sequential.sasrec import SasRec
+    from replay_tpu.nn.training import OptimizerFactory, Trainer, TrainerConfig
+    from replay_tpu.nn.transforms import NextTokenTransform
+    from replay_tpu.parallel import make_mesh
+
+    schema = TensorSchema(
+        TensorFeatureInfo(
+            "item_id",
+            TensorFeatureType.CATEGORICAL,
+            is_seq=True,
+            feature_hint=FeatureHint.ITEM_ID,
+            feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+            cardinality=N_ITEMS,
+            embedding_dim=DIM,
+            padding_value=N_ITEMS,
+        )
+    )
+    model = SasRec(
+        schema=schema, max_sequence_length=SEQ_LEN, num_blocks=BLOCKS, num_heads=HEADS
+    )
+    mesh = make_mesh()
+    trainer = Trainer(
+        model,
+        CELoss(),
+        optimizer=OptimizerFactory(1e-3),
+        transform=NextTokenTransform(),
+        config=TrainerConfig(batch_size=BATCH, max_sequence_length=SEQ_LEN),
+        mesh=mesh,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "item_id": rng.integers(0, N_ITEMS, (BATCH, SEQ_LEN + 1)).astype(np.int32),
+        "padding_mask": np.ones((BATCH, SEQ_LEN + 1), dtype=np.int8),
+        "batch_mask": np.ones(BATCH, dtype=np.int8),
+        "query_id": np.arange(BATCH, dtype=np.int64),
+        "seq_len": np.full(BATCH, SEQ_LEN + 1, dtype=np.int32),
+    }
+    trainer.init_state(batch)
+    step = trainer._build_train_step()
+    device_batch = trainer._place_batch(batch)
+    key = jax.random.PRNGKey(0)
+    state = trainer.state
+
+    # warmup + compile
+    for i in range(3):
+        state, stats = step(state, device_batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(stats["loss"])
+
+    n_steps = 30
+    start = time.perf_counter()
+    for i in range(n_steps):
+        state, stats = step(state, device_batch, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(stats["loss"])
+    elapsed = time.perf_counter() - start
+    return BATCH * n_steps / elapsed
+
+
+def bench_torch() -> float:
+    """Same model in PyTorch on CPU (the torch available in this image)."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    class TorchSasRec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(N_ITEMS + 1, DIM)
+            self.pos = nn.Embedding(SEQ_LEN, DIM)
+            layer = nn.TransformerEncoderLayer(
+                DIM, HEADS, 4 * DIM, dropout=0.2, batch_first=True, norm_first=True
+            )
+            self.enc = nn.TransformerEncoder(layer, BLOCKS)
+            self.norm = nn.LayerNorm(DIM)
+
+        def forward(self, ids):
+            b, length = ids.shape
+            x = self.emb(ids) * (DIM**0.5) + self.pos.weight[None, :length]
+            mask = nn.Transformer.generate_square_subsequent_mask(length)
+            h = self.norm(self.enc(x, mask=mask, is_causal=True))
+            return h @ self.emb.weight[:N_ITEMS].T
+
+    model = TorchSasRec()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    ce = nn.CrossEntropyLoss()
+    ids = torch.randint(0, N_ITEMS, (BATCH, SEQ_LEN + 1))
+    inputs, labels = ids[:, :-1], ids[:, 1:]
+
+    def step():
+        opt.zero_grad()
+        logits = model(inputs)
+        loss = ce(logits.reshape(-1, N_ITEMS), labels.reshape(-1))
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    n_steps = 3
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    elapsed = time.perf_counter() - start
+    return BATCH * n_steps / elapsed
+
+
+def main():
+    jax_rate = bench_jax()
+    try:
+        torch_rate = bench_torch()
+    except Exception:
+        torch_rate = None
+    result = {
+        "metric": "sasrec_train_examples_per_s_per_chip",
+        "value": round(jax_rate, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(jax_rate / torch_rate, 2) if torch_rate else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Sequential dataset: per-query interaction histories → static-shape batches.
+
+TPU-native counterpart of the reference's sequence pipeline (reference:
+replay/data/nn/sequential_dataset.py:142,242 and
+replay/data/nn/torch_sequential_dataset.py:29).  The reference yields ragged
+per-user tensors that the collate function pads per batch; XLA wants static
+shapes, so here every batch is padded to exactly ``(batch_size,
+max_sequence_length)`` — including the final partial batch, which carries a
+``batch_mask`` row-validity vector.  Sequences are **left-padded / right
+aligned** (the reference's convention via ``_pad_sequence``), so the last
+position always holds the most recent interaction.
+
+Shuffling is deterministic counter-based: a ``numpy`` Generator seeded with
+``(seed, epoch)`` — replica-stable, matching the multi-host determinism
+requirement (SURVEY.md §7 hard parts).
+"""
+
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from replay_tpu.data.dataset import Dataset
+from replay_tpu.data.nn.schema import TensorSchema
+
+Batch = Dict[str, np.ndarray]
+
+
+class SequentialDataset:
+    """Per-query sequences stored as a flat values array + offsets (CSR-style).
+
+    Flat storage keeps grouping cost O(N log N) once and makes replica
+    sharding a pure index computation (reference replicas contract:
+    replay/data/nn/parquet/info/replicas.py:7-20).
+    """
+
+    def __init__(
+        self,
+        tensor_schema: TensorSchema,
+        query_ids: np.ndarray,
+        sequences: Dict[str, np.ndarray],
+        offsets: np.ndarray,
+    ) -> None:
+        self._schema = tensor_schema
+        self._query_ids = np.asarray(query_ids)
+        self._sequences = sequences
+        self._offsets = np.asarray(offsets, dtype=np.int64)
+
+    # --------------------------------------------------------------- factory
+    @classmethod
+    def from_interactions(
+        cls,
+        tensor_schema: TensorSchema,
+        interactions: pd.DataFrame,
+        query_column: str = "query_id",
+        timestamp_column: Optional[str] = "timestamp",
+        sort: bool = True,
+    ) -> "SequentialDataset":
+        """Group an encoded interaction log into per-query sequences.
+
+        :param interactions: encoded log; one row per interaction.
+        :param sort: sort within query by timestamp (stable), preserving the
+            reference's ``orderBy(timestamp)`` grouping semantics.
+        """
+        frame = interactions
+        sort_cols = [query_column]
+        if sort and timestamp_column is not None and timestamp_column in frame.columns:
+            sort_cols.append(timestamp_column)
+        frame = frame.sort_values(sort_cols, kind="stable")
+
+        qvals = frame[query_column].to_numpy()
+        uniq, starts = np.unique(qvals, return_index=True)
+        offsets = np.append(starts, len(qvals))
+
+        sequences: Dict[str, np.ndarray] = {}
+        for feature in tensor_schema.all_features:
+            source = feature.feature_source
+            column = source.column if source is not None else feature.name
+            if column not in frame.columns:
+                continue
+            values = frame[column].to_numpy()
+            if feature.is_cat:
+                values = values.astype(np.int32)
+            else:
+                values = values.astype(np.float32)
+            sequences[feature.name] = values
+        return cls(tensor_schema, uniq, sequences, offsets)
+
+    # ------------------------------------------------------------- accessors
+    @property
+    def schema(self) -> TensorSchema:
+        return self._schema
+
+    def __len__(self) -> int:
+        return len(self._query_ids)
+
+    @property
+    def query_ids(self) -> np.ndarray:
+        return self._query_ids
+
+    def sequence_length(self, index: int) -> int:
+        return int(self._offsets[index + 1] - self._offsets[index])
+
+    def get_sequence(self, index: int, feature_name: str) -> np.ndarray:
+        lo, hi = self._offsets[index], self._offsets[index + 1]
+        return self._sequences[feature_name][lo:hi]
+
+    def get_sequence_by_query_id(self, query_id, feature_name: str) -> np.ndarray:
+        pos = np.searchsorted(self._query_ids, query_id)
+        if pos >= len(self._query_ids) or self._query_ids[pos] != query_id:
+            return np.array([], dtype=self._sequences[feature_name].dtype)
+        return self.get_sequence(pos, feature_name)
+
+    @property
+    def max_len(self) -> int:
+        if len(self._offsets) <= 1:
+            return 0
+        return int(np.max(np.diff(self._offsets)))
+
+    def filter_by_query_id(self, query_ids_to_keep: np.ndarray) -> "SequentialDataset":
+        keep = np.isin(self._query_ids, query_ids_to_keep)
+        idx = np.nonzero(keep)[0]
+        new_offsets = [0]
+        new_seqs: Dict[str, list] = {name: [] for name in self._sequences}
+        for i in idx:
+            lo, hi = self._offsets[i], self._offsets[i + 1]
+            for name in self._sequences:
+                new_seqs[name].append(self._sequences[name][lo:hi])
+            new_offsets.append(new_offsets[-1] + (hi - lo))
+        merged = {
+            name: (np.concatenate(chunks) if chunks else np.array([], dtype=self._sequences[name].dtype))
+            for name, chunks in new_seqs.items()
+        }
+        return SequentialDataset(
+            self._schema,
+            self._query_ids[idx],
+            merged,
+            np.asarray(new_offsets, dtype=np.int64),
+        )
+
+    @staticmethod
+    def keep_common_query_ids(
+        lhs: "SequentialDataset", rhs: "SequentialDataset"
+    ) -> Tuple["SequentialDataset", "SequentialDataset"]:
+        """Intersect two datasets on query id (reference:
+        replay/data/nn/sequential_dataset.py:116)."""
+        common = np.intersect1d(lhs.query_ids, rhs.query_ids)
+        return lhs.filter_by_query_id(common), rhs.filter_by_query_id(common)
+
+    # --------------------------------------------------------------- batching
+    def pad_batch(
+        self,
+        indices: np.ndarray,
+        max_sequence_length: int,
+        crop_offset: int = 0,
+    ) -> Batch:
+        """Materialize rows ``indices`` as left-padded fixed-shape arrays.
+
+        Returns a dict with one ``[B, L]`` array per sequential feature, one
+        ``[B]`` array per non-sequential feature, plus:
+
+        - ``"query_id"``: [B] query ids
+        - ``"padding_mask"``: [B, L] int8; 1 = real token
+        - ``"seq_len"``: [B] true (cropped) lengths
+
+        :param crop_offset: drop this many of the *most recent* events before
+            taking the last ``max_sequence_length`` (used to build label
+            shifts host-side).
+        """
+        bsz = len(indices)
+        length = max_sequence_length
+        out: Batch = {}
+        mask = np.zeros((bsz, length), dtype=np.int8)
+        seq_len = np.zeros(bsz, dtype=np.int32)
+        for feature in self._schema.all_features:
+            name = feature.name
+            if name not in self._sequences:
+                continue
+            values = self._sequences[name]
+            if feature.is_seq:
+                dtype = np.int32 if feature.is_cat else np.float32
+                arr = np.full((bsz, length), feature.padding_value, dtype=dtype)
+                for row, i in enumerate(indices):
+                    lo, hi = self._offsets[i], self._offsets[i + 1] - crop_offset
+                    if hi <= lo:
+                        continue
+                    take = min(length, hi - lo)
+                    arr[row, length - take :] = values[hi - take : hi]
+                    mask[row, length - take :] = 1
+                    seq_len[row] = take
+                out[name] = arr
+            else:
+                # non-sequential feature: last value per query
+                arr_dtype = np.int32 if feature.is_cat else np.float32
+                flat = np.empty(bsz, dtype=arr_dtype)
+                for row, i in enumerate(indices):
+                    flat[row] = values[self._offsets[i + 1] - 1]
+                out[name] = flat
+        out["query_id"] = self._query_ids[np.asarray(indices)]
+        out["padding_mask"] = mask
+        out["seq_len"] = seq_len
+        return out
+
+    def batches(
+        self,
+        batch_size: int,
+        max_sequence_length: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        epoch: int = 0,
+        drop_last: bool = False,
+        replica_id: int = 0,
+        num_replicas: int = 1,
+        transform: Optional[Callable[[Batch], Batch]] = None,
+    ) -> Iterator[Batch]:
+        """Yield static-shape batches, optionally sharded across replicas.
+
+        Every batch has exactly ``batch_size`` rows; short final batches are
+        padded with repeated row 0 and flagged via ``batch_mask`` ([B] int8,
+        1 = real row).  Replica sharding pads the index set to a multiple of
+        ``num_replicas`` then strides (reference partitioning contract:
+        replay/data/nn/parquet/info/partitioning.py:31-60).
+        """
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            rng = np.random.Generator(np.random.Philox(key=[seed, epoch]))
+            rng.shuffle(order)
+        if num_replicas > 1:
+            padded_n = -(-n // num_replicas) * num_replicas
+            order = np.resize(order, padded_n)
+            order = order[replica_id::num_replicas]
+        for start in range(0, len(order), batch_size):
+            chunk = order[start : start + batch_size]
+            real = len(chunk)
+            if real < batch_size:
+                if drop_last:
+                    return
+                chunk = np.resize(chunk, batch_size)
+            batch = self.pad_batch(chunk, max_sequence_length)
+            batch_mask = np.zeros(batch_size, dtype=np.int8)
+            batch_mask[:real] = 1
+            batch["batch_mask"] = batch_mask
+            if transform is not None:
+                batch = transform(batch)
+            yield batch

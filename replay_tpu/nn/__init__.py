@@ -1,0 +1,55 @@
+"""Composable neural building blocks (TPU-native analog of reference replay/nn/).
+
+Blocks are flax.linen modules with a uniform dtype policy: parameters live in
+float32, activations compute in bfloat16 by default (MXU-native), logits and
+losses accumulate in float32.
+"""
+
+from replay_tpu.nn.embedding import (
+    CategoricalEmbedding,
+    NumericalEmbedding,
+    SequenceEmbedding,
+)
+from replay_tpu.nn.ffn import PointWiseFeedForward, SwiGLU
+from replay_tpu.nn.attention import MultiHeadSelfAttention
+from replay_tpu.nn.head import EmbeddingTyingHead
+from replay_tpu.nn.losses import (
+    BCELoss,
+    BCESampledLoss,
+    CELoss,
+    CESampledLoss,
+    LogInCELoss,
+    LogOutCELoss,
+    ScalableCELoss,
+)
+from replay_tpu.nn.transforms import (
+    Compose,
+    NextTokenTransform,
+    SequenceRollTransform,
+    TokenMaskTransform,
+    TrimTransform,
+    UniformNegativeSamplingTransform,
+)
+
+__all__ = [
+    "CategoricalEmbedding",
+    "NumericalEmbedding",
+    "SequenceEmbedding",
+    "PointWiseFeedForward",
+    "SwiGLU",
+    "MultiHeadSelfAttention",
+    "EmbeddingTyingHead",
+    "BCELoss",
+    "BCESampledLoss",
+    "CELoss",
+    "CESampledLoss",
+    "LogInCELoss",
+    "LogOutCELoss",
+    "ScalableCELoss",
+    "Compose",
+    "NextTokenTransform",
+    "SequenceRollTransform",
+    "TokenMaskTransform",
+    "TrimTransform",
+    "UniformNegativeSamplingTransform",
+]

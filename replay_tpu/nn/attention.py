@@ -1,0 +1,158 @@
+"""Multi-head self-attention for sequence encoders.
+
+TPU-native analog of the reference attention stack (reference:
+replay/nn/attention.py:7 MultiHeadDifferentialAttention and torch
+nn.MultiheadAttention used in replay/nn/sequential/sasrec/transformer.py:10).
+
+Implementation notes:
+- einsum formulation, bf16 operands with float32 softmax accumulation —
+  this is the shape XLA pattern-matches into its fused attention path;
+- masks are additive float biases built once per batch from the padding
+  mask (+ causal band for SasRec / full band for Bert4Rec), matching the
+  reference's ``DefaultAttentionMask`` (replay/nn/mask.py:58);
+- sequence lengths in recsys are ≤ a few hundred, so a flash-style Pallas
+  attention buys nothing here — the whole [B,H,L,L] score tensor fits VMEM
+  per block and XLA's fusion is at speed-of-light; Pallas effort goes to the
+  full-catalog scoring kernels instead (replay_tpu/ops).
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def build_attention_bias(
+    padding_mask: jnp.ndarray,
+    causal: bool,
+) -> jnp.ndarray:
+    """[B, L] int/bool padding mask (1 = real) → [B, 1, L, L] additive bias.
+
+    Reference semantics (replay/nn/mask.py:58): key positions that are
+    padding are unattendable; with ``causal`` the upper triangle is also
+    masked (SasRec), without it only padding is masked (Bert4Rec).
+    """
+    batch, length = padding_mask.shape
+    key_ok = padding_mask.astype(jnp.bool_)[:, None, None, :]  # [B,1,1,L]
+    allowed = jnp.broadcast_to(key_ok, (batch, 1, length, length))
+    if causal:
+        band = jnp.tril(jnp.ones((length, length), dtype=jnp.bool_))
+        allowed = jnp.logical_and(allowed, band[None, None])
+    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Standard MHA over [B, L, D] with additive attention bias."""
+
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        batch, length, dim = x.shape
+        head_dim = dim // self.num_heads
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            features=(self.num_heads, head_dim),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(head_dim))
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        weights = nn.softmax(scores, axis=-1).astype(self.dtype)
+        weights = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = nn.DenseGeneral(
+            features=dim,
+            axis=(-2, -1),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="out",
+        )(out)
+        return out
+
+
+class MultiHeadDifferentialAttention(nn.Module):
+    """Differential attention (reference: replay/nn/attention.py:7, DIFF
+    Transformer arXiv 2410.05258): two softmax attention maps subtracted with
+    a learned lambda, reducing attention noise."""
+
+    num_heads: int
+    depth: int = 1  # layer index, sets lambda_init
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        batch, length, dim = x.shape
+        head_dim = dim // self.num_heads // 2
+
+        def project(name, n_out):
+            return nn.DenseGeneral(
+                features=(self.num_heads, n_out),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=name,
+            )
+
+        q = project("query", 2 * head_dim)(x)
+        k = project("key", 2 * head_dim)(x)
+        v = project("value", 2 * head_dim)(x)
+        q1, q2 = jnp.split(q, 2, axis=-1)
+        k1, k2 = jnp.split(k, 2, axis=-1)
+
+        lambda_init = 0.8 - 0.6 * jnp.exp(-0.3 * (self.depth - 1))
+        shape = (self.num_heads, head_dim)
+        init = nn.initializers.normal(stddev=0.1)
+        lam_q1 = self.param("lambda_q1", init, shape, jnp.float32)
+        lam_k1 = self.param("lambda_k1", init, shape, jnp.float32)
+        lam_q2 = self.param("lambda_q2", init, shape, jnp.float32)
+        lam_k2 = self.param("lambda_k2", init, shape, jnp.float32)
+        lam = (
+            jnp.exp(jnp.sum(lam_q1 * lam_k1, axis=-1))
+            - jnp.exp(jnp.sum(lam_q2 * lam_k2, axis=-1))
+            + lambda_init
+        )  # [H]
+
+        def attn(qh, kh):
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(head_dim))
+            if attn_bias is not None:
+                scores = scores + attn_bias
+            return nn.softmax(scores, axis=-1)
+
+        weights = attn(q1, k1) - lam[None, :, None, None] * attn(q2, k2)
+        weights = nn.Dropout(self.dropout_rate)(
+            weights.astype(self.dtype), deterministic=deterministic
+        )
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="subln")(out)
+        out = out * (1.0 - lambda_init)
+        out = nn.DenseGeneral(
+            features=dim,
+            axis=(-2, -1),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="out",
+        )(out)
+        return out

@@ -1,0 +1,268 @@
+"""Ranking losses for sequential recommenders.
+
+TPU-native analog of the reference loss zoo (reference: replay/nn/loss/ —
+BCE/BCESampled bce.py:10,98; CE/CESampled ce.py:10,146; LogInCE
+login_ce.py:102; LogOutCE logout_ce.py:10; SCE
+replay/models/nn/loss/sce.py:27, arXiv 2409.18721).
+
+Contract: every loss is a callable of
+
+    loss(hidden, labels, mask, item_weights, *, key=None)
+
+where ``hidden`` is [B, L, D] model output, ``labels`` [B, L] int32 target
+item ids, ``mask`` [B, L] {0,1} valid-position mask, and ``item_weights``
+[N, D] the item embedding table (the tying-head weights — the functional
+equivalent of the reference's ``logits_callback`` wiring, ce.py:26-47).
+All return a float32 scalar (mean over valid positions).
+
+TPU notes: logits always accumulate in float32 (``preferred_element_type``);
+sampled losses draw a *shared* negative set per step — one gather of
+[n_neg, D] rows instead of [B, L, n_neg] gathers, which keeps the negative
+GEMM dense on the MXU and is statistically equivalent for uniform sampling.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from replay_tpu.nn.head import tying_logits
+
+
+NEG = jnp.float32(-1e9)
+
+
+def _masked_mean(per_pos: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    mask = mask.astype(jnp.float32)
+    return jnp.sum(jnp.where(mask > 0, per_pos, 0.0)) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def _safe_labels(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Replace padded-position labels (which hold the out-of-range padding
+    id) with 0 — those positions are zero-masked in the loss, but an
+    out-of-bounds ``take`` fills NaN which would poison the masked sum."""
+    return jnp.where(mask > 0, labels, 0)
+
+
+class CELoss:
+    """Full-softmax cross-entropy over the catalog (reference: replay/nn/loss/ce.py:10)."""
+
+    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+        labels = _safe_labels(labels, mask)
+        logits = tying_logits(hidden, item_weights)  # [B, L, N] f32
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return _masked_mean(nll, mask)
+
+
+class CESampledLoss:
+    """Sampled-softmax CE (reference: replay/nn/loss/ce.py:146).
+
+    Scores the positive against ``n_negatives`` uniform catalog samples.
+    Accidental hits (negative == label) are masked to -inf, matching the
+    reference's collision handling.
+    """
+
+    def __init__(self, n_negatives: int = 256):
+        self.n_negatives = n_negatives
+
+    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+        labels = _safe_labels(labels, mask)
+        n_items = item_weights.shape[0]
+        negs = jax.random.randint(key, (self.n_negatives,), 0, n_items)
+        neg_w = jnp.take(item_weights, negs, axis=0)  # [n, D]
+        pos_w = jnp.take(item_weights, labels, axis=0)  # [B, L, D]
+
+        pos_logit = jnp.einsum(
+            "bld,bld->bl", hidden, pos_w, preferred_element_type=jnp.float32
+        )
+        neg_logit = jnp.einsum(
+            "bld,nd->bln", hidden, neg_w, preferred_element_type=jnp.float32
+        )
+        # mask accidental positives among negatives
+        collide = labels[..., None] == negs[None, None, :]
+        neg_logit = jnp.where(collide, NEG, neg_logit)
+
+        all_logits = jnp.concatenate([pos_logit[..., None], neg_logit], axis=-1)
+        nll = -jax.nn.log_softmax(all_logits, axis=-1)[..., 0]
+        return _masked_mean(nll, mask)
+
+
+class BCELoss:
+    """Full binary cross-entropy: label item positive, all others negative
+    (reference: replay/nn/loss/bce.py:10)."""
+
+    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+        labels = _safe_labels(labels, mask)
+        logits = tying_logits(hidden, item_weights)  # [B, L, N]
+        n_items = item_weights.shape[0]
+        targets = jax.nn.one_hot(labels, n_items, dtype=jnp.float32)
+        per_item = -(
+            targets * jax.nn.log_sigmoid(logits)
+            + (1.0 - targets) * jax.nn.log_sigmoid(-logits)
+        )
+        per_pos = jnp.mean(per_item, axis=-1)
+        return _masked_mean(per_pos, mask)
+
+
+class BCESampledLoss:
+    """BCE with sampled negatives — the classic SasRec objective
+    (reference: replay/nn/loss/bce.py:98)."""
+
+    def __init__(self, n_negatives: int = 1):
+        self.n_negatives = n_negatives
+
+    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+        labels = _safe_labels(labels, mask)
+        n_items = item_weights.shape[0]
+        negs = jax.random.randint(
+            key, labels.shape + (self.n_negatives,), 0, n_items
+        )  # per-position negatives, as the reference samples
+        pos_w = jnp.take(item_weights, labels, axis=0)
+        neg_w = jnp.take(item_weights, negs, axis=0)  # [B, L, n, D]
+
+        pos_logit = jnp.einsum(
+            "bld,bld->bl", hidden, pos_w, preferred_element_type=jnp.float32
+        )
+        neg_logit = jnp.einsum(
+            "bld,blnd->bln", hidden, neg_w, preferred_element_type=jnp.float32
+        )
+        loss_pos = -jax.nn.log_sigmoid(pos_logit)
+        loss_neg = -jnp.sum(jax.nn.log_sigmoid(-neg_logit), axis=-1)
+        return _masked_mean(loss_pos + loss_neg, mask)
+
+
+class LogInCELoss:
+    """In-batch contrastive CE (reference: replay/nn/loss/login_ce.py:102).
+
+    Negatives are the other positions' label items within the batch; logQ
+    correction subtracts log of in-batch item frequency so popular items are
+    not over-penalized.
+    """
+
+    def __init__(self, temperature: float = 1.0, log_q_correction: bool = True):
+        self.temperature = temperature
+        self.log_q_correction = log_q_correction
+
+    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+        labels = _safe_labels(labels, mask)
+        batch, length, dim = hidden.shape
+        flat_h = hidden.reshape(-1, dim)
+        flat_labels = labels.reshape(-1)
+        flat_mask = mask.reshape(-1)
+
+        cand_w = jnp.take(item_weights, flat_labels, axis=0)  # [M, D]
+        logits = (
+            jnp.einsum("md,nd->mn", flat_h, cand_w, preferred_element_type=jnp.float32)
+            / self.temperature
+        )
+        m = flat_labels.shape[0]
+        same_item = flat_labels[:, None] == flat_labels[None, :]
+        diag = jnp.eye(m, dtype=bool)
+        # other occurrences of my own label are false negatives → mask out
+        logits = jnp.where(same_item & ~diag, NEG, logits)
+        # padding candidates are not valid negatives
+        logits = jnp.where((flat_mask[None, :] == 0) & ~diag, NEG, logits)
+        if self.log_q_correction:
+            freq = jnp.sum(
+                (flat_labels[None, :] == flat_labels[:, None]) & (flat_mask[None, :] == 1),
+                axis=1,
+            )
+            logq = jnp.log(jnp.maximum(freq.astype(jnp.float32), 1.0))
+            logits = logits - jnp.where(diag, 0.0, logq[None, :])
+        nll = -jnp.diagonal(jax.nn.log_softmax(logits, axis=-1))
+        return _masked_mean(nll.reshape(batch, length), mask)
+
+
+class LogOutCELoss:
+    """CE against label + explicitly provided negative ids (reference:
+    replay/nn/loss/logout_ce.py:10) — used with negative-sampling batch
+    transforms that attach a ``negatives`` array."""
+
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
+        labels = _safe_labels(labels, mask)
+        if negatives is None:
+            msg = "LogOutCELoss requires a negatives array (use UniformNegativeSamplingTransform)"
+            raise ValueError(msg)
+        neg_w = jnp.take(item_weights, negatives, axis=0)  # [n, D] shared per step
+        pos_w = jnp.take(item_weights, labels, axis=0)
+        pos_logit = jnp.einsum(
+            "bld,bld->bl", hidden, pos_w, preferred_element_type=jnp.float32
+        )
+        neg_logit = jnp.einsum(
+            "bld,nd->bln", hidden, neg_w, preferred_element_type=jnp.float32
+        )
+        collide = labels[..., None] == negatives[None, None, :]
+        neg_logit = jnp.where(collide, NEG, neg_logit)
+        all_logits = jnp.concatenate([pos_logit[..., None], neg_logit], axis=-1)
+        nll = -jax.nn.log_softmax(all_logits, axis=-1)[..., 0]
+        return _masked_mean(nll, mask)
+
+
+class ScalableCELoss:
+    """Scalable Cross-Entropy via bucketed hard negatives (reference:
+    replay/models/nn/loss/sce.py:27, arXiv 2409.18721).
+
+    Random projections hash hidden states and item embeddings into
+    ``n_buckets``; each bucket scores its member states against the
+    ``bucket_size_y`` items whose projections land closest, approximating
+    full softmax with hard negatives at O(B·L·bucket) cost.  Static bucket
+    sizes keep every shape jit-stable (SURVEY.md §7 hard parts).
+    """
+
+    def __init__(
+        self,
+        n_buckets: int = 256,
+        bucket_size_x: int = 256,
+        bucket_size_y: int = 256,
+        mix_x: bool = False,
+    ):
+        self.n_buckets = n_buckets
+        self.bucket_size_x = bucket_size_x
+        self.bucket_size_y = bucket_size_y
+        self.mix_x = mix_x
+
+    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+        labels = _safe_labels(labels, mask)
+        batch, length, dim = hidden.shape
+        flat_h = hidden.reshape(-1, dim).astype(jnp.float32)
+        flat_labels = labels.reshape(-1)
+        flat_mask = mask.reshape(-1).astype(jnp.float32)
+        n_items = item_weights.shape[0]
+        w = item_weights.astype(jnp.float32)
+
+        proj = jax.random.normal(key, (dim, self.n_buckets), dtype=jnp.float32)
+        h_scores = flat_h @ proj  # [M, buckets]
+        y_scores = w @ proj  # [N, buckets]
+
+        # top bucket_size_x states and bucket_size_y items per bucket
+        _, x_idx = jax.lax.top_k(h_scores.T, min(self.bucket_size_x, flat_h.shape[0]))
+        _, y_idx = jax.lax.top_k(y_scores.T, min(self.bucket_size_y, n_items))
+
+        xb = jnp.take(flat_h, x_idx, axis=0)  # [buckets, bx, D]
+        yb = jnp.take(w, y_idx, axis=0)  # [buckets, by, D]
+        bucket_logits = jnp.einsum(
+            "kxd,kyd->kxy", xb, yb, preferred_element_type=jnp.float32
+        )
+
+        # positive logit computed exactly
+        pos_w = jnp.take(w, flat_labels, axis=0)
+        pos_logit = jnp.sum(flat_h * pos_w, axis=-1)  # [M]
+
+        # exclude the positive item from its bucket negatives
+        labels_in_bucket = jnp.take(flat_labels, x_idx, axis=0)  # [buckets, bx]
+        is_pos = y_idx[:, None, :] == labels_in_bucket[:, :, None]
+        bucket_logits = jnp.where(is_pos, NEG, bucket_logits)
+
+        # per-(bucket, state) partial logsumexp over bucket negatives
+        neg_lse = jax.nn.logsumexp(bucket_logits, axis=-1)  # [buckets, bx]
+
+        # scatter-max partial LSEs back per state: combine across buckets a
+        # state appears in via logsumexp-accumulate
+        m = flat_h.shape[0]
+        acc = jnp.full((m,), -jnp.inf)
+        acc = acc.at[x_idx.reshape(-1)].max(neg_lse.reshape(-1))
+        # states never selected by any bucket see only the positive
+        total = jnp.logaddexp(pos_logit, acc)
+        nll = total - pos_logit
+        return jnp.sum(nll * flat_mask) / jnp.maximum(jnp.sum(flat_mask), 1.0)

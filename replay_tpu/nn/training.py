@@ -1,0 +1,360 @@
+"""Training harness: optax train state + mesh-aware jitted steps.
+
+Replaces the reference's PyTorch-Lightning wrapper (reference:
+replay/nn/lightning/module.py:13, optimizer/scheduler factories
+replay/nn/lightning/{optimizer,scheduler}.py:24,84).  Instead of a callback
+bus around an eager loop, the whole step — batch transform, forward, loss,
+backward, optimizer update — is ONE jitted function with explicit
+shardings: batch over the ``data`` mesh axis, large embedding tables over
+``model`` (replay_tpu/parallel/sharding.py).  XLA inserts the gradient
+all-reduce; Lightning's ``sync_dist`` has no analog because there is
+nothing to sync manually.
+
+Determinism: dropout/sampling keys are `fold_in(root, step)` — counter
+based, so resume-at-step reproduces the exact stream (SURVEY.md §7
+multi-host determinism requirement).
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from replay_tpu.data.nn.sequential_dataset import SequentialDataset
+from replay_tpu.metrics.builder import MetricsBuilder
+from replay_tpu.parallel import (
+    batch_sharding,
+    infer_param_shardings,
+    make_mesh,
+)
+
+
+class TrainState(train_state.TrainState):
+    """Optax train state (params + opt state + step)."""
+
+
+@dataclass
+class OptimizerFactory:
+    """Adam/AdamW factory (reference: replay/nn/lightning/optimizer.py:24)."""
+
+    learning_rate: float = 1e-3
+    betas: tuple = (0.9, 0.98)
+    weight_decay: float = 0.0
+    clip_norm: Optional[float] = None
+
+    def create(self, schedule: Optional[Callable] = None) -> optax.GradientTransformation:
+        lr = schedule if schedule is not None else self.learning_rate
+        if self.weight_decay > 0:
+            opt = optax.adamw(lr, b1=self.betas[0], b2=self.betas[1], weight_decay=self.weight_decay)
+        else:
+            opt = optax.adam(lr, b1=self.betas[0], b2=self.betas[1])
+        if self.clip_norm is not None:
+            opt = optax.chain(optax.clip_by_global_norm(self.clip_norm), opt)
+        return opt
+
+
+@dataclass
+class LRSchedulerFactory:
+    """Warmup + decay schedules (reference: replay/nn/lightning/scheduler.py:84)."""
+
+    warmup_steps: int = 0
+    decay: str = "constant"  # constant | cosine | linear
+    total_steps: int = 10000
+
+    def create(self, base_lr: float) -> Callable:
+        if self.decay == "cosine":
+            return optax.warmup_cosine_decay_schedule(
+                0.0, base_lr, self.warmup_steps, self.total_steps
+            )
+        if self.decay == "linear":
+            return optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, base_lr, max(self.warmup_steps, 1)),
+                    optax.linear_schedule(base_lr, 0.0, max(self.total_steps - self.warmup_steps, 1)),
+                ],
+                [self.warmup_steps],
+            )
+        if self.warmup_steps:
+            return optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, base_lr, self.warmup_steps),
+                    optax.constant_schedule(base_lr),
+                ],
+                [self.warmup_steps],
+            )
+        return optax.constant_schedule(base_lr)
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 1
+    batch_size: int = 128
+    max_sequence_length: int = 50
+    seed: int = 0
+    log_every: int = 100
+    val_metrics: tuple = ("ndcg", "recall", "map")
+    val_ks: tuple = (1, 5, 10)
+
+
+class Trainer:
+    """Fit/validate/predict driver for sequential flax models.
+
+    :param model: flax module exposing ``forward_train(batch)`` →
+        [B, L, D] hidden states, ``forward_inference(batch, candidates)`` →
+        [B, N] logits, and a body with ``get_item_weights``.
+    :param loss: callable from replay_tpu.nn.losses.
+    :param transform: train-batch transform (e.g. NextTokenTransform),
+        traced inside the jitted step.
+    """
+
+    def __init__(
+        self,
+        model,
+        loss,
+        optimizer: Optional[OptimizerFactory] = None,
+        scheduler: Optional[LRSchedulerFactory] = None,
+        transform: Optional[Callable] = None,
+        config: Optional[TrainerConfig] = None,
+        mesh=None,
+        callbacks: Optional[List] = None,
+    ):
+        self.model = model
+        self.loss = loss
+        self.optimizer_factory = optimizer or OptimizerFactory()
+        self.scheduler_factory = scheduler
+        self.transform = transform
+        self.config = config or TrainerConfig()
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.callbacks = callbacks or []
+        self.state: Optional[TrainState] = None
+        self._train_step = None
+        self._history: List[Dict[str, float]] = []
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, example_batch: Dict[str, np.ndarray]) -> TrainState:
+        schedule = (
+            self.scheduler_factory.create(self.optimizer_factory.learning_rate)
+            if self.scheduler_factory
+            else None
+        )
+        tx = self.optimizer_factory.create(schedule)
+        rng = jax.random.PRNGKey(self.config.seed)
+        device_batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, device_batch, deterministic=True
+        )
+        params = variables["params"]
+        shardings = infer_param_shardings(params, self.mesh)
+        params = jax.device_put(params, shardings)
+        self.state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
+        return self.state
+
+    # ------------------------------------------------------------------ step
+    def _build_train_step(self):
+        model = self.model
+        loss_fn_outer = self.loss
+        transform = self.transform
+
+        def train_step(state: TrainState, batch, key):
+            tkey, dkey, lkey = jax.random.split(key, 3)
+            if transform is not None:
+                batch = transform(batch, key=tkey)
+            labels = batch["labels"]
+            mask = (
+                batch.get("labels_padding_mask", batch["padding_mask"]).astype(jnp.float32)
+                * batch["batch_mask"][:, None].astype(jnp.float32)
+            )
+            negatives = batch.get("negatives")
+
+            def compute_loss(params):
+                hidden = model.apply(
+                    {"params": params},
+                    batch,
+                    deterministic=False,
+                    rngs={"dropout": dkey},
+                    method=type(model).forward_train
+                    if hasattr(model, "forward_train")
+                    else None,
+                )
+                item_w = model.apply(
+                    {"params": params},
+                    method=lambda m: m.body.get_item_weights(None),
+                )
+                kwargs = {"key": lkey}
+                if negatives is not None:
+                    kwargs["negatives"] = negatives
+                return loss_fn_outer(hidden, labels, mask, item_w, **kwargs)
+
+            loss_val, grads = jax.value_and_grad(compute_loss)(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            return new_state, {"loss": loss_val}
+
+        data_shard = batch_sharding(self.mesh)
+        step = jax.jit(train_step, donate_argnums=(0,))
+        self._data_shard = data_shard
+        return step
+
+    def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for k, v in batch.items():
+            arr = jnp.asarray(v)
+            if arr.ndim >= 1 and arr.shape[0] % self.mesh.shape["data"] == 0:
+                out[k] = jax.device_put(arr, self._data_shard)
+            else:
+                out[k] = arr
+        return out
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        train_dataset: SequentialDataset,
+        val_dataset: Optional[SequentialDataset] = None,
+    ) -> List[Dict[str, float]]:
+        cfg = self.config
+        root_key = jax.random.PRNGKey(cfg.seed)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        step_no = 0
+        for epoch in range(cfg.max_epochs):
+            epoch_losses = []
+            for batch in train_dataset.batches(
+                batch_size=cfg.batch_size,
+                # +1 so NextTokenTransform's shift still yields
+                # max_sequence_length-long inputs
+                max_sequence_length=cfg.max_sequence_length + 1,
+                shuffle=True,
+                seed=cfg.seed,
+                epoch=epoch,
+            ):
+                if self.state is None:
+                    self.init_state(batch)
+                    self._train_step = self._build_train_step()
+                device_batch = self._place_batch(batch)
+                key = jax.random.fold_in(root_key, step_no)
+                self.state, stats = self._train_step(self.state, device_batch, key)
+                epoch_losses.append(stats["loss"])
+                step_no += 1
+            record: Dict[str, float] = {
+                "epoch": epoch,
+                "loss": float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else float("nan"),
+            }
+            if val_dataset is not None:
+                record.update(self.validate(train_dataset, val_dataset))
+            for cb in self.callbacks:
+                cb(self, record)
+            self._history.append(record)
+        return self._history
+
+    # -------------------------------------------------------------- validate
+    def validate(
+        self,
+        train_dataset: SequentialDataset,
+        val_dataset: SequentialDataset,
+        ks: Optional[tuple] = None,
+    ) -> Dict[str, float]:
+        """Next-item validation: history from ``train_dataset``, targets =
+        ``val_dataset`` sequences (reference ValidationMetricsCallback
+        semantics, replay/models/nn/sequential/callbacks/validation_callback.py:37)."""
+        cfg = self.config
+        ks = ks or cfg.val_ks
+        builder = MetricsBuilder(metrics=cfg.val_metrics, ks=ks)
+        max_k = builder.max_k
+        infer = self._make_infer_fn()
+
+        val_ids = val_dataset.query_ids
+        item_name = train_dataset.schema.item_id_feature_name
+        history = train_dataset.filter_by_query_id(val_ids)
+        max_gt = max(val_dataset.max_len, 1)
+
+        for batch in history.batches(
+            batch_size=cfg.batch_size,
+            max_sequence_length=cfg.max_sequence_length,
+            shuffle=False,
+        ):
+            logits = infer(self.state.params, self._place_batch(batch))
+            # mask FULL histories to -inf (reference SeenItemsFilter filters
+            # every seen item, not just the model's cropped window)
+            seen_mask = _full_seen_mask(
+                history, batch["query_id"], item_name, logits.shape[-1]
+            )
+            logits = jnp.where(jnp.asarray(seen_mask), -jnp.inf, logits)
+            _, top_idx = jax.lax.top_k(logits, max_k)
+            gt = _gather_ground_truth(val_dataset, batch["query_id"], item_name, max_gt)
+            builder.add_prediction(
+                top_idx, gt, train=jnp.asarray(batch[item_name]), row_mask=batch["batch_mask"]
+            )
+        return builder.get_metrics()
+
+    def _make_infer_fn(self):
+        model = self.model
+
+        def infer(params, batch):
+            return model.apply(
+                {"params": params},
+                batch,
+                method=type(model).forward_inference,
+            )
+
+        return jax.jit(infer)
+
+    # --------------------------------------------------------------- predict
+    def predict_topk(
+        self,
+        dataset: SequentialDataset,
+        k: int,
+        filter_seen: bool = True,
+    ):
+        """Top-k recommendations for every query → (query_ids, item ids [N,k], scores)."""
+        cfg = self.config
+        infer = self._make_infer_fn()
+        item_name = dataset.schema.item_id_feature_name
+        all_ids, all_items, all_scores = [], [], []
+        for batch in dataset.batches(
+            batch_size=cfg.batch_size,
+            max_sequence_length=cfg.max_sequence_length,
+            shuffle=False,
+        ):
+            logits = infer(self.state.params, self._place_batch(batch))
+            if filter_seen:
+                seen_mask = _full_seen_mask(
+                    dataset, batch["query_id"], item_name, logits.shape[-1]
+                )
+                logits = jnp.where(jnp.asarray(seen_mask), -jnp.inf, logits)
+            vals, idx = jax.lax.top_k(logits, k)
+            real = np.asarray(batch["batch_mask"]).astype(bool)
+            all_ids.append(np.asarray(batch["query_id"])[real])
+            all_items.append(np.asarray(idx)[real])
+            all_scores.append(np.asarray(vals)[real])
+        return (
+            np.concatenate(all_ids),
+            np.concatenate(all_items),
+            np.concatenate(all_scores),
+        )
+
+
+def _full_seen_mask(
+    dataset: SequentialDataset, query_ids, item_name: str, n_items: int
+) -> np.ndarray:
+    """[B, n_items] bool: True where the query has EVER interacted with the
+    item (full history, reference filter-seen semantics,
+    replay/models/base_rec.py:152-201)."""
+    mask = np.zeros((len(query_ids), n_items), dtype=bool)
+    for row, qid in enumerate(np.asarray(query_ids)):
+        seq = dataset.get_sequence_by_query_id(qid, item_name)
+        seq = seq[seq < n_items]
+        mask[row, seq] = True
+    return mask
+
+
+def _gather_ground_truth(dataset: SequentialDataset, query_ids, item_name, max_gt):
+    out = np.full((len(query_ids), max_gt), -1, dtype=np.int64)
+    for row, qid in enumerate(np.asarray(query_ids)):
+        seq = dataset.get_sequence_by_query_id(qid, item_name)
+        take = min(len(seq), max_gt)
+        if take:
+            out[row, :take] = seq[:take]
+    return jnp.asarray(out)

@@ -1,0 +1,183 @@
+"""Batch transforms: pure functions Batch → Batch.
+
+TPU-native analog of the reference's torch batch transforms (reference:
+replay/nn/transform/*.py — NextTokenTransform, TokenMaskTransform,
+UniformNegativeSamplingTransform, TrimTransform, SequenceRollTransform,
+Rename/Copy/Select/Unsqueeze and the per-model templates
+replay/nn/transform/template/{sasrec,twotower}.py:9).
+
+The reference applies transforms on-device in ``on_after_batch_transfer``
+(replay/data/nn/parquet/parquet_module.py:191-194); here they are pure
+``jnp`` functions composed with ``Compose`` and traced *inside* the jitted
+train step, so XLA fuses them into the forward pass for free.  Randomized
+transforms take an explicit PRNG key (counter-based, replica-stable).
+
+A batch is a dict of arrays; sequential features are left-padded [B, L].
+"""
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Batch = Dict[str, jnp.ndarray]
+
+
+class Compose:
+    """Sequentially apply transforms, splitting the key per stage."""
+
+    def __init__(self, transforms: Sequence[Callable]):
+        self.transforms = list(transforms)
+
+    def __call__(self, batch: Batch, key: Optional[jax.Array] = None) -> Batch:
+        for i, t in enumerate(self.transforms):
+            subkey = jax.random.fold_in(key, i) if key is not None else None
+            batch = t(batch, key=subkey)
+        return batch
+
+
+class NextTokenTransform:
+    """Shift-by-one causal LM targets (reference:
+    replay/nn/transform/next_token.py).
+
+    For left-padded sequences input[t] predicts label[t] = seq[t+1]:
+    ``input = seq[:, :-1]``, ``label = seq[:, 1:]``; all sequential
+    features and the padding mask are trimmed consistently.  Output length
+    is L-1 (static).
+    """
+
+    def __init__(self, label_field: str = "labels", apply_to: Optional[Sequence[str]] = None):
+        self.label_field = label_field
+        self.apply_to = apply_to
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = dict(batch)
+        item_field = batch["_item_field"] if "_item_field" in batch else None
+        # label = next item; the item sequence itself defines the labels
+        seq_fields = [
+            k
+            for k, v in batch.items()
+            if hasattr(v, "ndim") and v.ndim >= 2 and k not in ("batch_mask",)
+        ]
+        if self.apply_to is not None:
+            seq_fields = [k for k in seq_fields if k in self.apply_to or k == "padding_mask"]
+        label_source = self.label_field_source(batch)
+        out[self.label_field] = batch[label_source][:, 1:]
+        # label validity: the *label* position must be real
+        out["labels_padding_mask"] = batch["padding_mask"][:, 1:]
+        for k in seq_fields:
+            out[k] = batch[k][:, :-1]
+        return out
+
+    @staticmethod
+    def label_field_source(batch: Batch) -> str:
+        if "item_id" in batch:
+            return "item_id"
+        cands = [k for k, v in batch.items() if hasattr(v, "ndim") and v.ndim == 2]
+        return cands[0]
+
+
+class TokenMaskTransform:
+    """BERT-style random masking (reference: replay/nn/transform/token_mask.py,
+    Bert4RecUniformMasker replay/models/nn/sequential/bert4rec/dataset.py:55).
+
+    Adds ``token_mask`` [B, L] {0,1}: 1 = position selected for prediction.
+    The final valid position is always maskable so every row trains; masking
+    probability applies to real tokens only.
+    """
+
+    def __init__(self, mask_prob: float = 0.15):
+        self.mask_prob = mask_prob
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = dict(batch)
+        pad = batch["padding_mask"]
+        rand = jax.random.uniform(key, pad.shape)
+        token_mask = (rand < self.mask_prob) & (pad == 1)
+        # guarantee ≥1 masked position per row: force the last real token
+        # where nothing was selected
+        any_masked = jnp.any(token_mask, axis=1, keepdims=True)
+        length = pad.shape[1]
+        last_real = jnp.where(pad[:, ::-1].argmax(axis=1) < length, length - 1 - pad[:, ::-1].argmax(axis=1), 0)
+        force = jax.nn.one_hot(last_real, length, dtype=jnp.bool_) & (pad == 1)
+        token_mask = jnp.where(any_masked, token_mask, force)
+        out["token_mask"] = token_mask.astype(jnp.int8)
+        return out
+
+
+class UniformNegativeSamplingTransform:
+    """Attach a shared uniform negative-id set (reference:
+    replay/nn/transform/negative_sampling.py)."""
+
+    def __init__(self, n_negatives: int, n_items: int, field: str = "negatives"):
+        self.n_negatives = n_negatives
+        self.n_items = n_items
+        self.field = field
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = dict(batch)
+        out[self.field] = jax.random.randint(key, (self.n_negatives,), 0, self.n_items)
+        return out
+
+
+class TrimTransform:
+    """Keep the last ``seq_len`` positions (reference: replay/nn/transform/trim.py:4)."""
+
+    def __init__(self, seq_len: int, apply_to: Optional[Sequence[str]] = None):
+        self.seq_len = seq_len
+        self.apply_to = apply_to
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = dict(batch)
+        for k, v in batch.items():
+            if self.apply_to is not None and k not in self.apply_to:
+                continue
+            if hasattr(v, "ndim") and v.ndim >= 2 and k != "batch_mask":
+                out[k] = v[:, -self.seq_len :]
+        return out
+
+
+class SequenceRollTransform:
+    """Roll sequences by ``shift`` (reference: replay/nn/transform/roll.py)."""
+
+    def __init__(self, shift: int = -1, apply_to: Optional[Sequence[str]] = None):
+        self.shift = shift
+        self.apply_to = apply_to
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = dict(batch)
+        for k, v in batch.items():
+            if self.apply_to is not None and k not in self.apply_to:
+                continue
+            if hasattr(v, "ndim") and v.ndim >= 2 and k != "batch_mask":
+                out[k] = jnp.roll(v, self.shift, axis=1)
+        return out
+
+
+class RenameTransform:
+    """Rename batch fields (reference: replay/nn/transform/rename.py)."""
+
+    def __init__(self, mapping: Dict[str, str]):
+        self.mapping = mapping
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        return {self.mapping.get(k, k): v for k, v in batch.items()}
+
+
+class CopyTransform:
+    def __init__(self, mapping: Dict[str, str]):
+        self.mapping = mapping
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = dict(batch)
+        for src, dst in self.mapping.items():
+            out[dst] = batch[src]
+        return out
+
+
+class SelectTransform:
+    def __init__(self, fields: Sequence[str]):
+        self.fields = set(fields)
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        return {k: v for k, v in batch.items() if k in self.fields}

@@ -1,0 +1,113 @@
+"""Loss correctness: finiteness, gradients, and analytic reference values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from replay_tpu.nn.losses import (
+    BCELoss,
+    BCESampledLoss,
+    CELoss,
+    CESampledLoss,
+    LogInCELoss,
+    LogOutCELoss,
+    ScalableCELoss,
+)
+
+B, L, D, N = 4, 6, 8, 30
+
+
+@pytest.fixture()
+def inputs():
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    hidden = jax.random.normal(k1, (B, L, D))
+    labels = jax.random.randint(k2, (B, L), 0, N)
+    mask = (jax.random.uniform(k3, (B, L)) > 0.3).astype(jnp.float32)
+    weights = jax.random.normal(key, (N, D)) * 0.1
+    return hidden, labels, mask, weights
+
+
+ALL_LOSSES = [
+    CELoss(),
+    CESampledLoss(8),
+    BCELoss(),
+    BCESampledLoss(2),
+    LogInCELoss(),
+    ScalableCELoss(4, 8, 8),
+]
+
+
+@pytest.mark.parametrize("loss", ALL_LOSSES, ids=lambda l: type(l).__name__)
+def test_loss_finite_and_grads(loss, inputs):
+    hidden, labels, mask, weights = inputs
+    key = jax.random.PRNGKey(1)
+    val = loss(hidden, labels, mask, weights, key=key)
+    assert jnp.isfinite(val)
+    grads = jax.grad(lambda h, w: loss(h, labels, mask, w, key=key), argnums=(0, 1))(
+        hidden, weights
+    )
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_loss_ignores_masked_positions(inputs):
+    """Changing labels at masked positions must not change the loss."""
+    hidden, labels, mask, weights = inputs
+    key = jax.random.PRNGKey(1)
+    # poison masked labels with the out-of-range padding id
+    poisoned = jnp.where(mask > 0, labels, N + 5)
+    for loss in ALL_LOSSES:
+        a = loss(hidden, labels, mask, weights, key=key)
+        b = loss(hidden, poisoned, mask, weights, key=key)
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_ce_matches_manual():
+    hidden = jnp.ones((1, 1, 2))
+    weights = jnp.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    labels = jnp.array([[2]])
+    mask = jnp.ones((1, 1))
+    got = CELoss()(hidden, labels, mask, weights)
+    logits = np.array([1.0, 1.0, 2.0])
+    expected = -(logits[2] - np.log(np.exp(logits).sum()))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_ce_sampled_approaches_full_ce(inputs):
+    """With ALL items as negatives + collision masking, sampled CE ≈ CE
+    up to the collision correction; just check they are correlated."""
+    hidden, labels, mask, weights = inputs
+    full = CELoss()(hidden, labels, mask, weights)
+    approx = np.mean(
+        [
+            CESampledLoss(28)(hidden, labels, mask, weights, key=jax.random.PRNGKey(i))
+            for i in range(16)
+        ]
+    )
+    # sampled estimate is below full-CE (fewer negatives) but same order
+    assert 0.3 * float(full) < approx < 1.2 * float(full)
+
+
+def test_logout_requires_negatives(inputs):
+    hidden, labels, mask, weights = inputs
+    with pytest.raises(ValueError):
+        LogOutCELoss()(hidden, labels, mask, weights)
+    val = LogOutCELoss()(
+        hidden, labels, mask, weights, negatives=jnp.arange(10), key=jax.random.PRNGKey(0)
+    )
+    assert jnp.isfinite(val)
+
+
+def test_losses_decrease_under_sgd(inputs):
+    """A few gradient steps on item weights must reduce each loss."""
+    hidden, labels, mask, weights = inputs
+    key = jax.random.PRNGKey(3)
+    for loss in [CELoss(), BCELoss(), LogInCELoss()]:
+        w = weights
+        f = lambda w_: loss(hidden, labels, mask, w_, key=key)  # noqa: E731
+        before = f(w)
+        for _ in range(20):
+            w = w - 0.5 * jax.grad(f)(w)
+        assert f(w) < before

@@ -1,0 +1,72 @@
+"""Batch transform tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from replay_tpu.nn.transforms import (
+    Compose,
+    CopyTransform,
+    NextTokenTransform,
+    RenameTransform,
+    SelectTransform,
+    SequenceRollTransform,
+    TokenMaskTransform,
+    TrimTransform,
+    UniformNegativeSamplingTransform,
+)
+
+
+def make_batch():
+    return {
+        "item_id": jnp.asarray([[9, 1, 2, 3], [9, 9, 4, 5]], dtype=jnp.int32),
+        "padding_mask": jnp.asarray([[0, 1, 1, 1], [0, 0, 1, 1]], dtype=jnp.int8),
+        "batch_mask": jnp.asarray([1, 1], dtype=jnp.int8),
+        "query_id": jnp.asarray([10, 11]),
+    }
+
+
+def test_next_token():
+    out = NextTokenTransform()(make_batch())
+    np.testing.assert_array_equal(out["item_id"], [[9, 1, 2], [9, 9, 4]])
+    np.testing.assert_array_equal(out["labels"], [[1, 2, 3], [9, 4, 5]])
+    np.testing.assert_array_equal(out["labels_padding_mask"], [[1, 1, 1], [0, 1, 1]])
+    np.testing.assert_array_equal(out["padding_mask"], [[0, 1, 1], [0, 0, 1]])
+    # 1-D fields untouched
+    np.testing.assert_array_equal(out["query_id"], [10, 11])
+
+
+def test_token_mask_only_on_real_tokens():
+    batch = make_batch()
+    key = jax.random.PRNGKey(0)
+    out = TokenMaskTransform(mask_prob=0.5)(batch, key=key)
+    tm = np.asarray(out["token_mask"])
+    pad = np.asarray(batch["padding_mask"])
+    assert np.all(tm <= pad)  # never masks padding
+    assert np.all(tm.sum(axis=1) >= 1)  # at least one target per row
+
+
+def test_negative_sampling_range():
+    out = UniformNegativeSamplingTransform(16, n_items=7)(make_batch(), key=jax.random.PRNGKey(1))
+    negs = np.asarray(out["negatives"])
+    assert negs.shape == (16,)
+    assert negs.min() >= 0 and negs.max() < 7
+
+
+def test_trim_and_roll():
+    out = TrimTransform(2)(make_batch())
+    np.testing.assert_array_equal(out["item_id"], [[2, 3], [4, 5]])
+    rolled = SequenceRollTransform(-1, apply_to=["item_id"])(make_batch())
+    np.testing.assert_array_equal(rolled["item_id"][0], [1, 2, 3, 9])
+
+
+def test_rename_copy_select_compose():
+    pipeline = Compose(
+        [
+            CopyTransform({"item_id": "raw"}),
+            RenameTransform({"query_id": "user"}),
+            SelectTransform(["raw", "user", "item_id", "padding_mask", "batch_mask"]),
+        ]
+    )
+    out = pipeline(make_batch(), key=jax.random.PRNGKey(0))
+    assert set(out) == {"raw", "user", "item_id", "padding_mask", "batch_mask"}
