@@ -41,7 +41,8 @@ class CategoricalEmbedding(nn.Module):
 
     @staticmethod
     def padded_rows(cardinality: int) -> int:
-        return -(-(cardinality + 1) // 128) * 128
+        # +2: one padding row and one mask-token row (Bert4Rec) always fit
+        return -(-(cardinality + 2) // 128) * 128
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:

@@ -121,6 +121,7 @@ class Trainer:
         config: Optional[TrainerConfig] = None,
         mesh=None,
         callbacks: Optional[List] = None,
+        init_kwargs: Optional[Dict[str, Any]] = None,
     ):
         self.model = model
         self.loss = loss
@@ -130,6 +131,10 @@ class Trainer:
         self.config = config or TrainerConfig()
         self.mesh = mesh if mesh is not None else make_mesh()
         self.callbacks = callbacks or []
+        self.init_kwargs = init_kwargs or {}
+        # non-trainable variable collections (e.g. TwoTower item-feature
+        # "constants" buffers) captured at init and threaded into every apply
+        self.extra_variables: Dict[str, Any] = {}
         self.state: Optional[TrainState] = None
         self._train_step = None
         self._history: List[Dict[str, float]] = []
@@ -145,9 +150,12 @@ class Trainer:
         rng = jax.random.PRNGKey(self.config.seed)
         device_batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
         variables = self.model.init(
-            {"params": rng, "dropout": rng}, device_batch, deterministic=True
+            {"params": rng, "dropout": rng}, device_batch, deterministic=True,
+            **self.init_kwargs,
         )
-        params = variables["params"]
+        variables = dict(variables)
+        params = variables.pop("params")
+        self.extra_variables = variables  # e.g. {"constants": ...}
         shardings = infer_param_shardings(params, self.mesh)
         params = jax.device_put(params, shardings)
         self.state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
@@ -158,6 +166,7 @@ class Trainer:
         model = self.model
         loss_fn_outer = self.loss
         transform = self.transform
+        extra = self.extra_variables
 
         def train_step(state: TrainState, batch, key):
             tkey, dkey, lkey = jax.random.split(key, 3)
@@ -172,7 +181,7 @@ class Trainer:
 
             def compute_loss(params):
                 hidden = model.apply(
-                    {"params": params},
+                    {"params": params, **extra},
                     batch,
                     deterministic=False,
                     rngs={"dropout": dkey},
@@ -181,7 +190,7 @@ class Trainer:
                     else None,
                 )
                 item_w = model.apply(
-                    {"params": params},
+                    {"params": params, **extra},
                     method=lambda m: m.body.get_item_weights(None),
                 )
                 kwargs = {"key": lkey}
@@ -221,11 +230,12 @@ class Trainer:
         step_no = 0
         for epoch in range(cfg.max_epochs):
             epoch_losses = []
+            # transforms that shorten sequences (NextTokenTransform's shift)
+            # declare extra_length so model inputs stay max_sequence_length
+            extra = getattr(self.transform, "extra_length", 0)
             for batch in train_dataset.batches(
                 batch_size=cfg.batch_size,
-                # +1 so NextTokenTransform's shift still yields
-                # max_sequence_length-long inputs
-                max_sequence_length=cfg.max_sequence_length + 1,
+                max_sequence_length=cfg.max_sequence_length + extra,
                 shuffle=True,
                 seed=cfg.seed,
                 epoch=epoch,
@@ -291,10 +301,11 @@ class Trainer:
 
     def _make_infer_fn(self):
         model = self.model
+        extra = self.extra_variables
 
         def infer(params, batch):
             return model.apply(
-                {"params": params},
+                {"params": params, **extra},
                 batch,
                 method=type(model).forward_inference,
             )

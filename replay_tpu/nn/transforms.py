@@ -46,6 +46,9 @@ class NextTokenTransform:
     is L-1 (static).
     """
 
+    # the shift consumes one position; the trainer fetches batches one longer
+    extra_length = 1
+
     def __init__(self, label_field: str = "labels", apply_to: Optional[Sequence[str]] = None):
         self.label_field = label_field
         self.apply_to = apply_to
@@ -102,6 +105,34 @@ class TokenMaskTransform:
         force = jax.nn.one_hot(last_real, length, dtype=jnp.bool_) & (pad == 1)
         token_mask = jnp.where(any_masked, token_mask, force)
         out["token_mask"] = token_mask.astype(jnp.int8)
+        return out
+
+
+class MaskedLMTransform:
+    """Masked-LM training batch for Bert4Rec (reference:
+    replay/models/nn/sequential/bert4rec/dataset.py:55 Bert4RecUniformMasker
+    + replay/nn/transform/token_mask.py).
+
+    labels = original item ids; masked positions' item ids are replaced by
+    the mask token; ``labels_padding_mask`` = the token mask, so the loss
+    trains only on masked positions.
+    """
+
+    extra_length = 0
+
+    def __init__(self, mask_prob: float, mask_token: int, item_field: str = "item_id"):
+        self.mask_prob = mask_prob
+        self.mask_token = mask_token
+        self.item_field = item_field
+        self._masker = TokenMaskTransform(mask_prob)
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = self._masker(batch, key=key)
+        token_mask = out["token_mask"]
+        items = batch[self.item_field]
+        out["labels"] = items
+        out[self.item_field] = jnp.where(token_mask == 1, self.mask_token, items)
+        out["labels_padding_mask"] = token_mask
         return out
 
 

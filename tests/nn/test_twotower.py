@@ -1,0 +1,79 @@
+"""TwoTower tests, including item-feature buffers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from replay_tpu.data.nn.schema import (
+    TensorFeatureInfo,
+    TensorFeatureType,
+    TensorSchema,
+)
+from replay_tpu.nn.losses import LogInCELoss
+from replay_tpu.nn.sequential.twotower import TwoTower
+from replay_tpu.nn.training import OptimizerFactory, Trainer, TrainerConfig
+from replay_tpu.nn.transforms import NextTokenTransform
+
+from tests.nn.conftest import N_ITEMS
+from tests.nn.test_sasrec import make_batch
+
+
+def test_forward_and_item_tower(item_schema):
+    model = TwoTower(schema=item_schema, max_sequence_length=8, num_blocks=1, num_heads=2)
+    batch = {k: jnp.asarray(v) for k, v in make_batch().items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+        deterministic=True,
+    )
+    hidden = model.apply(variables, batch, deterministic=True, method=TwoTower.forward_train)
+    assert hidden.shape == (4, 8, 16)
+    logits = model.apply(variables, batch, method=TwoTower.forward_inference)
+    assert logits.shape == (4, N_ITEMS)
+    weights = model.apply(variables, method=lambda m: m.body.get_item_weights(None))
+    assert weights.shape == (N_ITEMS, 16)
+
+
+def test_item_features_stored_as_constants(item_schema):
+    item_feat_schema = TensorSchema(
+        [
+            TensorFeatureInfo("category", TensorFeatureType.CATEGORICAL, cardinality=5,
+                              embedding_dim=16),
+            TensorFeatureInfo("price", TensorFeatureType.NUMERICAL),
+        ]
+    )
+    rng = np.random.default_rng(0)
+    features = {
+        "category": rng.integers(0, 5, N_ITEMS).astype(np.int32),
+        "price": rng.random(N_ITEMS).astype(np.float32),
+    }
+    model = TwoTower(schema=item_schema, max_sequence_length=8, item_schema=item_feat_schema)
+    batch = {k: jnp.asarray(v) for k, v in make_batch().items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+        deterministic=True,
+        item_features=features,
+    )
+    assert "constants" in variables
+    consts = variables["constants"]["body"]["item_tower"]
+    np.testing.assert_array_equal(np.asarray(consts["category"]), features["category"])
+    weights = model.apply(variables, method=lambda m: m.body.get_item_weights(None))
+    assert weights.shape == (N_ITEMS, 16)
+    assert bool(jnp.all(jnp.isfinite(weights)))
+
+
+def test_twotower_training_with_inbatch_loss(seq_dataset):
+    model = TwoTower(schema=seq_dataset.schema, max_sequence_length=8, num_blocks=1,
+                     dropout_rate=0.0)
+    trainer = Trainer(
+        model,
+        LogInCELoss(temperature=0.5),
+        optimizer=OptimizerFactory(5e-3),
+        transform=NextTokenTransform(),
+        config=TrainerConfig(max_epochs=5, batch_size=8, max_sequence_length=8),
+    )
+    history = trainer.fit(seq_dataset)
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
