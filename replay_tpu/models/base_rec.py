@@ -440,6 +440,74 @@ class Recommender(BaseRecommender, ABC):
         return self._predict_pairs_wrap(pairs, dataset, recs_file_path, k)
 
 
+class ItemVectorModel:
+    """Mixin for models exposing item embedding vectors — nearest-item
+    search via one device matmul + masked top-k (reference:
+    replay/models/base_rec.py:692)."""
+
+    def _get_item_vectors(self) -> np.ndarray:
+        """[n_fit_items, dim] item vectors aligned with ``fit_items``."""
+        raise NotImplementedError
+
+    def get_nearest_items(
+        self,
+        items,
+        k: int,
+        metric: str = "cosine_similarity",
+        candidates=None,
+    ) -> pd.DataFrame:
+        """k most similar items for each query item.
+
+        :param metric: ``cosine_similarity`` | ``dot_product`` |
+            ``euclidean_distance_sim`` (reference metric names).
+        """
+        items = get_unique_entities(items, self.item_column)
+        cand = (
+            get_unique_entities(candidates, self.item_column)
+            if candidates is not None
+            else self.fit_items
+        )
+        items = items[np.isin(items, self.fit_items)]
+        cand = cand[np.isin(cand, self.fit_items)]
+        vectors = self._get_item_vectors()
+        a = vectors[np.searchsorted(self.fit_items, items)].astype(np.float32)
+        b = vectors[np.searchsorted(self.fit_items, cand)].astype(np.float32)
+        import jax.numpy as jnp
+
+        av, bv = jnp.asarray(a), jnp.asarray(b)
+        if metric == "cosine_similarity":
+            av = av / jnp.maximum(jnp.linalg.norm(av, axis=1, keepdims=True), 1e-12)
+            bv = bv / jnp.maximum(jnp.linalg.norm(bv, axis=1, keepdims=True), 1e-12)
+            sim = jnp.dot(av, bv.T, preferred_element_type=jnp.float32)
+        elif metric == "dot_product":
+            sim = jnp.dot(av, bv.T, preferred_element_type=jnp.float32)
+        elif metric == "euclidean_distance_sim":
+            d2 = (
+                jnp.sum(av**2, axis=1)[:, None]
+                + jnp.sum(bv**2, axis=1)[None]
+                - 2 * jnp.dot(av, bv.T, preferred_element_type=jnp.float32)
+            )
+            sim = 1.0 / (1.0 + jnp.sqrt(jnp.maximum(d2, 0.0)))
+        else:
+            msg = f"Unknown metric {metric}"
+            raise ValueError(msg)
+        # exclude self-similarity
+        self_mask = items[:, None] == cand[None, :]
+        sim = np.array(sim)  # writable copy (device arrays are read-only views)
+        sim[self_mask] = -np.inf
+        k_eff = min(k, sim.shape[1])
+        idx = np.argsort(-sim, axis=1, kind="stable")[:, :k_eff]
+        vals = np.take_along_axis(sim, idx, axis=1)
+        out = pd.DataFrame(
+            {
+                self.item_column: np.repeat(items, k_eff),
+                "neighbour_item_id": cand[idx.ravel()],
+                "similarity": vals.ravel().astype(np.float64),
+            }
+        )
+        return out[np.isfinite(out["similarity"])].reset_index(drop=True)
+
+
 class HybridRecommender(Recommender, ABC):
     """Recommender that requires query/item features
     (reference: replay/models/base_rec.py:795)."""

@@ -1,0 +1,147 @@
+"""LinUCB contextual bandit (Li et al., arXiv 1003.0146).
+
+TPU-native replacement for the reference (reference:
+replay/models/lin_ucb.py:20 DisjointArm, :56 HybridArm, :97 LinUCB).
+The reference loops over arms building per-arm numpy ridge regressions;
+here every arm's normal matrix is built with ONE segment-sum einsum over the
+interaction log and all arms are solved as a single batched
+``jnp.linalg.solve`` — and scoring is a batched quadratic form on device.
+
+Disjoint mode:  per arm a:  A_a = αI + Σ_u x_u x_uᵀ,  b_a = Σ_u r x_u,
+score(u, a) = θ_aᵀ x_u + eps·√(x_uᵀ A_a⁻¹ x_u).
+
+Hybrid mode adds a shared coefficient on z = vec(x_u ⊗ m_a) (outer product
+of user and item features), per the reference's HybridArm algebra.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from replay_tpu.data.dataset import Dataset
+from replay_tpu.models.base_rec import HybridRecommender
+
+_search_space = {
+    "eps": {"type": "uniform", "args": [-10.0, 10.0]},
+    "alpha": {"type": "uniform", "args": [0.001, 10.0]},
+}
+
+
+@partial(jax.jit, static_argnames=("n_arms",))
+def _fit_disjoint(x: jnp.ndarray, rewards: jnp.ndarray, arm_ids: jnp.ndarray, alpha, n_arms: int):
+    """Per-arm ridge matrices via segment sums.
+
+    :param x: [T, d] user features per interaction.
+    :param rewards: [T] ratings.
+    :param arm_ids: [T] item index per interaction.
+    """
+    d = x.shape[1]
+    outer = jnp.einsum("td,te->tde", x, x)
+    a = jax.ops.segment_sum(outer, arm_ids, num_segments=n_arms)
+    a = a + alpha * jnp.eye(d)[None]
+    b = jax.ops.segment_sum(rewards[:, None] * x, arm_ids, num_segments=n_arms)
+    theta = jnp.linalg.solve(a, b[..., None])[..., 0]
+    a_inv = jnp.linalg.inv(a)
+    return theta, a_inv
+
+
+@jax.jit
+def _score_disjoint(x: jnp.ndarray, theta: jnp.ndarray, a_inv: jnp.ndarray, eps):
+    """UCB scores [B, n_arms] = xθᵀ + eps·√(xᵀA⁻¹x)."""
+    mean = jnp.einsum("bd,ad->ba", x, theta, preferred_element_type=jnp.float32)
+    quad = jnp.einsum("bd,ade,be->ba", x, a_inv, x)
+    return mean + eps * jnp.sqrt(jnp.maximum(quad, 0.0))
+
+
+class LinUCB(HybridRecommender):
+    """Contextual bandit over query/item features."""
+
+    _search_space = _search_space
+
+    def __init__(self, eps: float, alpha: float = 1.0, is_hybrid: bool = False):
+        self.eps = eps
+        self.alpha = alpha
+        self.is_hybrid = is_hybrid
+        self.theta: Optional[np.ndarray] = None
+        self.a_inv: Optional[np.ndarray] = None
+        self.beta_shared: Optional[np.ndarray] = None
+        self._feature_cols: Optional[list] = None
+        self._item_feature_cols: Optional[list] = None
+        self._item_features: Optional[pd.DataFrame] = None
+
+    @property
+    def _init_args(self):
+        return {"is_hybrid": self.is_hybrid, "eps": self.eps, "alpha": self.alpha}
+
+    def _verify_features(self, dataset: Dataset) -> None:
+        if dataset.query_features is None:
+            msg = "User features are missing"
+            raise ValueError(msg)
+        if dataset.item_features is None:
+            msg = "Item features are missing"
+            raise ValueError(msg)
+
+    def _fit(self, dataset: Dataset) -> None:
+        self._verify_features(dataset)
+        inter = dataset.interactions
+        qf = dataset.query_features
+        itf = dataset.item_features
+        self._feature_cols = [c for c in qf.columns if c != self.query_column]
+        self._item_feature_cols = [c for c in itf.columns if c != self.item_column]
+        self._item_features = itf
+
+        merged = inter.merge(qf, on=self.query_column, how="inner")
+        x = merged[self._feature_cols].to_numpy(dtype=np.float32)
+        r = (
+            merged[self.rating_column].to_numpy(dtype=np.float32)
+            if self.rating_column in merged.columns
+            else np.ones(len(merged), dtype=np.float32)
+        )
+        arm_ids = np.searchsorted(self.fit_items, merged[self.item_column].to_numpy())
+        n_arms = len(self.fit_items)
+
+        if self.is_hybrid:
+            im = itf.set_index(self.item_column).loc[self.fit_items][self._item_feature_cols]
+            item_mat = im.to_numpy(dtype=np.float32)
+            z = np.einsum("td,te->tde", x, item_mat[arm_ids]).reshape(len(x), -1)
+            xz = np.concatenate([x, z], axis=1)
+            theta, a_inv = _fit_disjoint(
+                jnp.asarray(xz), jnp.asarray(r), jnp.asarray(arm_ids), jnp.float32(self.alpha), n_arms
+            )
+            self._item_mat = item_mat
+        else:
+            theta, a_inv = _fit_disjoint(
+                jnp.asarray(x), jnp.asarray(r), jnp.asarray(arm_ids), jnp.float32(self.alpha), n_arms
+            )
+        self.theta = np.asarray(theta)
+        self.a_inv = np.asarray(a_inv)
+
+    def _score_block(self, query_ids, item_ids, dataset=None) -> np.ndarray:
+        if dataset is None or dataset.query_features is None:
+            msg = "LinUCB requires query features at predict time"
+            raise ValueError(msg)
+        qf = dataset.query_features
+        order = pd.DataFrame({self.query_column: query_ids})
+        qf = order.merge(qf, on=self.query_column, how="left").fillna(0.0)
+        x = qf[self._feature_cols].to_numpy(dtype=np.float32)
+        if self.is_hybrid:
+            item_pos_all = np.searchsorted(self.fit_items, item_ids)
+            scores = np.zeros((len(query_ids), len(item_ids)), dtype=np.float32)
+            for j, pos in enumerate(item_pos_all):
+                z = np.einsum("bd,e->bde", x, self._item_mat[pos]).reshape(len(x), -1)
+                xz = jnp.asarray(np.concatenate([x, z], axis=1))
+                theta = jnp.asarray(self.theta[pos])
+                a_inv = jnp.asarray(self.a_inv[pos])
+                mean = xz @ theta
+                quad = jnp.einsum("bd,de,be->b", xz, a_inv, xz)
+                scores[:, j] = np.asarray(mean + self.eps * jnp.sqrt(jnp.maximum(quad, 0.0)))
+            return scores
+        scores = _score_disjoint(
+            jnp.asarray(x), jnp.asarray(self.theta), jnp.asarray(self.a_inv), jnp.float32(self.eps)
+        )
+        item_pos = np.searchsorted(self.fit_items, item_ids)
+        return np.asarray(scores)[:, item_pos]
