@@ -1,5 +1,11 @@
 """Preprocessing: encoders, filters, discretizer, sessionizer (reference: replay/preprocessing/)."""
 
+from replay_tpu.preprocessing.converter import CSRConverter
+from replay_tpu.preprocessing.discretizer import (
+    Discretizer,
+    GreedyDiscretizingRule,
+    QuantileDiscretizingRule,
+)
 from replay_tpu.preprocessing.filters import (
     ConsecutiveDuplicatesFilter,
     EntityDaysFilter,
@@ -12,6 +18,8 @@ from replay_tpu.preprocessing.filters import (
     TimePeriodFilter,
     filter_cold,
 )
+from replay_tpu.preprocessing.sessionizer import Sessionizer
+from replay_tpu.preprocessing.utils import merge_subsets
 from replay_tpu.preprocessing.label_encoder import (
     LabelEncoder,
     LabelEncoderPartialFitWarning,
@@ -21,7 +29,13 @@ from replay_tpu.preprocessing.label_encoder import (
 )
 
 __all__ = [
+    "CSRConverter",
     "ConsecutiveDuplicatesFilter",
+    "Discretizer",
+    "GreedyDiscretizingRule",
+    "QuantileDiscretizingRule",
+    "Sessionizer",
+    "merge_subsets",
     "EntityDaysFilter",
     "GlobalDaysFilter",
     "InteractionEntriesFilter",
