@@ -21,6 +21,7 @@ import pandas as pd
 from scipy.sparse import csr_matrix
 
 from replay_tpu.data.dataset import Dataset
+from replay_tpu.models.optimization.search import OptimizeMixin
 from replay_tpu.ops.scoring import topk_blockwise
 
 
@@ -97,7 +98,7 @@ class IsSavable(ABC):
                 setattr(self, key, value)
 
 
-class BaseRecommender(RecommenderCommons, IsSavable, ABC):
+class BaseRecommender(RecommenderCommons, IsSavable, OptimizeMixin, ABC):
     """Root of the recommender hierarchy."""
 
     can_predict_cold_queries: bool = False

@@ -1,5 +1,15 @@
 """Runtime utilities (reference: replay/utils/)."""
 
+from replay_tpu.utils.distributions import item_distribution
+from replay_tpu.utils.model_handler import (
+    load,
+    load_encoder,
+    load_splitter,
+    save,
+    save_encoder,
+    save_splitter,
+)
+from replay_tpu.utils.time import get_item_recency, smoothe_time
 from replay_tpu.utils.types import (
     JAX_AVAILABLE,
     OPTUNA_AVAILABLE,
@@ -22,4 +32,13 @@ __all__ = [
     "PandasDataFrame",
     "PolarsDataFrame",
     "TORCH_AVAILABLE",
+    "get_item_recency",
+    "item_distribution",
+    "load",
+    "load_encoder",
+    "load_splitter",
+    "save",
+    "save_encoder",
+    "save_splitter",
+    "smoothe_time",
 ]
