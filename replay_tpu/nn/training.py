@@ -259,6 +259,41 @@ class Trainer:
             self._history.append(record)
         return self._history
 
+    def fit_loader(self, module, max_epochs: Optional[int] = None) -> List[Dict[str, float]]:
+        """Fit from a streaming ParquetModule (replay_tpu.data.nn.parquet).
+
+        The module's batches must carry the model's expected field names
+        (use RenameTransform — e.g. ``{"item_id_mask": "padding_mask"}`` —
+        as the module's train transform, composed before the Trainer's own
+        transform).
+        """
+        cfg = self.config
+        root_key = jax.random.PRNGKey(cfg.seed)
+        epochs = max_epochs if max_epochs is not None else cfg.max_epochs
+        step_no = 0
+        for epoch in range(epochs):
+            epoch_losses = []
+            pre = module.transform_for("train")
+            for batch in module.loader("train", epoch):
+                if pre is not None:
+                    batch = pre(batch)
+                if self.state is None:
+                    self.init_state(batch)
+                    self._train_step = self._build_train_step()
+                device_batch = self._place_batch(batch)
+                key = jax.random.fold_in(root_key, step_no)
+                self.state, stats = self._train_step(self.state, device_batch, key)
+                epoch_losses.append(stats["loss"])
+                step_no += 1
+            record: Dict[str, float] = {
+                "epoch": epoch,
+                "loss": float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else float("nan"),
+            }
+            for cb in self.callbacks:
+                cb(self, record)
+            self._history.append(record)
+        return self._history
+
     # -------------------------------------------------------------- validate
     def validate(
         self,

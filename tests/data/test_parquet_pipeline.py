@@ -1,0 +1,189 @@
+"""Parquet streaming pipeline tests (synthetic files, reference test pattern:
+tests/data/nn/parquet/)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from replay_tpu.data.nn.parquet import (
+    ColumnMeta,
+    Metadata,
+    ParquetDataset,
+    ParquetModule,
+    partitioning_length,
+    partitioning_per_replica,
+    replica_indices,
+)
+from replay_tpu.data.nn.parquet.info import ReplicasInfo, StaticInfo, curr_replica, num_replicas
+
+N_ROWS = 257  # deliberately not divisible by batch size
+
+
+@pytest.fixture(scope="module")
+def parquet_file(tmp_path_factory):
+    """Synthetic ragged-sequence parquet (reference conftest's sine-wave files)."""
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(N_ROWS):
+        length = int(rng.integers(1, 12))
+        rows.append(
+            {
+                "query_id": i,
+                "item_id": [int(x) for x in rng.integers(0, 50, length)],
+                "rating": [float(x) for x in rng.random(length)],
+            }
+        )
+    frame = pd.DataFrame(rows)
+    path = tmp_path_factory.mktemp("pq") / "data.parquet"
+    frame.to_parquet(path)
+    return str(path)
+
+
+METADATA = Metadata(
+    {
+        "query_id": ColumnMeta(shape=(), dtype="int64"),
+        "item_id": ColumnMeta(shape=(8,), padding=50, dtype="int32"),
+        "rating": ColumnMeta(shape=(8,), padding=0.0, dtype="float32"),
+    }
+)
+
+
+class TestPartitioning:
+    def test_length_math(self):
+        assert partitioning_length(10, 4) == 12
+        assert partitioning_length(12, 4) == 12
+        assert partitioning_per_replica(10, 4) == 3
+
+    def test_replica_shards_tile_dataset(self):
+        """Exhaustive check for 1..4 replicas (reference:
+        tests/data/nn/parquet/partitioning/test_partitioning.py:92-132)."""
+        for n in range(1, 5):
+            seen = []
+            for r in range(n):
+                idx = replica_indices(10, r, n)
+                assert len(idx) == partitioning_per_replica(10, n)
+                seen.extend(idx.tolist())
+            assert set(seen) == set(range(10))
+
+    def test_replicas_info_mock(self):
+        """Replica identity is a pure function of (worker, rank) — testable
+        without processes, the reference's mock pattern."""
+        info = ReplicasInfo(
+            worker_info=StaticInfo(num_workers=2, worker_id=1),
+            distributed_info=StaticInfo(rank=1, world_size=3),
+        )
+        assert info.num_replicas == 6
+        assert info.curr_replica == 1 + 2 * 1
+
+
+class TestParquetDataset:
+    def test_static_shapes_and_masks(self, parquet_file):
+        ds = ParquetDataset(
+            parquet_file, METADATA, batch_size=32, replica_id=0, num_replicas=1
+        )
+        batches = list(ds)
+        assert len(batches) == len(ds) == -(-N_ROWS // 32)
+        for b in batches:
+            assert b["item_id"].shape == (32, 8)
+            assert b["item_id_mask"].shape == (32, 8)
+            assert b["rating"].shape == (32, 8)
+            assert b["query_id"].shape == (32,)
+            # left padding: masks right-aligned
+            m = b["item_id_mask"]
+            assert np.all(np.diff(m, axis=1) >= 0)
+        # final batch flags padding rows
+        assert batches[-1]["batch_mask"].sum() == N_ROWS % 32
+
+    def test_all_rows_served_once(self, parquet_file):
+        ds = ParquetDataset(parquet_file, METADATA, batch_size=32, replica_id=0, num_replicas=1)
+        ids = np.concatenate(
+            [b["query_id"][b["batch_mask"].astype(bool)] for b in ds]
+        )
+        assert sorted(ids.tolist()) == list(range(N_ROWS))
+
+    def test_replica_sharding_covers_dataset(self, parquet_file):
+        seen = []
+        for r in range(3):
+            ds = ParquetDataset(
+                parquet_file, METADATA, batch_size=16, replica_id=r, num_replicas=3
+            )
+            for b in ds:
+                seen.extend(b["query_id"][b["batch_mask"].astype(bool)].tolist())
+        assert set(seen) == set(range(N_ROWS))
+
+    def test_deterministic_shuffle_per_epoch(self, parquet_file):
+        def first_ids(epoch):
+            ds = ParquetDataset(
+                parquet_file, METADATA, batch_size=16, shuffle=True, seed=3,
+                replica_id=0, num_replicas=1,
+            )
+            ds.set_epoch(epoch)
+            return next(iter(ds))["query_id"].tolist()
+
+        assert first_ids(0) == first_ids(0)
+        assert first_ids(0) != first_ids(1)
+
+    def test_truncates_long_sequences_keeping_tail(self, tmp_path):
+        frame = pd.DataFrame({"query_id": [0], "item_id": [list(range(20))]})
+        path = tmp_path / "one.parquet"
+        frame.to_parquet(path)
+        meta = Metadata(
+            {
+                "query_id": ColumnMeta(),
+                "item_id": ColumnMeta(shape=(8,), padding=-1, dtype="int32"),
+            }
+        )
+        ds = ParquetDataset(str(path), meta, batch_size=1, replica_id=0, num_replicas=1)
+        batch = next(iter(ds))
+        np.testing.assert_array_equal(batch["item_id"][0], np.arange(12, 20))
+
+
+class TestParquetModule:
+    def test_module_feeds_trainer(self, parquet_file):
+        from replay_tpu.data.nn.schema import (
+            TensorFeatureInfo,
+            TensorFeatureSource,
+            TensorFeatureType,
+            TensorSchema,
+        )
+        from replay_tpu.data.schema import FeatureHint, FeatureSource
+        from replay_tpu.nn.losses import CESampledLoss
+        from replay_tpu.nn.sequential.sasrec import SasRec
+        from replay_tpu.nn.training import Trainer, TrainerConfig
+        from replay_tpu.nn.transforms import Compose, NextTokenTransform, RenameTransform
+
+        schema = TensorSchema(
+            TensorFeatureInfo(
+                "item_id",
+                TensorFeatureType.CATEGORICAL,
+                is_seq=True,
+                feature_hint=FeatureHint.ITEM_ID,
+                feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+                cardinality=50,
+                embedding_dim=16,
+                padding_value=50,
+            )
+        )
+        module = ParquetModule(
+            metadata=Metadata(
+                {
+                    "query_id": ColumnMeta(),
+                    "item_id": ColumnMeta(shape=(9,), padding=50, dtype="int32"),
+                }
+            ),
+            train_path=parquet_file,
+            batch_size=32,
+            transforms={"train": RenameTransform({"item_id_mask": "padding_mask"})},
+            replica_id=0,
+            num_replicas=1,
+        )
+        model = SasRec(schema=schema, max_sequence_length=8, num_blocks=1, num_heads=2)
+        trainer = Trainer(
+            model,
+            CESampledLoss(8),
+            transform=NextTokenTransform(),
+            config=TrainerConfig(max_epochs=2, batch_size=32, max_sequence_length=8),
+        )
+        history = trainer.fit_loader(module)
+        assert len(history) == 2
+        assert all(np.isfinite(h["loss"]) for h in history)
