@@ -1,0 +1,99 @@
+"""ANN extension: accelerate predict for item-vector models.
+
+TPU-native analog of the reference's ANN extension (reference:
+replay/models/extensions/ann/ann_mixin.py:26 ANNMixin, param entities
+entities/*.py, builders index_builders/*.py, stores index_stores/*.py).
+
+The reference swaps full scoring for an HNSW lookup when an
+``index_builder`` is configured.  Here the same contract: models carrying
+an ``index_builder`` (an ``HnswParam``) build the native C++ index over
+their item vectors at fit time and answer predict via ``knn_query`` with
+over-fetch + post-filter of seen items (the reference's k+max_seen
+over-generation, base_rec.py:152-201).  Index persistence = one binary
+file (the reference's shared-disk IndexStore default).
+"""
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from replay_tpu.ann.hnsw import HnswIndex
+
+
+@dataclass
+class HnswParam:
+    """Index hyperparameters (reference: entities/hnswlib_param.py)."""
+
+    space: str = "ip"
+    m: int = 16
+    ef_construction: int = 200
+    ef_search: int = 100
+
+
+class ANNMixin:
+    """Adds ANN-backed predict to models exposing ``_get_item_vectors`` and
+    per-query vectors.  Activated by setting ``index_builder``."""
+
+    index_builder: Optional[HnswParam] = None
+    _ann_index: Optional[HnswIndex] = None
+
+    @property
+    def ann_enabled(self) -> bool:
+        return self.index_builder is not None
+
+    def _build_ann_index(self) -> None:
+        vectors = np.asarray(self._get_item_vectors(), dtype=np.float32)
+        param = self.index_builder
+        index = HnswIndex(
+            dim=vectors.shape[1],
+            space=param.space,
+            m=param.m,
+            ef_construction=param.ef_construction,
+        )
+        index.add_items(vectors, np.arange(len(vectors), dtype=np.int64))
+        index.set_ef(param.ef_search)
+        self._ann_index = index
+
+    def _ann_predict(
+        self,
+        query_vectors: np.ndarray,
+        query_ids: np.ndarray,
+        k: int,
+        seen_lists=None,
+    ) -> pd.DataFrame:
+        """Top-k via the index; over-fetches to survive seen filtering."""
+        max_seen = max((len(s) for s in seen_lists), default=0) if seen_lists else 0
+        fetch = min(k + max_seen, len(self._ann_index))
+        labels, dists = self._ann_index.knn_query(
+            np.asarray(query_vectors, dtype=np.float32), fetch
+        )
+        rows = []
+        for row, qid in enumerate(query_ids):
+            seen = set(seen_lists[row]) if seen_lists else ()
+            count = 0
+            for pos in range(fetch):
+                item_pos = labels[row, pos]
+                if item_pos < 0:
+                    break
+                item = self.fit_items[item_pos]
+                if item in seen:
+                    continue
+                rows.append((qid, item, -float(dists[row, pos])))
+                count += 1
+                if count >= k:
+                    break
+        return pd.DataFrame(rows, columns=[self.query_column, self.item_column, self.rating_column])
+
+    # ----------------------------------------------------------- persistence
+    def _save_index(self, path: str) -> None:
+        if self._ann_index is not None:
+            self._ann_index.save(str(Path(path) / "hnsw.bin"))
+
+    def _load_index(self, path: str) -> None:
+        index_path = Path(path) / "hnsw.bin"
+        if index_path.exists() and self.index_builder is not None:
+            self._ann_index = HnswIndex.load(str(index_path), space=self.index_builder.space)
+            self._ann_index.set_ef(self.index_builder.ef_search)

@@ -1,0 +1,314 @@
+// HNSW approximate nearest neighbour index.
+//
+// Native C++ replacement for the reference's hnswlib/nmslib dependency
+// (reference: replay/models/extensions/ann/index_builders/*.py build indexes
+// with the pip C++ libraries; this file provides the same capability
+// without external deps).  Algorithm: Malkov & Yashunin, arXiv 1603.09320.
+//
+// Exposed via a C ABI (create/add/search/save/load/free) consumed by the
+// ctypes wrapper in replay_tpu/ann/hnsw.py.  Spaces: l2, ip (inner
+// product, max), cosine (vectors normalized on add).
+//
+// Build: g++ -O3 -march=native -shared -fPIC hnsw.cpp -o libreplay_hnsw.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <vector>
+
+namespace {
+
+enum Space { L2 = 0, IP = 1, COSINE = 2 };
+
+struct Index {
+    int dim;
+    int space;
+    int M;               // max links per node (levels > 0)
+    int M0;              // max links at level 0 (= 2M)
+    int ef_construction;
+    int ef_search;
+    std::vector<float> data;           // n x dim
+    std::vector<int64_t> labels;       // external ids
+    std::vector<int> levels;           // level per node
+    // adjacency: per node, per level, fixed-capacity neighbor arrays
+    // layout: links[node] = vector over levels; each level: [count, n0, n1, ...]
+    std::vector<std::vector<std::vector<int>>> links;
+    int entry_point = -1;
+    int max_level = -1;
+    std::mt19937_64 rng{42};
+    double level_mult;
+
+    Index(int dim_, int space_, int M_, int efc)
+        : dim(dim_), space(space_), M(M_), M0(2 * M_), ef_construction(efc),
+          ef_search(efc), level_mult(1.0 / std::log(std::max(2, M_))) {}
+
+    inline int size() const { return (int)labels.size(); }
+
+    inline const float* vec(int i) const { return data.data() + (size_t)i * dim; }
+
+    inline float dist(const float* a, const float* b) const {
+        if (space == L2) {
+            float s = 0.f;
+            for (int i = 0; i < dim; ++i) { float d = a[i] - b[i]; s += d * d; }
+            return s;
+        }
+        // ip / cosine: distance = -dot (cosine vectors pre-normalized)
+        float s = 0.f;
+        for (int i = 0; i < dim; ++i) s += a[i] * b[i];
+        return -s;
+    }
+
+    int random_level() {
+        std::uniform_real_distribution<double> u(0.0, 1.0);
+        double r = u(rng);
+        return (int)(-std::log(std::max(r, 1e-12)) * level_mult);
+    }
+
+    // greedy ef-search at one level; returns max-heap of (dist, node) capped at ef
+    void search_layer(const float* q, int entry, int level, int ef,
+                      std::priority_queue<std::pair<float, int>>& top) const {
+        std::vector<uint8_t> visited(size(), 0);
+        // candidates: min-heap by distance
+        std::priority_queue<std::pair<float, int>, std::vector<std::pair<float, int>>,
+                            std::greater<>> cand;
+        float d0 = dist(q, vec(entry));
+        cand.push({d0, entry});
+        top.push({d0, entry});
+        visited[entry] = 1;
+        while (!cand.empty()) {
+            auto [dc, c] = cand.top();
+            if (dc > top.top().first && (int)top.size() >= ef) break;
+            cand.pop();
+            const auto& nbrs = links[c][level];
+            for (int nb : nbrs) {
+                if (visited[nb]) continue;
+                visited[nb] = 1;
+                float d = dist(q, vec(nb));
+                if ((int)top.size() < ef || d < top.top().first) {
+                    cand.push({d, nb});
+                    top.push({d, nb});
+                    if ((int)top.size() > ef) top.pop();
+                }
+            }
+        }
+    }
+
+    // pick up to m closest from a candidate heap (simple selection)
+    std::vector<int> select_neighbors(std::priority_queue<std::pair<float, int>>& top, int m) const {
+        std::vector<std::pair<float, int>> all;
+        while (!top.empty()) { all.push_back(top.top()); top.pop(); }
+        std::sort(all.begin(), all.end());
+        std::vector<int> out;
+        for (auto& [d, n] : all) {
+            out.push_back(n);
+            if ((int)out.size() >= m) break;
+        }
+        return out;
+    }
+
+    void prune(int node, int level) {
+        auto& nbrs = links[node][level];
+        int cap = level == 0 ? M0 : M;
+        if ((int)nbrs.size() <= cap) return;
+        std::vector<std::pair<float, int>> scored;
+        for (int nb : nbrs) scored.push_back({dist(vec(node), vec(nb)), nb});
+        std::sort(scored.begin(), scored.end());
+        nbrs.clear();
+        for (int i = 0; i < cap; ++i) nbrs.push_back(scored[i].second);
+    }
+
+    void add(const float* v_in, int64_t label) {
+        std::vector<float> norm;
+        const float* v = v_in;
+        if (space == COSINE) {
+            norm.assign(v_in, v_in + dim);
+            float s = 0.f;
+            for (int i = 0; i < dim; ++i) s += norm[i] * norm[i];
+            s = std::sqrt(std::max(s, 1e-12f));
+            for (int i = 0; i < dim; ++i) norm[i] /= s;
+            v = norm.data();
+        }
+        int id = size();
+        data.insert(data.end(), v, v + dim);
+        labels.push_back(label);
+        int level = random_level();
+        levels.push_back(level);
+        links.emplace_back(level + 1);
+
+        if (entry_point < 0) {
+            entry_point = id;
+            max_level = level;
+            return;
+        }
+        int ep = entry_point;
+        // descend from the top to level+1 greedily
+        for (int l = max_level; l > level; --l) {
+            bool improved = true;
+            float best = dist(v, vec(ep));
+            while (improved) {
+                improved = false;
+                for (int nb : links[ep][l]) {
+                    float d = dist(v, vec(nb));
+                    if (d < best) { best = d; ep = nb; improved = true; }
+                }
+            }
+        }
+        // connect on levels min(level, max_level)..0
+        for (int l = std::min(level, max_level); l >= 0; --l) {
+            std::priority_queue<std::pair<float, int>> top;
+            search_layer(v, ep, l, ef_construction, top);
+            ep = top.top().second;  // nearest as next entry (heap top is farthest; fix below)
+            auto sel = select_neighbors(top, l == 0 ? M0 : M);
+            if (!sel.empty()) ep = sel[0];
+            links[id][l] = sel;
+            for (int nb : sel) {
+                links[nb][l].push_back(id);
+                prune(nb, l);
+            }
+        }
+        if (level > max_level) {
+            max_level = level;
+            entry_point = id;
+        }
+    }
+
+    void search(const float* q_in, int k, int64_t* out_labels, float* out_dists) const {
+        std::vector<float> norm;
+        const float* q = q_in;
+        if (space == COSINE) {
+            norm.assign(q_in, q_in + dim);
+            float s = 0.f;
+            for (int i = 0; i < dim; ++i) s += norm[i] * norm[i];
+            s = std::sqrt(std::max(s, 1e-12f));
+            for (int i = 0; i < dim; ++i) norm[i] /= s;
+            q = norm.data();
+        }
+        int ep = entry_point;
+        for (int l = max_level; l > 0; --l) {
+            bool improved = true;
+            float best = dist(q, vec(ep));
+            while (improved) {
+                improved = false;
+                for (int nb : links[ep][l]) {
+                    float d = dist(q, vec(nb));
+                    if (d < best) { best = d; ep = nb; improved = true; }
+                }
+            }
+        }
+        std::priority_queue<std::pair<float, int>> top;
+        search_layer(q, ep, 0, std::max(ef_search, k), top);
+        std::vector<std::pair<float, int>> all;
+        while (!top.empty()) { all.push_back(top.top()); top.pop(); }
+        std::sort(all.begin(), all.end());
+        for (int i = 0; i < k; ++i) {
+            if (i < (int)all.size()) {
+                out_labels[i] = labels[all[i].second];
+                out_dists[i] = all[i].first;
+            } else {
+                out_labels[i] = -1;
+                out_dists[i] = 3.0e38f;
+            }
+        }
+    }
+
+    bool save(const char* path) const {
+        FILE* f = std::fopen(path, "wb");
+        if (!f) return false;
+        int n = size();
+        std::fwrite(&dim, sizeof(int), 1, f);
+        std::fwrite(&space, sizeof(int), 1, f);
+        std::fwrite(&M, sizeof(int), 1, f);
+        std::fwrite(&ef_construction, sizeof(int), 1, f);
+        std::fwrite(&n, sizeof(int), 1, f);
+        std::fwrite(&entry_point, sizeof(int), 1, f);
+        std::fwrite(&max_level, sizeof(int), 1, f);
+        std::fwrite(data.data(), sizeof(float), data.size(), f);
+        std::fwrite(labels.data(), sizeof(int64_t), labels.size(), f);
+        std::fwrite(levels.data(), sizeof(int), levels.size(), f);
+        for (int i = 0; i < n; ++i) {
+            int nl = (int)links[i].size();
+            std::fwrite(&nl, sizeof(int), 1, f);
+            for (auto& lv : links[i]) {
+                int c = (int)lv.size();
+                std::fwrite(&c, sizeof(int), 1, f);
+                std::fwrite(lv.data(), sizeof(int), c, f);
+            }
+        }
+        std::fclose(f);
+        return true;
+    }
+
+    static Index* load(const char* path) {
+        FILE* f = std::fopen(path, "rb");
+        if (!f) return nullptr;
+        int dim, space, M, efc, n, ep, ml;
+        if (std::fread(&dim, sizeof(int), 1, f) != 1) { std::fclose(f); return nullptr; }
+        std::fread(&space, sizeof(int), 1, f);
+        std::fread(&M, sizeof(int), 1, f);
+        std::fread(&efc, sizeof(int), 1, f);
+        std::fread(&n, sizeof(int), 1, f);
+        std::fread(&ep, sizeof(int), 1, f);
+        std::fread(&ml, sizeof(int), 1, f);
+        auto* idx = new Index(dim, space, M, efc);
+        idx->entry_point = ep;
+        idx->max_level = ml;
+        idx->data.resize((size_t)n * dim);
+        idx->labels.resize(n);
+        idx->levels.resize(n);
+        std::fread(idx->data.data(), sizeof(float), idx->data.size(), f);
+        std::fread(idx->labels.data(), sizeof(int64_t), n, f);
+        std::fread(idx->levels.data(), sizeof(int), n, f);
+        idx->links.resize(n);
+        for (int i = 0; i < n; ++i) {
+            int nl;
+            std::fread(&nl, sizeof(int), 1, f);
+            idx->links[i].resize(nl);
+            for (auto& lv : idx->links[i]) {
+                int c;
+                std::fread(&c, sizeof(int), 1, f);
+                lv.resize(c);
+                std::fread(lv.data(), sizeof(int), c, f);
+            }
+        }
+        std::fclose(f);
+        return idx;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hnsw_create(int dim, int space, int M, int ef_construction) {
+    return new Index(dim, space, M, ef_construction);
+}
+
+void hnsw_free(void* h) { delete (Index*)h; }
+
+void hnsw_set_ef(void* h, int ef) { ((Index*)h)->ef_search = ef; }
+
+int hnsw_size(void* h) { return ((Index*)h)->size(); }
+
+void hnsw_add_items(void* h, const float* vecs, const int64_t* ids, int n) {
+    auto* idx = (Index*)h;
+    for (int i = 0; i < n; ++i) idx->add(vecs + (size_t)i * idx->dim, ids[i]);
+}
+
+void hnsw_search(void* h, const float* queries, int nq, int k,
+                 int64_t* out_labels, float* out_dists) {
+    auto* idx = (Index*)h;
+    for (int i = 0; i < nq; ++i) {
+        idx->search(queries + (size_t)i * idx->dim, k,
+                    out_labels + (size_t)i * k, out_dists + (size_t)i * k);
+    }
+}
+
+int hnsw_save(void* h, const char* path) { return ((Index*)h)->save(path) ? 0 : 1; }
+
+void* hnsw_load(const char* path) { return Index::load(path); }
+
+}  // extern "C"

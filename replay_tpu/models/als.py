@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.sparse import csr_matrix
 
+from replay_tpu.ann.mixin import ANNMixin
 from replay_tpu.data.dataset import Dataset
 from replay_tpu.models.base_rec import ItemVectorModel, Recommender
 
@@ -80,7 +81,7 @@ def _padded_rows(mat: csr_matrix, block: int, pad_multiple: int = 32):
         yield start, idx, val, msk
 
 
-class ALSWrap(Recommender, ItemVectorModel):
+class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
     """ALS matrix factorization (implicit by default, as the reference)."""
 
     can_predict_cold_queries = False
@@ -96,7 +97,9 @@ class ALSWrap(Recommender, ItemVectorModel):
         regularization: float = 0.1,
         alpha: float = 1.0,
         block_size: int = 4096,
+        index_builder=None,
     ):
+        self.index_builder = index_builder
         self.rank = rank
         self.implicit_prefs = implicit_prefs
         self._seed = seed
@@ -117,6 +120,7 @@ class ALSWrap(Recommender, ItemVectorModel):
             "regularization": self.regularization,
             "alpha": self.alpha,
             "block_size": self.block_size,
+            "index_builder": None,
         }
 
     @property
@@ -151,6 +155,8 @@ class ALSWrap(Recommender, ItemVectorModel):
             u = self._half_sweep(mat, v, reg, alpha)
             v = self._half_sweep(mat_t, u, reg, alpha)
         self.query_factors, self.item_factors = np.asarray(u), np.asarray(v)
+        if self.ann_enabled:
+            self._build_ann_index()
 
     def _half_sweep(self, mat: csr_matrix, other: np.ndarray, reg, alpha) -> np.ndarray:
         other_dev = jnp.asarray(other)
@@ -172,6 +178,20 @@ class ALSWrap(Recommender, ItemVectorModel):
             )
             out[start : start + len(idx)] = np.asarray(sol)
         return out
+
+    def _predict(self, dataset, k, queries, items, filter_seen_items=True):
+        # ANN path (reference ANNMixin._predict_wrap contract) only when
+        # scoring the full fitted catalog — subsets fall back to exact
+        if self.ann_enabled and len(items) == len(self.fit_items):
+            q_pos = np.searchsorted(self.fit_queries, queries)
+            qv = self.query_factors[q_pos]
+            seen_lists = None
+            if filter_seen_items and dataset is not None:
+                inter = dataset.interactions
+                grouped = inter.groupby(self.query_column)[self.item_column].agg(list)
+                seen_lists = [grouped.get(q, []) for q in queries]
+            return self._ann_predict(qv, queries, k, seen_lists)
+        return super()._predict(dataset, k, queries, items, filter_seen_items)
 
     # -- scoring ------------------------------------------------------------
     def _score_block(self, query_ids, item_ids, dataset=None) -> np.ndarray:

