@@ -1,0 +1,140 @@
+"""Checkpointing, callbacks, postprocessors, and AOT export tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from replay_tpu.nn.callbacks import (
+    QueryEmbeddingsCallback,
+    SampleItems,
+    SeenItemsFilter,
+    TopKPredictionsCallback,
+)
+from replay_tpu.nn.checkpoint import CheckpointCallback, CheckpointManager
+from replay_tpu.nn.compiled import CompiledSequentialModel
+from replay_tpu.nn.losses import CESampledLoss
+from replay_tpu.nn.sequential.sasrec import SasRec
+from replay_tpu.nn.training import Trainer, TrainerConfig
+from replay_tpu.nn.transforms import NextTokenTransform
+
+from tests.nn.conftest import N_ITEMS
+from tests.nn.test_sasrec import make_batch
+
+
+def make_trainer(seq_dataset, max_epochs=1):
+    model = SasRec(schema=seq_dataset.schema, max_sequence_length=8, num_blocks=1, num_heads=2)
+    return Trainer(
+        model,
+        CESampledLoss(8),
+        transform=NextTokenTransform(),
+        config=TrainerConfig(max_epochs=max_epochs, batch_size=8, max_sequence_length=8),
+    )
+
+
+class TestCheckpointing:
+    def test_save_restore_roundtrip(self, tmp_path, seq_dataset):
+        trainer = make_trainer(seq_dataset)
+        trainer.fit(seq_dataset)
+        manager = CheckpointManager(str(tmp_path / "ckpt"))
+        manager.save(int(trainer.state.step), trainer.state, extra={"loss": 1.0})
+        restored = manager.restore(trainer.state)
+        leaves_a = jax.tree_util.tree_leaves(trainer.state.params)
+        leaves_b = jax.tree_util.tree_leaves(restored.params)
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert restored.step == trainer.state.step
+        assert manager.load_extra() == {"loss": 1.0}
+
+    def test_checkpoint_callback_monitors_best(self, tmp_path, seq_dataset):
+        trainer = make_trainer(seq_dataset, max_epochs=3)
+        cb = CheckpointCallback(str(tmp_path / "best"), monitor="loss", mode="min")
+        trainer.callbacks.append(cb)
+        trainer.fit(seq_dataset)
+        assert cb.manager.latest_step is not None
+        assert cb.best is not None
+
+
+class TestCallbacks:
+    def test_topk_callback_accumulates(self):
+        cb = TopKPredictionsCallback(k=3)
+        logits = jnp.asarray(np.random.default_rng(0).normal(size=(4, 20)).astype(np.float32))
+        cb.on_batch(np.arange(4), logits)
+        cb.on_batch(np.arange(4, 8), logits)
+        recs = cb.get_result()
+        assert len(recs) == 24
+        assert set(recs["query_id"]) == set(range(8))
+        # sorted descending per user
+        for _, grp in recs.groupby("query_id"):
+            assert np.all(np.diff(grp["rating"].to_numpy()) <= 1e-9)
+
+    def test_seen_filter_and_sample_items(self):
+        logits = jnp.zeros((2, 10))
+        seen = np.zeros((2, 10), dtype=bool)
+        seen[0, 3] = True
+        out = SeenItemsFilter()(logits, seen_mask=seen)
+        assert np.isneginf(np.asarray(out)[0, 3])
+        assert np.asarray(out)[1, 3] == 0
+        sampler = SampleItems(candidates=np.array([1, 2]), n_items=10)
+        out = sampler(logits)
+        finite = np.isfinite(np.asarray(out)[0])
+        assert finite[1] and finite[2] and finite.sum() == 2
+
+    def test_row_mask_drops_padded_rows(self):
+        cb = TopKPredictionsCallback(k=2)
+        logits = jnp.zeros((3, 5))
+        cb.on_batch(np.arange(3), logits, row_mask=np.array([1, 1, 0]))
+        assert set(cb.get_result()["query_id"]) == {0, 1}
+
+    def test_query_embeddings_callback(self):
+        cb = QueryEmbeddingsCallback()
+        cb.on_batch(np.arange(3), np.ones((3, 4)), row_mask=np.array([1, 0, 1]))
+        ids, embs = cb.get_result()
+        np.testing.assert_array_equal(ids, [0, 2])
+        assert embs.shape == (2, 4)
+
+
+class TestCompiled:
+    @pytest.mark.parametrize("mode", ["one_query", "batch", "dynamic_batch_size"])
+    def test_export_matches_eager(self, item_schema, mode, tmp_path):
+        model = SasRec(schema=item_schema, max_sequence_length=8, num_blocks=1, num_heads=2)
+        batch = {k: jnp.asarray(v) for k, v in make_batch(bsz=4, length=8).items()}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch,
+            deterministic=True,
+        )
+        eager = np.asarray(model.apply(variables, batch, method=SasRec.forward_inference))
+
+        compiled = CompiledSequentialModel.compile(
+            model, variables["params"], batch_size=4, mode=mode
+        )
+        sub = {k: np.asarray(v) for k, v in batch.items()}
+        if mode == "one_query":
+            sub = {k: v[:1] for k, v in sub.items()}
+            np.testing.assert_allclose(compiled.predict(sub), eager[:1], rtol=2e-2, atol=1e-3)
+        else:
+            np.testing.assert_allclose(compiled.predict(sub), eager, rtol=2e-2, atol=1e-3)
+
+        # serialize → reload → same outputs, no model definition needed
+        compiled.save(str(tmp_path / "aot"))
+        restored = CompiledSequentialModel.load(str(tmp_path / "aot"))
+        np.testing.assert_allclose(restored.predict(sub), compiled.predict(sub), rtol=1e-5)
+        vals, idx = restored.predict_topk(sub, k=3)
+        assert idx.shape == (len(sub["item_id"]), 3)
+
+    def test_dynamic_batch_accepts_any_size(self, item_schema):
+        model = SasRec(schema=item_schema, max_sequence_length=8, num_blocks=1, num_heads=2)
+        batch = {k: jnp.asarray(v) for k, v in make_batch(bsz=2, length=8).items()}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch,
+            deterministic=True,
+        )
+        compiled = CompiledSequentialModel.compile(
+            model, variables["params"], mode="dynamic_batch_size"
+        )
+        for b in (1, 3, 7):
+            sub = {k: np.asarray(v)[:1].repeat(b, axis=0) for k, v in batch.items()}
+            out = compiled.predict(sub)
+            assert out.shape == (b, N_ITEMS)
