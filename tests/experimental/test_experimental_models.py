@@ -1,0 +1,230 @@
+"""Experimental model tests: ADMMSLIM, MultVAE, NeuroMF, ULinUCB."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from replay_tpu.data.dataset import Dataset
+from replay_tpu.data.schema import (
+    FeatureHint,
+    FeatureInfo,
+    FeatureSchema,
+    FeatureSource,
+    FeatureType,
+)
+from replay_tpu.experimental.models import ADMMSLIM, MultVAE, NeuroMF, ULinUCB
+
+N_GROUPS, GROUP_SIZE = 4, 15
+N_ITEMS = N_GROUPS * GROUP_SIZE
+
+
+def make_schema(extra=()):
+    return FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo(
+                "rating",
+                FeatureType.NUMERICAL,
+                feature_hint=FeatureHint.RATING,
+                feature_source=FeatureSource.INTERACTIONS,
+            ),
+            *extra,
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def block_dataset():
+    rng = np.random.default_rng(0)
+    rows = []
+    for u in range(80):
+        g = u % N_GROUPS
+        for _ in range(20):
+            if rng.random() < 0.9:
+                item = int(g * GROUP_SIZE + rng.integers(0, GROUP_SIZE))
+            else:
+                item = int(rng.integers(0, N_ITEMS))
+            rows.append((u, item, 1.0))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"]).drop_duplicates(
+        ["user_id", "item_id"]
+    )
+    return Dataset(make_schema(), df)
+
+
+def in_group_fraction(recs):
+    hits = tot = 0
+    for u, grp in recs.groupby("user_id"):
+        g = u % N_GROUPS
+        lo, hi = g * GROUP_SIZE, (g + 1) * GROUP_SIZE
+        hits += ((grp["item_id"] >= lo) & (grp["item_id"] < hi)).sum()
+        tot += len(grp)
+    return hits / tot
+
+
+@pytest.mark.parametrize(
+    "model,threshold",
+    [
+        (ADMMSLIM(lambda_1=0.1, lambda_2=10.0, n_iterations=40), 0.8),
+        (MultVAE(epochs=60, latent_dim=16, hidden_dim=64, batch_size=64, seed=0), 0.6),
+        (NeuroMF(embedding_gmf_dim=16, embedding_mlp_dim=16, epochs=100,
+                 batch_size=1024, seed=0, learning_rate=3e-3, n_negatives=8), 0.6),
+    ],
+    ids=["admm-slim", "mult-vae", "neuromf"],
+)
+def test_recovers_block_structure(block_dataset, model, threshold):
+    model.fit(block_dataset)
+    recs = model.predict(block_dataset, k=5)
+    assert recs.groupby("user_id").size().max() <= 5
+    frac = in_group_fraction(recs)
+    assert frac > threshold, f"in-group fraction {frac}"
+
+
+def test_admm_slim_diag_zero_nonneg(block_dataset):
+    model = ADMMSLIM(lambda_1=1.0, lambda_2=50.0, n_iterations=30)
+    model.fit(block_dataset)
+    sim = np.asarray(model._sim_dense)
+    assert np.allclose(np.diag(sim), 0.0)
+    assert sim.min() >= 0.0
+
+
+def test_neuromf_requires_some_embedding():
+    with pytest.raises(ValueError):
+        NeuroMF(embedding_gmf_dim=0, embedding_mlp_dim=0)
+
+
+def test_ulinucb_learns_item_feature_rewards():
+    rng = np.random.default_rng(0)
+    n_users, n_items, d = 30, 20, 3
+    item_feats = rng.normal(size=(n_items, d))
+    user_pref = rng.normal(size=(n_users, d))
+    rows = []
+    for u in range(n_users):
+        for i in range(n_items):
+            rows.append((u, i, float(user_pref[u] @ item_feats[i])))
+    inter = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"])
+    itf = pd.DataFrame(
+        {"item_id": np.arange(n_items), **{f"f{j}": item_feats[:, j] for j in range(d)}}
+    )
+    extra = [
+        FeatureInfo(f"f{j}", FeatureType.NUMERICAL, feature_source=FeatureSource.ITEM_FEATURES)
+        for j in range(d)
+    ]
+    ds = Dataset(make_schema(extra), inter, item_features=itf)
+    model = ULinUCB(eps=0.0, alpha=0.01)
+    model.fit(ds)
+    scores = model._score_block(np.arange(n_users), np.arange(n_items), ds)
+    true = user_pref @ item_feats.T
+    agreement = (scores.argmax(1) == true.argmax(1)).mean()
+    assert agreement > 0.9
+
+
+def test_two_stages_scenario(block_dataset):
+    from replay_tpu.experimental.scenarios import TwoStagesScenario
+    from replay_tpu.models import ItemKNN, PopRec
+
+    scenario = TwoStagesScenario(
+        first_level_models=[ItemKNN(num_neighbours=10), PopRec()],
+        k_first_level=20,
+        seed=1,
+    )
+    scenario.fit(block_dataset)
+    recs = scenario.predict(block_dataset, k=5)
+    assert recs.groupby("user_id").size().max() <= 5
+    assert recs["rating"].between(0, 1).all()  # reranker probabilities
+    # reranked candidates should still respect the block structure
+    assert in_group_fraction(recs) > 0.5
+    # filter-seen holds
+    seen = set(map(tuple, block_dataset.interactions[["user_id", "item_id"]].to_numpy()))
+    assert not (seen & set(map(tuple, recs[["user_id", "item_id"]].to_numpy())))
+
+
+def test_hierarchical_recommender():
+    from replay_tpu.experimental.models import HierarchicalRecommender
+    from replay_tpu.models import PopRec
+
+    rng = np.random.default_rng(0)
+    rows, feats = [], []
+    for u in range(60):
+        g = u % 3
+        feats.append((u, float(g * 5) + rng.normal(0, 0.2)))
+        for _ in range(8):
+            rows.append((u, int(g * 10 + rng.integers(0, 10)), 1.0))
+    inter = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"]).drop_duplicates(
+        ["user_id", "item_id"]
+    )
+    qf = pd.DataFrame(feats, columns=["user_id", "f1"])
+    extra = [
+        FeatureInfo("f1", FeatureType.NUMERICAL, feature_source=FeatureSource.QUERY_FEATURES)
+    ]
+    ds = Dataset(make_schema(extra), inter, query_features=qf)
+    model = HierarchicalRecommender(model_factory=PopRec, branching=3, depth=1, min_cluster_size=2)
+    model.fit(ds)
+    recs = model.predict(ds, k=3)
+    # per-leaf popularity: recs come from the user's own cluster block
+    hits = tot = 0
+    for u, grp in recs.groupby("user_id"):
+        g = u % 3
+        hits += ((grp["item_id"] >= g * 10) & (grp["item_id"] < (g + 1) * 10)).sum()
+        tot += len(grp)
+    assert hits / tot > 0.9
+
+
+@pytest.fixture(scope="module")
+def sequential_dataset():
+    """Deterministic successor pattern: item t+1 follows item t."""
+    rng = np.random.default_rng(1)
+    rows = []
+    for u in range(60):
+        start = rng.integers(0, 30)
+        for t in range(12):
+            rows.append((u, int((start + t) % 30), 1.0, t))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "rating", "timestamp"])
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, feature_hint=FeatureHint.RATING,
+                        feature_source=FeatureSource.INTERACTIONS),
+            FeatureInfo("timestamp", FeatureType.NUMERICAL, feature_hint=FeatureHint.TIMESTAMP,
+                        feature_source=FeatureSource.INTERACTIONS),
+        ]
+    )
+    return Dataset(schema, df)
+
+
+def test_dt4rec_learns_successor_pattern(sequential_dataset):
+    from replay_tpu.experimental.models import DT4Rec
+
+    model = DT4Rec(max_sequence_length=12, embedding_dim=32, num_blocks=1,
+                   epochs=100, batch_size=32, seed=0, learning_rate=3e-3)
+    model.fit(sequential_dataset)
+    # for each user the next item is (last + 1) % 30; check top-1 accuracy
+    recs = model.predict(sequential_dataset, k=1, filter_seen_items=False)
+    inter = sequential_dataset.interactions.sort_values(["user_id", "timestamp"])
+    last = inter.groupby("user_id")["item_id"].last()
+    correct = 0
+    for u, grp in recs.groupby("user_id"):
+        expected = (last[u] + 1) % 30
+        correct += int(grp["item_id"].iloc[0] == expected)
+    assert correct / len(last) > 0.5
+
+
+def test_ddpg_fits_and_predicts(sequential_dataset):
+    from replay_tpu.experimental.models import DDPG
+
+    model = DDPG(embedding_dim=16, epochs=3, batch_size=256, seed=0)
+    model.fit(sequential_dataset)
+    recs = model.predict(sequential_dataset, k=3)
+    assert recs.groupby("user_id").size().max() <= 3
+    assert np.isfinite(recs["rating"]).all()
+
+
+def test_cql_fits_and_predicts(sequential_dataset):
+    from replay_tpu.experimental.models import CQL
+
+    model = CQL(embedding_dim=16, epochs=3, batch_size=256, seed=0)
+    model.fit(sequential_dataset)
+    recs = model.predict(sequential_dataset, k=3)
+    assert recs.groupby("user_id").size().max() <= 3
+    assert np.isfinite(recs["rating"]).all()
