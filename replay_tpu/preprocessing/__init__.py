@@ -18,6 +18,11 @@ from replay_tpu.preprocessing.filters import (
     TimePeriodFilter,
     filter_cold,
 )
+from replay_tpu.preprocessing.history_based_fp import (
+    ConditionalPopularityProcessor,
+    HistoryBasedFeaturesProcessor,
+    LogStatFeaturesProcessor,
+)
 from replay_tpu.preprocessing.sessionizer import Sessionizer
 from replay_tpu.preprocessing.utils import merge_subsets
 from replay_tpu.preprocessing.label_encoder import (
@@ -34,6 +39,9 @@ __all__ = [
     "Discretizer",
     "GreedyDiscretizingRule",
     "QuantileDiscretizingRule",
+    "ConditionalPopularityProcessor",
+    "HistoryBasedFeaturesProcessor",
+    "LogStatFeaturesProcessor",
     "Sessionizer",
     "merge_subsets",
     "EntityDaysFilter",

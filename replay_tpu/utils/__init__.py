@@ -1,5 +1,14 @@
 """Runtime utilities (reference: replay/utils/)."""
 
+from replay_tpu.utils.common import (
+    convert2pandas,
+    filter_cold,
+    get_top_k,
+    get_top_k_recs,
+    horizontal_explode,
+    load_from_replay,
+    sample_top_k_recs,
+)
 from replay_tpu.utils.distributions import item_distribution
 from replay_tpu.utils.model_handler import (
     load,
@@ -32,7 +41,14 @@ __all__ = [
     "PandasDataFrame",
     "PolarsDataFrame",
     "TORCH_AVAILABLE",
+    "convert2pandas",
+    "filter_cold",
     "get_item_recency",
+    "get_top_k",
+    "get_top_k_recs",
+    "horizontal_explode",
+    "load_from_replay",
+    "sample_top_k_recs",
     "item_distribution",
     "load",
     "load_encoder",
