@@ -1,0 +1,5 @@
+from replay_tpu.experimental.preprocessing.data_preparator import DataPreparator
+from replay_tpu.experimental.preprocessing.padder import Padder
+from replay_tpu.experimental.preprocessing.sequence_generator import SequenceGenerator
+
+__all__ = ["DataPreparator", "Padder", "SequenceGenerator"]

@@ -1,0 +1,127 @@
+"""Conditional imports, NeuralTS, and experimental preprocessing tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestConditionalAccess:
+    def test_parent_module_access_raises(self):
+        import replay_tpu.experimental.models as m
+
+        with pytest.raises(m.ConditionalAccessError):
+            _ = m.LightFMWrap
+        with pytest.raises(m.ConditionalAccessError):
+            _ = m.ImplicitWrap
+
+    def test_direct_import_raises_clear_error_when_missing(self):
+        from replay_tpu.experimental.models.lightfm_wrap import (
+            LIGHTFM_AVAILABLE,
+            LightFMWrap,
+        )
+
+        if not LIGHTFM_AVAILABLE:
+            with pytest.raises(ImportError, match="lightfm"):
+                LightFMWrap()
+
+    def test_obp_wrapper_gated(self):
+        from replay_tpu.experimental.scenarios.obp_wrapper import (
+            OBP_AVAILABLE,
+            OBPOfflinePolicyLearner,
+        )
+
+        if not OBP_AVAILABLE:
+            with pytest.raises(ImportError, match="obp"):
+                OBPOfflinePolicyLearner(None, n_actions=5)
+
+
+def test_neural_ts_learns_preferences():
+    from replay_tpu.data.dataset import Dataset
+    from replay_tpu.data.schema import (
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureSource,
+        FeatureType,
+    )
+    from replay_tpu.experimental.models import NeuralTS
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for u in range(40):
+        g = u % 2
+        for i in range(20):
+            reward = 1.0 if (i < 10) == (g == 0) else 0.0
+            rows.append((u, i, reward))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"])
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, feature_hint=FeatureHint.RATING,
+                        feature_source=FeatureSource.INTERACTIONS),
+        ]
+    )
+    ds = Dataset(schema, df)
+    model = NeuralTS(embedding_dim=8, phi_dim=8, nu=0.01, epochs=60, seed=0)
+    model.fit(ds)
+    scores = model._score_block(np.arange(40), np.arange(20), ds)
+    # group-0 users should rank items 0-9 above 10-19
+    pref = scores[::2, :10].mean() - scores[::2, 10:].mean()
+    assert pref > 0
+
+
+class TestDataPreparator:
+    def test_renames_and_fills_defaults(self):
+        from replay_tpu.experimental.preprocessing import DataPreparator
+
+        raw = pd.DataFrame({"u": [1, 2], "m": [10, 20]})
+        prep = DataPreparator({"query_id": "u", "item_id": "m"})
+        out = prep.transform(raw)
+        assert list(out.columns[:4]) == ["query_id", "item_id", "timestamp", "rating"]
+        assert (out["rating"] == 1.0).all()
+
+    def test_missing_source_column(self):
+        from replay_tpu.experimental.preprocessing import DataPreparator
+
+        with pytest.raises(ValueError):
+            DataPreparator({"query_id": "nope", "item_id": "m"}).transform(
+                pd.DataFrame({"m": [1]})
+            )
+
+
+class TestPadder:
+    def test_pad_and_cut(self):
+        from replay_tpu.experimental.preprocessing import Padder
+
+        df = pd.DataFrame({"seq": [[1, 2], [1, 2, 3, 4, 5]]})
+        out = Padder("seq", padding_side="left", padding_value=0, array_size=3).transform(df)
+        assert out["seq"].iloc[0] == [0, 1, 2]
+        assert out["seq"].iloc[1] == [3, 4, 5]  # cut keeps the tail
+
+    def test_right_padding(self):
+        from replay_tpu.experimental.preprocessing import Padder
+
+        df = pd.DataFrame({"seq": [[7]]})
+        out = Padder("seq", padding_side="right", padding_value=-1, array_size=3).transform(df)
+        assert out["seq"].iloc[0] == [7, -1, -1]
+
+
+class TestSequenceGenerator:
+    def test_rolling_history(self):
+        from replay_tpu.experimental.preprocessing import SequenceGenerator
+
+        df = pd.DataFrame(
+            {"user": [1, 1, 1, 2], "item": [10, 11, 12, 20], "t": [0, 1, 2, 0]}
+        )
+        gen = SequenceGenerator("user", "item", orderby_column="t", get_list_len=True)
+        out = gen.transform(df)
+        assert out["list_item"].tolist() == [[], [10], [10, 11], []]
+        assert out["list_len"].tolist() == [0, 1, 2, 0]
+
+    def test_window_size(self):
+        from replay_tpu.experimental.preprocessing import SequenceGenerator
+
+        df = pd.DataFrame({"user": [1] * 4, "item": [1, 2, 3, 4], "t": range(4)})
+        out = SequenceGenerator("user", "item", orderby_column="t", window_size=2).transform(df)
+        assert out["list_item"].iloc[3] == [2, 3]
