@@ -18,6 +18,7 @@ from replay_tpu.metrics.descriptors import (
     PerUser,
 )
 from replay_tpu.metrics.experiment import Experiment
+from replay_tpu.metrics.ncis_precision import NCISPrecision
 from replay_tpu.metrics.novelty import Novelty
 from replay_tpu.metrics.offline_metrics import OfflineMetrics
 from replay_tpu.metrics.ranking import MAP, MRR, NDCG, HitRate, Precision, Recall, RocAuc
@@ -42,6 +43,7 @@ __all__ = [
     "MetricsPerUserReturnType",
     "MetricsReturnType",
     "NDCG",
+    "NCISPrecision",
     "Novelty",
     "OfflineMetrics",
     "PerUser",
