@@ -280,6 +280,38 @@ class BaseRecommender(RecommenderCommons, IsSavable, OptimizeMixin, ABC):
             return None
         return recs
 
+    def _predict_proba(
+        self,
+        dataset: Optional[Dataset],
+        k: int,
+        queries=None,
+        items=None,
+        filter_seen_items: bool = True,
+    ) -> np.ndarray:
+        """Action distribution over items per query, shape
+        ``(n_queries, n_items, k)``: probability 1 on the item recommended
+        at each of the top-k positions (reference:
+        replay/models/base_rec.py:371 — used by the OBP offline-bandit
+        wrapper)."""
+        queries, items = self._resolve_queries_items(dataset, queries, items)
+        n_queries, n_items = len(queries), len(items)
+        recs = self._predict(dataset, k, queries, items, filter_seen_items)
+        recs = (
+            recs.sort_values(
+                [self.query_column, self.rating_column, self.item_column],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            .groupby(self.query_column, sort=False)
+            .head(k)
+        )
+        action_dist = np.zeros((n_queries, n_items, k))
+        q_pos = np.searchsorted(queries, recs[self.query_column].to_numpy())
+        i_pos = np.searchsorted(items, recs[self.item_column].to_numpy())
+        slot = recs.groupby(self.query_column).cumcount().to_numpy()
+        action_dist[q_pos, i_pos, slot] = 1.0
+        return action_dist
+
     # -------------------------------------------------------------- pairs
     def _predict_pairs_wrap(
         self,

@@ -1,0 +1,46 @@
+"""Multi-host initialization helpers.
+
+The reference's multi-process story is Lightning DDP + torch.distributed
+(reference: SURVEY.md §2.8); the TPU-native equivalent is
+``jax.distributed.initialize`` + a mesh spanning all processes' devices.
+Each host then reads its own data shard (replay_tpu/data/nn/parquet
+ReplicasInfo keys off jax.process_index/count automatically) and the same
+jitted train step runs SPMD across the slice — gradients all-reduce over
+ICI within a slice and DCN across slices with no code changes.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+
+from replay_tpu.parallel.mesh import make_mesh
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Connect this process to the jax distributed runtime.
+
+    On Cloud TPU the arguments are discovered from the environment; pass
+    them explicitly for custom launchers.  Must run before any device use.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def make_global_mesh(model: int = 1, axis_names: Sequence[str] = ("data", "model")):
+    """Mesh over ALL processes' devices (call after initialize_multihost)."""
+    return make_mesh(model=model, devices=jax.devices(), axis_names=axis_names)
+
+
+def local_replica_info():
+    """(replica_id, num_replicas) for host-side data sharding."""
+    return jax.process_index(), jax.process_count()
