@@ -167,11 +167,23 @@ class SequentialDataset:
             taking the last ``max_sequence_length`` (used to build label
             shifts host-side).
         """
+        indices = np.asarray(indices)
         bsz = len(indices)
         length = max_sequence_length
         out: Batch = {}
-        mask = np.zeros((bsz, length), dtype=np.int8)
-        seq_len = np.zeros(bsz, dtype=np.int32)
+
+        # vectorized gather: for row r and column c, the source position is
+        # hi_r - (length - c); valid where it lies inside [lo_r, hi_r)
+        lo = self._offsets[indices]
+        hi = self._offsets[indices + 1] - crop_offset
+        take = np.clip(hi - lo, 0, length)
+        col = np.arange(length)
+        src = hi[:, None] - (length - col)[None, :]  # [B, L]
+        valid = (src >= lo[:, None]) & (src >= 0) & (hi[:, None] > lo[:, None])
+        src_safe = np.clip(src, 0, max(len(self._offsets) and self._offsets[-1] - 1, 0))
+
+        mask = valid.astype(np.int8)
+        seq_len = take.astype(np.int32)
         for feature in self._schema.all_features:
             name = feature.name
             if name not in self._sequences:
@@ -179,24 +191,14 @@ class SequentialDataset:
             values = self._sequences[name]
             if feature.is_seq:
                 dtype = np.int32 if feature.is_cat else np.float32
-                arr = np.full((bsz, length), feature.padding_value, dtype=dtype)
-                for row, i in enumerate(indices):
-                    lo, hi = self._offsets[i], self._offsets[i + 1] - crop_offset
-                    if hi <= lo:
-                        continue
-                    take = min(length, hi - lo)
-                    arr[row, length - take :] = values[hi - take : hi]
-                    mask[row, length - take :] = 1
-                    seq_len[row] = take
+                gathered = values[src_safe]
+                arr = np.where(valid, gathered, feature.padding_value).astype(dtype)
                 out[name] = arr
             else:
                 # non-sequential feature: last value per query
                 arr_dtype = np.int32 if feature.is_cat else np.float32
-                flat = np.empty(bsz, dtype=arr_dtype)
-                for row, i in enumerate(indices):
-                    flat[row] = values[self._offsets[i + 1] - 1]
-                out[name] = flat
-        out["query_id"] = self._query_ids[np.asarray(indices)]
+                out[name] = values[self._offsets[indices + 1] - 1].astype(arr_dtype)
+        out["query_id"] = self._query_ids[indices]
         out["padding_mask"] = mask
         out["seq_len"] = seq_len
         return out

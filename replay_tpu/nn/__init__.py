@@ -13,6 +13,7 @@ from replay_tpu.nn.embedding import (
 from replay_tpu.nn.ffn import PointWiseFeedForward, SwiGLU
 from replay_tpu.nn.attention import MultiHeadSelfAttention
 from replay_tpu.nn.head import EmbeddingTyingHead
+from replay_tpu.nn.tiled_ce import CELossTiled
 from replay_tpu.nn.losses import (
     BCELoss,
     BCESampledLoss,
@@ -42,6 +43,7 @@ __all__ = [
     "BCELoss",
     "BCESampledLoss",
     "CELoss",
+    "CELossTiled",
     "CESampledLoss",
     "LogInCELoss",
     "LogOutCELoss",

@@ -1,0 +1,130 @@
+"""Tiled exact cross-entropy over huge catalogs.
+
+Full-softmax CE (replay_tpu/nn/losses.CELoss) materializes [B, L, N]
+logits — at N = 10⁶ that is tens of GB and caps the batch size.  This
+module computes the EXACT same loss with flash-softmax-style streaming:
+item-table tiles are scanned with a running (max, sum-exp) accumulator, so
+peak memory is O(B·L·tile) while every matmul stays MXU-dense.  The
+backward pass recomputes tile softmaxes in a second scan (the
+rematerialization trade the reference's SCE loss approximates away —
+reference: replay/models/nn/loss/sce.py:27; this kernel needs no
+approximation).
+
+Used through the standard loss contract as ``CELossTiled``.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from replay_tpu.nn.losses import _masked_mean, _safe_labels
+
+
+def _tiles(item_weights: jnp.ndarray, tile: int):
+    n, d = item_weights.shape
+    padded = -(-n // tile) * tile
+    if padded != n:
+        item_weights = jnp.concatenate(
+            [item_weights, jnp.zeros((padded - n, d), item_weights.dtype)], axis=0
+        )
+    return item_weights.reshape(padded // tile, tile, d), n, padded
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def tiled_ce_nll(hidden, labels, item_weights, tile: int = 8192):
+    """Per-position −log softmax(h·Wᵀ)[label], exact, O(B·L·tile) memory.
+
+    :param hidden: [..., D] states; :param labels: [...] int ids;
+    :param item_weights: [N, D].
+    :returns: [...] float32 nll.
+    """
+    nll, _ = _forward(hidden, labels, item_weights, tile)
+    return nll
+
+
+def _forward(hidden, labels, item_weights, tile):
+    w_tiles, n, _ = _tiles(item_weights, tile)
+    flat_h = hidden.reshape(-1, hidden.shape[-1])
+    flat_labels = labels.reshape(-1)
+
+    def scan_tile(carry, inputs):
+        m, s = carry  # running max [M], running sum-exp [M]
+        w_t, base = inputs
+        logits = jnp.dot(
+            flat_h, w_t.T, preferred_element_type=jnp.float32
+        )  # [M, tile]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base
+        logits = jnp.where(col < n, logits, -jnp.inf)
+        tile_max = jnp.max(logits, axis=1)
+        new_m = jnp.maximum(m, tile_max)
+        s = s * jnp.exp(m - new_m) + jnp.sum(jnp.exp(logits - new_m[:, None]), axis=1)
+        return (new_m, s), None
+
+    m0 = jnp.full(flat_h.shape[0], -jnp.inf, dtype=jnp.float32)
+    s0 = jnp.zeros(flat_h.shape[0], dtype=jnp.float32)
+    bases = jnp.arange(w_tiles.shape[0], dtype=jnp.int32) * tile
+    (m, s), _ = jax.lax.scan(scan_tile, (m0, s0), (w_tiles, bases))
+    lse = m + jnp.log(s)
+    pos_w = jnp.take(item_weights, flat_labels, axis=0)
+    pos_logit = jnp.einsum(
+        "md,md->m", flat_h, pos_w, preferred_element_type=jnp.float32
+    )
+    nll = (lse - pos_logit).reshape(labels.shape)
+    return nll, (m, s)
+
+
+def _fwd(hidden, labels, item_weights, tile):
+    nll, (m, s) = _forward(hidden, labels, item_weights, tile)
+    return nll, (hidden, labels, item_weights, m, s)
+
+
+def _bwd(tile, residuals, g):
+    hidden, labels, item_weights, m, s = residuals
+    w_tiles, n, padded = _tiles(item_weights, tile)
+    flat_h = hidden.reshape(-1, hidden.shape[-1]).astype(jnp.float32)
+    flat_labels = labels.reshape(-1)
+    flat_g = g.reshape(-1).astype(jnp.float32)
+    lse_norm = (m, s)
+
+    def scan_tile(dh, inputs):
+        w_t, base = inputs
+        w_f = w_t.astype(jnp.float32)
+        logits = jnp.dot(flat_h, w_f.T, preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base
+        probs = jnp.where(
+            col < n, jnp.exp(logits - lse_norm[0][:, None]) / lse_norm[1][:, None], 0.0
+        )
+        weighted = probs * flat_g[:, None]  # [M, tile]
+        dh = dh + jnp.dot(weighted, w_f, preferred_element_type=jnp.float32)
+        dw_t = jnp.dot(weighted.T, flat_h, preferred_element_type=jnp.float32)
+        return dh, dw_t
+
+    bases = jnp.arange(w_tiles.shape[0], dtype=jnp.int32) * tile
+    dh0 = jnp.zeros_like(flat_h)
+    dh, dw_tiles = jax.lax.scan(scan_tile, dh0, (w_tiles, bases))
+    dw = dw_tiles.reshape(padded, -1)[:n]
+    # subtract the positive-term gradients
+    pos_w = jnp.take(item_weights, flat_labels, axis=0).astype(jnp.float32)
+    dh = dh - flat_g[:, None] * pos_w
+    dw = dw.at[flat_labels].add(-flat_g[:, None] * flat_h)
+    return (
+        dh.reshape(hidden.shape).astype(hidden.dtype),
+        None,
+        dw.astype(item_weights.dtype),
+    )
+
+
+tiled_ce_nll.defvjp(_fwd, _bwd)
+
+
+class CELossTiled:
+    """Exact full-softmax CE with streaming tiles (drop-in for CELoss)."""
+
+    def __init__(self, tile: int = 8192):
+        self.tile = tile
+
+    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+        labels = _safe_labels(labels, mask)
+        nll = tiled_ce_nll(hidden, labels, item_weights, self.tile)
+        return _masked_mean(nll, mask)
