@@ -122,3 +122,25 @@ class TestDataset:
         )
         with pytest.raises(ValueError):
             Dataset(schema, df, categorical_encoded=True)
+
+
+def test_uniform_batching():
+    from replay_tpu.data.utils import UniformBatching, get_schema
+
+    batching = UniformBatching(10, 3)
+    assert len(batching) == 4
+    assert list(batching) == [(0, 3), (3, 6), (6, 9), (9, 10)]
+    import pytest
+
+    with pytest.raises(IndexError):
+        batching.get_limits(4)
+    assert get_schema()["query_id"] == "int64"
+
+
+def test_state_borg_and_logger():
+    from replay_tpu.utils.session import State, logger_with_settings
+
+    State().custom_value = 42
+    assert State().custom_value == 42
+    logger = logger_with_settings()
+    assert logger.name == "replay_tpu"
