@@ -16,7 +16,7 @@ multi-host determinism requirement).
 """
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -217,17 +217,57 @@ class Trainer:
                 out[k] = arr
         return out
 
+    # -------------------------------------------------------------- restore
+    def restore(self, checkpoint_dir: str, example_batch: Dict[str, np.ndarray], step=None):
+        """Resume from an orbax checkpoint (replay_tpu.nn.checkpoint).
+
+        Rebuilds the state template from ``example_batch`` then loads the
+        saved params/opt-state/step; subsequent ``fit`` continues the
+        counter-based RNG stream from the restored step, so the resumed run
+        matches an uninterrupted one.
+        """
+        from replay_tpu.nn.checkpoint import CheckpointManager
+
+        if self.state is None:
+            self.init_state(example_batch)
+        manager = CheckpointManager(checkpoint_dir)
+        template = self.state
+        restored = manager.restore(template, step=step)
+        # orbax restores single-device committed arrays; re-place every leaf
+        # on the mesh (params by the sharding rules, the rest replicated) so
+        # the jitted step sees one consistent device set
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(self.mesh, P())
+        params = jax.device_put(
+            restored.params, infer_param_shardings(restored.params, self.mesh)
+        )
+        rest = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, replicated), restored.opt_state
+        )
+        self.state = restored.replace(
+            params=params,
+            opt_state=rest,
+            step=jax.device_put(restored.step, replicated),
+        )
+        self._train_step = self._build_train_step()
+        return self.state
+
     # ------------------------------------------------------------------- fit
     def fit(
         self,
         train_dataset: SequentialDataset,
-        val_dataset: Optional[SequentialDataset] = None,
+        val_dataset: Union[SequentialDataset, Dict[str, SequentialDataset], None] = None,
     ) -> List[Dict[str, float]]:
+        """Train; ``val_dataset`` may be a single dataset or a dict of named
+        datasets (the reference ParquetModule's multiple-validation-paths
+        CombinedLoader, reference: parquet_module.py:149-202) — metrics from
+        named sets are prefixed ``{name}/``."""
         cfg = self.config
         root_key = jax.random.PRNGKey(cfg.seed)
         if self._train_step is None:
             self._train_step = self._build_train_step()
-        step_no = 0
+        step_no = int(self.state.step) if self.state is not None else 0
         for epoch in range(cfg.max_epochs):
             epoch_losses = []
             # transforms that shorten sequences (NextTokenTransform's shift)
@@ -253,7 +293,16 @@ class Trainer:
                 "loss": float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else float("nan"),
             }
             if val_dataset is not None:
-                record.update(self.validate(train_dataset, val_dataset))
+                if isinstance(val_dataset, dict):
+                    for name, ds in val_dataset.items():
+                        record.update(
+                            {
+                                f"{name}/{k}": v
+                                for k, v in self.validate(train_dataset, ds).items()
+                            }
+                        )
+                else:
+                    record.update(self.validate(train_dataset, val_dataset))
             for cb in self.callbacks:
                 cb(self, record)
             self._history.append(record)

@@ -138,3 +138,27 @@ class TestCompiled:
             sub = {k: np.asarray(v)[:1].repeat(b, axis=0) for k, v in batch.items()}
             out = compiled.predict(sub)
             assert out.shape == (b, N_ITEMS)
+
+
+def test_trainer_restore_resumes(tmp_path, seq_dataset):
+    trainer = make_trainer(seq_dataset, max_epochs=2)
+    trainer.fit(seq_dataset)
+    step_after = int(trainer.state.step)
+    manager = CheckpointManager(str(tmp_path / "resume"))
+    manager.save(step_after, trainer.state)
+
+    fresh = make_trainer(seq_dataset, max_epochs=1)
+    example = next(seq_dataset.batches(batch_size=8, max_sequence_length=9))
+    fresh.restore(str(tmp_path / "resume"), example)
+    assert int(fresh.state.step) == step_after
+    # continues training from the restored step
+    fresh.fit(seq_dataset)
+    assert int(fresh.state.step) > step_after
+
+
+def test_multi_validation_sets(seq_dataset):
+    trainer = make_trainer(seq_dataset, max_epochs=1)
+    history = trainer.fit(seq_dataset, val_dataset={"a": seq_dataset, "b": seq_dataset})
+    record = history[0]
+    assert "a/ndcg@10" in record and "b/ndcg@10" in record
+    np.testing.assert_allclose(record["a/ndcg@10"], record["b/ndcg@10"])
