@@ -39,19 +39,32 @@ class TrainState(train_state.TrainState):
 
 @dataclass
 class OptimizerFactory:
-    """Adam/AdamW factory (reference: replay/nn/lightning/optimizer.py:24)."""
+    """Optimizer factory (reference: replay/nn/lightning/optimizer.py:24).
+
+    ``algorithm`` ∈ {"adam", "adamw", "sgd"}; adamw is implied by a nonzero
+    weight_decay with algorithm="adam".
+    """
 
     learning_rate: float = 1e-3
     betas: tuple = (0.9, 0.98)
     weight_decay: float = 0.0
     clip_norm: Optional[float] = None
+    algorithm: str = "adam"
+    momentum: float = 0.0
 
     def create(self, schedule: Optional[Callable] = None) -> optax.GradientTransformation:
         lr = schedule if schedule is not None else self.learning_rate
-        if self.weight_decay > 0:
-            opt = optax.adamw(lr, b1=self.betas[0], b2=self.betas[1], weight_decay=self.weight_decay)
-        else:
+        if self.algorithm == "sgd":
+            opt = optax.sgd(lr, momentum=self.momentum or None)
+        elif self.algorithm == "adamw" or self.weight_decay > 0:
+            opt = optax.adamw(
+                lr, b1=self.betas[0], b2=self.betas[1], weight_decay=self.weight_decay
+            )
+        elif self.algorithm == "adam":
             opt = optax.adam(lr, b1=self.betas[0], b2=self.betas[1])
+        else:
+            msg = f"Unknown optimizer algorithm {self.algorithm}"
+            raise ValueError(msg)
         if self.clip_norm is not None:
             opt = optax.chain(optax.clip_by_global_norm(self.clip_norm), opt)
         return opt
