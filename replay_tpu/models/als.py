@@ -61,24 +61,49 @@ def _solve_block(
 
 
 def _padded_rows(mat: csr_matrix, block: int, pad_multiple: int = 32):
-    """Yield (start, idx [B, M], val [B, M], mask [B, M]) padded blocks."""
+    """(row_ids, idx [B, M], val [B, M], mask [B, M]) padded blocks.
+
+    Rows are SORTED BY NNZ before blocking, so each block's pad width M is
+    close to its rows' true lengths — under power-law interaction counts
+    this cuts the batched-solve FLOPs by orders of magnitude vs. padding
+    every block to the global maximum.  ``row_ids`` maps block rows back to
+    original entities.  The sparsity pattern is constant across ALS sweeps,
+    so callers build these ONCE per side and reuse them every iteration.
+    """
+    def round_m(x: int) -> int:
+        # power-of-two pad widths → few distinct block shapes → few compiles
+        return max(pad_multiple, 1 << (max(x, 1) - 1).bit_length())
+
     n = mat.shape[0]
-    for start in range(0, n, block):
-        sub = mat[start : start + block]
-        rows = sub.shape[0]
-        nnz = np.diff(sub.indptr)
-        m = max(int(nnz.max()) if len(nnz) else 1, 1)
-        m = -(-m // pad_multiple) * pad_multiple
-        idx = np.zeros((rows, m), dtype=np.int32)
-        val = np.zeros((rows, m), dtype=np.float32)
-        msk = np.zeros((rows, m), dtype=np.float32)
-        for r in range(rows):
-            lo, hi = sub.indptr[r], sub.indptr[r + 1]
-            cnt = hi - lo
-            idx[r, :cnt] = sub.indices[lo:hi]
-            val[r, :cnt] = sub.data[lo:hi]
-            msk[r, :cnt] = 1.0
-        yield start, idx, val, msk
+    nnz_all = np.diff(mat.indptr)
+    order = np.argsort(nnz_all, kind="stable")
+    # cap B·M per block: heavy power-law entities land in narrow blocks
+    # instead of inflating every row's pad width (the [n_items, max_users]
+    # gather would otherwise materialize gigabytes)
+    cell_budget = 1 << 22
+    out = []
+    start = 0
+    while start < n:
+        end = start + 1
+        m = round_m(int(nnz_all[order[start]]))
+        while end < n and (end - start) < block:
+            cand_m = max(m, round_m(int(nnz_all[order[end]])))
+            if (end - start + 1) * cand_m > cell_budget:
+                break
+            m = cand_m
+            end += 1
+        rows = order[start:end]
+        nnz = nnz_all[rows]
+        col = np.arange(m)
+        src = mat.indptr[rows][:, None] + col[None, :]
+        valid = col[None, :] < nnz[:, None]
+        src_safe = np.minimum(src, max(len(mat.indices) - 1, 0))
+        idx = np.where(valid, mat.indices[src_safe], 0).astype(np.int32)
+        val = np.where(valid, mat.data[src_safe], 0.0).astype(np.float32)
+        msk = valid.astype(np.float32)
+        out.append((rows, idx, val, msk))
+        start = end
+    return out
 
 
 class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
@@ -151,32 +176,34 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         reg = jnp.float32(self.regularization)
         alpha = jnp.float32(self.alpha)
 
+        # padded observation blocks are sparsity-pattern-only → build once
+        # and upload once (reused by every sweep)
+        to_dev = lambda blocks: [  # noqa: E731
+            (rows, jnp.asarray(idx), jnp.asarray(val), jnp.asarray(msk))
+            for rows, idx, val, msk in blocks
+        ]
+        q_blocks = to_dev(_padded_rows(mat, self.block_size))
+        i_blocks = to_dev(_padded_rows(mat_t, self.block_size))
+        u = jnp.asarray(u)
+        v = jnp.asarray(v)
         for _ in range(self.num_iterations):
-            u = self._half_sweep(mat, v, reg, alpha)
-            v = self._half_sweep(mat_t, u, reg, alpha)
+            u = self._half_sweep(q_blocks, mat.shape[0], v, reg, alpha)
+            v = self._half_sweep(i_blocks, mat_t.shape[0], u, reg, alpha)
         self.query_factors, self.item_factors = np.asarray(u), np.asarray(v)
         if self.ann_enabled:
             self._build_ann_index()
 
-    def _half_sweep(self, mat: csr_matrix, other: np.ndarray, reg, alpha) -> np.ndarray:
-        other_dev = jnp.asarray(other)
+    def _half_sweep(self, blocks, n_rows: int, other_dev, reg, alpha):
         if self.implicit_prefs:
             gram = jnp.dot(other_dev.T, other_dev, preferred_element_type=jnp.float32)
         else:
             gram = jnp.zeros((self.rank, self.rank), dtype=jnp.float32)
-        out = np.zeros((mat.shape[0], self.rank), dtype=np.float32)
-        for start, idx, val, msk in _padded_rows(mat, self.block_size):
+        out = jnp.zeros((n_rows, self.rank), dtype=jnp.float32)
+        for rows, idx, val, msk in blocks:
             sol = _solve_block(
-                other_dev,
-                gram,
-                jnp.asarray(idx),
-                jnp.asarray(val),
-                jnp.asarray(msk),
-                reg,
-                alpha,
-                self.implicit_prefs,
+                other_dev, gram, idx, val, msk, reg, alpha, self.implicit_prefs
             )
-            out[start : start + len(idx)] = np.asarray(sol)
+            out = out.at[jnp.asarray(rows)].set(sol)
         return out
 
     def _predict(self, dataset, k, queries, items, filter_seen_items=True):
