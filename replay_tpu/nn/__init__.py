@@ -19,6 +19,8 @@ from replay_tpu.nn.losses import (
     BCESampledLoss,
     CELoss,
     CESampledLoss,
+    CESampledWeightedLoss,
+    CEWeightedLoss,
     LogInCELoss,
     LogOutCELoss,
     ScalableCELoss,
@@ -45,6 +47,8 @@ __all__ = [
     "CELoss",
     "CELossTiled",
     "CESampledLoss",
+    "CESampledWeightedLoss",
+    "CEWeightedLoss",
     "LogInCELoss",
     "LogOutCELoss",
     "ScalableCELoss",

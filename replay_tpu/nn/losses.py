@@ -266,3 +266,41 @@ class ScalableCELoss:
         total = jnp.logaddexp(pos_logit, acc)
         nll = total - pos_logit
         return jnp.sum(nll * flat_mask) / jnp.maximum(jnp.sum(flat_mask), 1.0)
+
+
+class CEWeightedLoss(CELoss):
+    """CE with per-position sample weights (reference: replay/nn/loss/ce.py:84
+    CEWeighted) — weights arrive in the batch as ``sample_weights`` [B, L]
+    (e.g. time-decay from replay_tpu.utils.time) and scale each position's
+    contribution inside the masked mean."""
+
+    def __call__(self, hidden, labels, mask, item_weights, *, sample_weights=None, key=None):
+        if sample_weights is None:
+            return super().__call__(hidden, labels, mask, item_weights, key=key)
+        labels = _safe_labels(labels, mask)
+        logits = tying_logits(hidden, item_weights)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        w = mask.astype(jnp.float32) * sample_weights.astype(jnp.float32)
+        return jnp.sum(jnp.where(w > 0, nll * w, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class CESampledWeightedLoss(CESampledLoss):
+    """Sampled CE with per-position weights (reference: ce.py:252)."""
+
+    def __call__(self, hidden, labels, mask, item_weights, *, sample_weights=None, key=None):
+        if sample_weights is None:
+            return super().__call__(hidden, labels, mask, item_weights, key=key)
+        labels = _safe_labels(labels, mask)
+        n_items = item_weights.shape[0]
+        negs = jax.random.randint(key, (self.n_negatives,), 0, n_items)
+        neg_w = jnp.take(item_weights, negs, axis=0)
+        pos_w = jnp.take(item_weights, labels, axis=0)
+        pos_logit = jnp.einsum("bld,bld->bl", hidden, pos_w, preferred_element_type=jnp.float32)
+        neg_logit = jnp.einsum("bld,nd->bln", hidden, neg_w, preferred_element_type=jnp.float32)
+        collide = labels[..., None] == negs[None, None, :]
+        neg_logit = jnp.where(collide, NEG, neg_logit)
+        all_logits = jnp.concatenate([pos_logit[..., None], neg_logit], axis=-1)
+        nll = -jax.nn.log_softmax(all_logits, axis=-1)[..., 0]
+        w = mask.astype(jnp.float32) * sample_weights.astype(jnp.float32)
+        return jnp.sum(jnp.where(w > 0, nll * w, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)

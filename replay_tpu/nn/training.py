@@ -209,6 +209,8 @@ class Trainer:
                 kwargs = {"key": lkey}
                 if negatives is not None:
                     kwargs["negatives"] = negatives
+                if "sample_weights" in batch:
+                    kwargs["sample_weights"] = batch["sample_weights"]
                 return loss_fn_outer(hidden, labels, mask, item_w, **kwargs)
 
             loss_val, grads = jax.value_and_grad(compute_loss)(state.params)

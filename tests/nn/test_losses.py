@@ -111,3 +111,27 @@ def test_losses_decrease_under_sgd(inputs):
         for _ in range(20):
             w = w - 0.5 * jax.grad(f)(w)
         assert f(w) < before
+
+
+def test_weighted_ce_variants(inputs):
+    from replay_tpu.nn.losses import CESampledWeightedLoss, CEWeightedLoss
+
+    hidden, labels, mask, weights = inputs
+    key = jax.random.PRNGKey(0)
+    uniform = jnp.ones_like(mask)
+    # uniform weights == unweighted loss
+    np.testing.assert_allclose(
+        CEWeightedLoss()(hidden, labels, mask, weights, sample_weights=uniform),
+        CELoss()(hidden, labels, mask, weights),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        CESampledWeightedLoss(8)(hidden, labels, mask, weights,
+                                 sample_weights=uniform, key=key),
+        CESampledLoss(8)(hidden, labels, mask, weights, key=key),
+        rtol=1e-6,
+    )
+    # non-uniform weights change the value
+    ramp = jnp.linspace(0.1, 1.0, mask.shape[1])[None, :].repeat(mask.shape[0], 0)
+    weighted = CEWeightedLoss()(hidden, labels, mask, weights, sample_weights=ramp)
+    assert not np.isclose(float(weighted), float(CELoss()(hidden, labels, mask, weights)))
