@@ -18,6 +18,7 @@ from replay_tpu.metrics.descriptors import (
     PerUser,
 )
 from replay_tpu.metrics.experiment import Experiment
+from replay_tpu.metrics.builder import MetricsBuilder, metrics_to_df
 from replay_tpu.metrics.ncis_precision import NCISPrecision
 from replay_tpu.metrics.novelty import Novelty
 from replay_tpu.metrics.offline_metrics import OfflineMetrics
@@ -43,7 +44,9 @@ __all__ = [
     "MetricsPerUserReturnType",
     "MetricsReturnType",
     "NDCG",
+    "MetricsBuilder",
     "NCISPrecision",
+    "metrics_to_df",
     "Novelty",
     "OfflineMetrics",
     "PerUser",

@@ -79,6 +79,18 @@ def _batch_metric_sums(
     return out
 
 
+def metrics_to_df(metrics):
+    """{"metric@k": value} → tidy frame with metrics as rows, k as columns
+    (reference: replay/metrics/torch_metrics_builder.py:395)."""
+    import pandas as pd
+
+    rows = {}
+    for name, value in metrics.items():
+        metric, _, k = name.partition("@")
+        rows.setdefault(metric, {})[f"@{k}" if k else ""] = value
+    return pd.DataFrame(rows).T.sort_index()
+
+
 class MetricsBuilder:
     """Accumulate ranking metrics over prediction batches (reference:
     replay/metrics/torch_metrics_builder.py:196)."""

@@ -91,3 +91,11 @@ def test_novelty_and_coverage():
     got = builder.get_metrics()
     np.testing.assert_allclose(got["novelty@3"], (2 / 3 + 1.0) / 2)
     np.testing.assert_allclose(got["coverage@3"], 6 / 10)
+
+
+def test_metrics_to_df():
+    from replay_tpu.metrics import metrics_to_df
+
+    frame = metrics_to_df({"ndcg@5": 0.1, "ndcg@10": 0.2, "recall@5": 0.3})
+    assert frame.loc["ndcg", "@10"] == 0.2
+    assert frame.loc["recall", "@5"] == 0.3

@@ -45,3 +45,27 @@ def test_bert4rec_template(item_schema):
 def test_twotower_template_same_as_sasrec(item_schema):
     t = make_default_twotower_transforms(item_schema)
     assert set(t) == {"train", "validation", "test", "predict"}
+
+
+def test_standalone_aggregators():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from replay_tpu.nn.agg import ConcatAggregator, PositionAwareAggregator, SumAggregator
+
+    embs = {
+        "a": jnp.ones((2, 4, 8)),
+        "b": jnp.full((2, 4, 8), 2.0),
+    }
+    s = SumAggregator()
+    out = s.apply(s.init(jax.random.PRNGKey(0), embs), embs)
+    np.testing.assert_allclose(np.asarray(out), 3.0)
+
+    c = ConcatAggregator(output_dim=6)
+    params = c.init(jax.random.PRNGKey(0), embs)
+    assert c.apply(params, embs).shape == (2, 4, 6)
+
+    p = PositionAwareAggregator(max_len=4)
+    params = p.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, embs)
+    assert p.apply(params, embs).shape == (2, 4, 8)
