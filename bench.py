@@ -21,9 +21,33 @@ MovieLens-1M-scale catalog):
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _ensure_live_backend(timeout_s: int = 150) -> str:
+    """Return the usable backend, falling back to CPU if the accelerator
+    runtime hangs.  The probe runs in a SUBPROCESS because a hung tunnel
+    blocks inside C code where in-process timeouts (SIGALRM) never fire."""
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend()); float(jax.numpy.ones(())+1)"],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+        if probe.returncode == 0:
+            return probe.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu (accelerator unresponsive)"
 
 N_ITEMS = 3706
 SEQ_LEN = 50
@@ -152,6 +176,10 @@ def bench_torch() -> float:
 
 
 def main():
+    global BATCH
+    backend = _ensure_live_backend()
+    if "tpu" not in backend:
+        BATCH = 256  # CPU can't hold the TPU-sized batch's logits
     jax_rate = bench_jax()
     try:
         torch_rate = bench_torch()
@@ -162,6 +190,7 @@ def main():
         "value": round(jax_rate, 1),
         "unit": "examples/s",
         "vs_baseline": round(jax_rate / torch_rate, 2) if torch_rate else None,
+        "backend": backend,
     }
     print(json.dumps(result))
 
