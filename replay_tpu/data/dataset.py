@@ -24,6 +24,17 @@ from replay_tpu.data.schema import (
 _SAVE_DIR_SUFFIX = ".replay"
 
 
+def _ingest(frame) -> pd.DataFrame:
+    """Accept pandas (native), polars, or pyarrow inputs at the Dataset
+    boundary — the reference's multi-backend API surface mapped onto the
+    single pandas CPU data plane."""
+    if isinstance(frame, pd.DataFrame):
+        return frame
+    if hasattr(frame, "to_pandas"):  # polars.DataFrame / pyarrow.Table
+        return frame.to_pandas()
+    return pd.DataFrame(frame)
+
+
 class Dataset:
     """Interactions + optional query/item feature frames under a FeatureSchema."""
 
@@ -36,8 +47,9 @@ class Dataset:
         check_consistency: bool = True,
         categorical_encoded: bool = False,
     ):
-        if not isinstance(interactions, pd.DataFrame):
-            interactions = pd.DataFrame(interactions)
+        interactions = _ingest(interactions)
+        query_features = _ingest(query_features) if query_features is not None else None
+        item_features = _ingest(item_features) if item_features is not None else None
         self._interactions = interactions
         self._query_features = query_features
         self._item_features = item_features
@@ -131,6 +143,23 @@ class Dataset:
 
     def cache(self) -> None:
         """No-op; kept for API parity."""
+
+    @property
+    def is_pandas(self) -> bool:
+        """Always True: the CPU data plane is pandas (polars/arrow inputs are
+        ingested at the boundary; reference triple-backend parity)."""
+        return True
+
+    def to_polars(self):  # pragma: no cover - polars absent in CI image
+        """Return (interactions, query_features, item_features) as polars
+        frames (requires the optional polars dependency)."""
+        from replay_tpu.utils.common import convert2polars
+
+        return (
+            convert2polars(self._interactions),
+            convert2polars(self._query_features) if self._query_features is not None else None,
+            convert2polars(self._item_features) if self._item_features is not None else None,
+        )
 
     def to_pandas(self) -> None:
         """No-op; frames are already pandas."""

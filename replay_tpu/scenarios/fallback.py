@@ -144,6 +144,34 @@ class Fallback(BaseRecommender):
         self.fit(dataset)
         return self.predict(dataset, k, **kwargs)
 
+    def optimize(
+        self,
+        train_dataset,
+        test_dataset,
+        param_borders=None,
+        criterion=None,
+        k: int = 10,
+        budget: int = 10,
+        new_study: bool = True,
+    ):
+        """Optimize main then fallback models (reference:
+        replay/scenarios/fallback.py:125); ``param_borders`` may carry
+        ``{"main": ..., "fallback": ...}`` sub-dicts."""
+        if param_borders is None:
+            param_borders = {"main": None, "fallback": None}
+        params = self.main_model.optimize(
+            train_dataset, test_dataset, param_borders.get("main"), criterion, k, budget, new_study
+        )
+        self.main_model.set_params(**params)
+        fb_params = None
+        if self.fb_model._search_space is not None:
+            fb_params = self.fb_model.optimize(
+                train_dataset, test_dataset, param_borders.get("fallback"),
+                criterion, k, budget, new_study,
+            )
+            self.fb_model.set_params(**fb_params)
+        return params, fb_params
+
     def _fit(self, dataset: Dataset) -> None:
         self.main_model._fit_wrap(dataset)
         self.fb_model._fit_wrap(dataset)
