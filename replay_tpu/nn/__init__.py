@@ -27,6 +27,10 @@ from replay_tpu.nn.losses import (
 )
 from replay_tpu.nn.transforms import (
     Compose,
+    GroupTransform,
+    MaskedLMTransform,
+    RenameTransform,
+    UnsqueezeTransform,
     NextTokenTransform,
     SequenceRollTransform,
     TokenMaskTransform,
@@ -53,6 +57,10 @@ __all__ = [
     "LogOutCELoss",
     "ScalableCELoss",
     "Compose",
+    "GroupTransform",
+    "MaskedLMTransform",
+    "RenameTransform",
+    "UnsqueezeTransform",
     "NextTokenTransform",
     "SequenceRollTransform",
     "TokenMaskTransform",

@@ -206,6 +206,35 @@ class CopyTransform:
         return out
 
 
+class UnsqueezeTransform:
+    """Add a trailing (or given) axis to named fields (reference:
+    replay/nn/transform/unsqueeze.py)."""
+
+    def __init__(self, fields, axis: int = -1):
+        self.fields = [fields] if isinstance(fields, str) else list(fields)
+        self.axis = axis
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = dict(batch)
+        for f in self.fields:
+            out[f] = jnp.expand_dims(batch[f], self.axis)
+        return out
+
+
+class GroupTransform:
+    """Nest named fields under a sub-dict (reference:
+    replay/nn/transform/group.py — the feature_tensors grouping)."""
+
+    def __init__(self, groups):
+        self.groups = groups  # {group_name: [field, ...]}
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = {k: v for k, v in batch.items()}
+        for name, fields in self.groups.items():
+            out[name] = {f: batch[f] for f in fields if f in batch}
+        return out
+
+
 class SelectTransform:
     def __init__(self, fields: Sequence[str]):
         self.fields = set(fields)

@@ -70,3 +70,14 @@ def test_rename_copy_select_compose():
     )
     out = pipeline(make_batch(), key=jax.random.PRNGKey(0))
     assert set(out) == {"raw", "user", "item_id", "padding_mask", "batch_mask"}
+
+
+def test_unsqueeze_and_group():
+    from replay_tpu.nn.transforms import GroupTransform, UnsqueezeTransform
+
+    batch = make_batch()
+    out = UnsqueezeTransform("query_id")(batch)
+    assert out["query_id"].shape == (2, 1)
+    grouped = GroupTransform({"feature_tensors": ["item_id", "padding_mask"]})(batch)
+    assert set(grouped["feature_tensors"]) == {"item_id", "padding_mask"}
+    np.testing.assert_array_equal(grouped["feature_tensors"]["item_id"], batch["item_id"])
