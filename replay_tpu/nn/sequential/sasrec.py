@@ -157,8 +157,41 @@ class SasRec(nn.Module):
     ffn: str = "pointwise"
     dtype: jnp.dtype = jnp.bfloat16
 
+    @classmethod
+    def from_params(
+        cls,
+        schema: TensorSchema,
+        num_heads: int = 4,
+        num_blocks: int = 2,
+        max_sequence_length: int = 50,
+        dropout: float = 0.3,
+        attention: str = "default",
+        ffn: str = "pointwise",
+    ) -> "SasRec":
+        """Convenience factory mirroring the reference's ``from_params``
+        (reference: replay/nn/sequential/sasrec/model.py:200); query-id and
+        timestamp features are excluded from the embedder automatically."""
+        return cls(
+            schema=schema,
+            max_sequence_length=max_sequence_length,
+            num_blocks=num_blocks,
+            num_heads=num_heads,
+            dropout_rate=dropout,
+            attention=attention,
+            ffn=ffn,
+        )
+
     def setup(self):
+        excluded = tuple(
+            name
+            for name in (
+                self.schema.query_id_feature_name,
+                self.schema.timestamp_feature_name,
+            )
+            if name is not None
+        )
         self.body = SasRecBody(
+            excluded_features=excluded,
             schema=self.schema,
             max_sequence_length=self.max_sequence_length,
             num_blocks=self.num_blocks,
