@@ -91,6 +91,9 @@ class SequenceEmbedding(nn.Module):
     schema: TensorSchema
     aggregation_mode: str = "sum"
     excluded_features: Sequence[str] = ()
+    # list-feature slot aggregation (reference SequenceEmbedding's
+    # categorical_list_feature_aggregation_method): sum | mean | max
+    list_aggregation: str = "sum"
     dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
@@ -135,7 +138,30 @@ class SequenceEmbedding(nn.Module):
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         outputs = []
         for name, embedder in self._embedders.items():
-            outputs.append(embedder(batch[name]))
+            emb = embedder(batch[name])
+            feature = self.schema[name]
+            if feature.is_list and feature.is_cat:
+                # [B, L, S, D] slot embeddings → [B, L, D]; slots using the
+                # padding id contribute zero (mask before aggregation)
+                mask_name = f"{name}_mask"
+                if mask_name in batch:
+                    slot_mask = batch[mask_name][..., None].astype(emb.dtype)
+                else:
+                    slot_mask = (batch[name] != feature.padding_value)[..., None].astype(
+                        emb.dtype
+                    )
+                emb = emb * slot_mask
+                if self.list_aggregation == "mean":
+                    denom = jnp.maximum(jnp.sum(slot_mask, axis=-2), 1.0)
+                    emb = jnp.sum(emb, axis=-2) / denom
+                elif self.list_aggregation == "max":
+                    emb = jnp.max(
+                        jnp.where(slot_mask > 0, emb, jnp.float32(-3e38).astype(emb.dtype)),
+                        axis=-2,
+                    )
+                else:
+                    emb = jnp.sum(emb, axis=-2)
+            outputs.append(emb)
         if self.aggregation_mode == "concat":
             return jnp.concatenate(outputs, axis=-1)
         result = outputs[0]

@@ -411,6 +411,43 @@ class Trainer:
 
         return jax.jit(infer)
 
+    def predict_candidates(
+        self,
+        dataset: SequentialDataset,
+        candidates,
+    ):
+        """Scores for an explicit candidate-item subset per query — the
+        reference's ``candidates_to_score`` path (reference:
+        replay/nn/lightning/module.py candidates injection).
+
+        :returns: (query_ids [N], scores [N, n_candidates]).
+        """
+        cfg = self.config
+        model = self.model
+        extra = self.extra_variables
+        cand = jnp.asarray(np.asarray(candidates))
+
+        @jax.jit
+        def infer(params, batch):
+            return model.apply(
+                {"params": params, **extra},
+                batch,
+                cand,
+                method=type(model).forward_inference,
+            )
+
+        all_ids, all_scores = [], []
+        for batch in dataset.batches(
+            batch_size=cfg.batch_size,
+            max_sequence_length=cfg.max_sequence_length,
+            shuffle=False,
+        ):
+            scores = infer(self.state.params, self._place_batch(batch))
+            real = np.asarray(batch["batch_mask"]).astype(bool)
+            all_ids.append(np.asarray(batch["query_id"])[real])
+            all_scores.append(np.asarray(scores)[real])
+        return np.concatenate(all_ids), np.concatenate(all_scores)
+
     # --------------------------------------------------------------- predict
     def predict_topk(
         self,

@@ -115,3 +115,64 @@ def test_multifeature_training_runs():
     )
     history = trainer.fit(ds)
     assert all(np.isfinite(h["loss"]) for h in history)
+
+
+def test_categorical_list_feature():
+    from replay_tpu.nn.embedding import SequenceEmbedding
+
+    schema = TensorSchema(
+        [
+            TensorFeatureInfo(
+                "item_id", TensorFeatureType.CATEGORICAL, is_seq=True,
+                feature_hint=FeatureHint.ITEM_ID,
+                cardinality=N_ITEMS, embedding_dim=8, padding_value=N_ITEMS,
+            ),
+            TensorFeatureInfo(
+                "genres", TensorFeatureType.CATEGORICAL_LIST, is_seq=True,
+                cardinality=6, embedding_dim=8, padding_value=6,
+            ),
+        ]
+    )
+    batch = {
+        "item_id": jnp.asarray(np.random.default_rng(0).integers(0, N_ITEMS, (2, 4)).astype(np.int32)),
+        "genres": jnp.asarray([[[0, 1, 6], [2, 6, 6], [3, 4, 5], [6, 6, 6]]] * 2, dtype=jnp.int32),
+    }
+    for agg in ("sum", "mean", "max"):
+        emb = SequenceEmbedding(schema=schema, list_aggregation=agg)
+        variables = emb.init(jax.random.PRNGKey(0), batch)
+        out = emb.apply(variables, batch)
+        assert out.shape == (2, 4, 8)
+        assert bool(jnp.all(jnp.isfinite(out)))
+    # all-padding slots position: list part contributes zero under sum
+    emb = SequenceEmbedding(schema=schema, list_aggregation="sum")
+    variables = emb.init(jax.random.PRNGKey(0), batch)
+    out = emb.apply(variables, batch)
+    item_only = SequenceEmbedding(
+        schema=schema.subset(["item_id"]))
+    vars2 = {"params": {"emb_item_id": variables["params"]["emb_item_id"]}}
+    out2 = item_only.apply(vars2, {"item_id": batch["item_id"]})
+    np.testing.assert_allclose(
+        np.asarray(out[:, 3], np.float32), np.asarray(out2[:, 3], np.float32), atol=1e-6
+    )
+
+
+def test_predict_candidates():
+    ds = rich_dataset()
+    model = SasRec.from_params(ds.schema, num_heads=2, num_blocks=1, max_sequence_length=8)
+    trainer = Trainer(
+        model,
+        CESampledLoss(8),
+        transform=NextTokenTransform(),
+        config=TrainerConfig(max_epochs=1, batch_size=8, max_sequence_length=8),
+    )
+    trainer.fit(ds)
+    cands = np.array([0, 5, 7, 9])
+    ids, scores = trainer.predict_candidates(ds, cands)
+    assert scores.shape == (len(ds), 4)
+    # candidate scores equal the matching full-catalog columns
+    _, items, _ = trainer.predict_topk(ds, k=N_ITEMS, filter_seen=False)
+    full = trainer._make_infer_fn()(trainer.state.params,
+                                    trainer._place_batch(next(ds.batches(8, 8))))
+    np.testing.assert_allclose(
+        scores[:8], np.asarray(full)[:, cands], rtol=2e-2, atol=1e-3
+    )
