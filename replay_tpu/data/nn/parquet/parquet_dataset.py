@@ -71,7 +71,7 @@ class ParquetDataset:
 
     def __len__(self) -> int:
         """Number of batches this replica yields per epoch."""
-        replica, n_replicas = self._replica
+        n_replicas = self._replica[1]
         per_replica = -(-self._n_rows // n_replicas) if n_replicas > 1 else self._n_rows
         if self.drop_last:
             return per_replica // self.batch_size

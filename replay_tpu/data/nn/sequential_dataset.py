@@ -168,7 +168,6 @@ class SequentialDataset:
             shifts host-side).
         """
         indices = np.asarray(indices)
-        bsz = len(indices)
         length = max_sequence_length
         out: Batch = {}
 

@@ -94,7 +94,6 @@ class AssociationRulesItemRec(NeighbourRec):
     def _fit(self, dataset: Dataset) -> None:
         session_col = self.session_column or self.query_column
         inter = dataset.interactions
-        cols = [session_col, self.item_column]
         rating = (
             inter[self.rating_column].to_numpy(dtype=np.float64)
             if self.use_rating and self.rating_column in inter.columns
@@ -125,11 +124,8 @@ class AssociationRulesItemRec(NeighbourRec):
         # equals pair_count; with real ratings compute per-session mins
         # through two thresholded products when ratings vary.
         if self.use_rating and not np.allclose(r, r[0] if len(r) else 1.0):
-            rat = csr_matrix((r, (s_pos, i_pos)), shape=(n_sessions, n_items))
-            # min(a,b) = a - relu(a-b); computed per session pairwise is
-            # quadratic — use the standard identity via element-wise minimum
-            # on the (rare) sessions frame instead
-            pair_rating_mat = {}
+            # real-valued ratings: pair rating = Σ_sessions min(r_a, r_b),
+            # computed on the self-joined pair frame
             frame2 = pd.DataFrame({"s": s_pos, "i": i_pos, "r": r})
             merged = frame2.merge(frame2, on="s")
             merged = merged[merged["i_x"] < merged["i_y"]]
@@ -141,7 +137,6 @@ class AssociationRulesItemRec(NeighbourRec):
             b_idx = prr.index.get_level_values(1).to_numpy()
             counts = pr.to_numpy()
             ratings_sum = prr.to_numpy()
-            del pair_rating_mat, rat
         else:
             mask_ut = pair_count.row < pair_count.col
             a_idx = pair_count.row[mask_ut]

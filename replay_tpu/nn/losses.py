@@ -180,10 +180,10 @@ class LogOutCELoss:
     transforms that attach a ``negatives`` array."""
 
     def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
-        labels = _safe_labels(labels, mask)
         if negatives is None:
             msg = "LogOutCELoss requires a negatives array (use UniformNegativeSamplingTransform)"
             raise ValueError(msg)
+        labels = _safe_labels(labels, mask)
         neg_w = jnp.take(item_weights, negatives, axis=0)  # [n, D] shared per step
         pos_w = jnp.take(item_weights, labels, axis=0)
         pos_logit = jnp.einsum(

@@ -55,7 +55,6 @@ class NextTokenTransform:
 
     def __call__(self, batch: Batch, key=None) -> Batch:
         out = dict(batch)
-        item_field = batch["_item_field"] if "_item_field" in batch else None
         # label = next item; the item sequence itself defines the labels
         seq_fields = [
             k
