@@ -27,8 +27,16 @@ def _build_library() -> Path:
     out = Path(__file__).parent / "native" / "libreplay_hnsw.so"
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(src), "-o", str(out)]
-    subprocess.run(cmd, check=True, capture_output=True)
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC",
+        str(src), "-o", str(out),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # toolchains without OpenMP: fall back to single-threaded search
+        cmd.remove("-fopenmp")
+        subprocess.run(cmd, check=True, capture_output=True)
     return out
 
 

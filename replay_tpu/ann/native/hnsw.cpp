@@ -9,7 +9,7 @@
 // ctypes wrapper in replay_tpu/ann/hnsw.py.  Spaces: l2, ip (inner
 // product, max), cosine (vectors normalized on add).
 //
-// Build: g++ -O3 -march=native -shared -fPIC hnsw.cpp -o libreplay_hnsw.so
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC hnsw.cpp -o libreplay_hnsw.so
 
 #include <algorithm>
 #include <cmath>
@@ -301,6 +301,7 @@ void hnsw_add_items(void* h, const float* vecs, const int64_t* ids, int n) {
 void hnsw_search(void* h, const float* queries, int nq, int k,
                  int64_t* out_labels, float* out_dists) {
     auto* idx = (Index*)h;
+#pragma omp parallel for schedule(dynamic, 8)
     for (int i = 0; i < nq; ++i) {
         idx->search(queries + (size_t)i * idx->dim, k,
                     out_labels + (size_t)i * k, out_dists + (size_t)i * k);
