@@ -1,5 +1,9 @@
 """Native C++ HNSW index tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.core
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,10 @@
 """Parquet streaming pipeline tests (synthetic files, reference test pattern:
 tests/data/nn/parquet/)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.core
+
 import numpy as np
 import pandas as pd
 import pytest

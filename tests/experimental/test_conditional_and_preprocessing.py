@@ -1,5 +1,9 @@
 """Conditional imports, NeuralTS, and experimental preprocessing tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.experimental
+
 import numpy as np
 import pandas as pd
 import pytest

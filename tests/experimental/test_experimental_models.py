@@ -1,5 +1,9 @@
 """Experimental model tests: ADMMSLIM, MultVAE, NeuroMF, ULinUCB."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.experimental
+
 import numpy as np
 import pandas as pd
 import pytest

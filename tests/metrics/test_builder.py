@@ -1,5 +1,9 @@
 """MetricsBuilder must agree with the offline dataframe metrics."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.core
+
 import numpy as np
 import pandas as pd
 import pytest

@@ -1,5 +1,9 @@
 """ALS / SLIM / Word2Vec tests on a block-structured log."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.core
+
 import numpy as np
 import pandas as pd
 import pytest

@@ -1,3 +1,7 @@
+import pytest as _pytest
+
+pytestmark = _pytest.mark.core
+
 import numpy as np
 import pandas as pd
 import pytest

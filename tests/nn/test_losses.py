@@ -1,5 +1,9 @@
 """Loss correctness: finiteness, gradients, and analytic reference values."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.nn
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """Feature-rich sequential models: item + categorical + numerical features
 through the multi-feature embedder (reference SequenceEmbedding coverage)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.nn
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """SASRec model + Trainer integration tests (virtual 8-device CPU mesh)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.nn
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """Checkpointing, callbacks, postprocessors, and AOT export tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.nn
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """Transform template tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.nn
+
 import jax
 import numpy as np
 

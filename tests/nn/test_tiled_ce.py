@@ -1,5 +1,9 @@
 """Tiled exact-CE tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.nn
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """Fused top-k kernel tests (interpret mode on CPU; the real-TPU path is
 exercised by bench.py / the driver)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.core
+
 import jax.numpy as jnp
 import numpy as np
 import pytest

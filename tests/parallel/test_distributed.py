@@ -1,5 +1,9 @@
 """Distributed top-k, sharding rules, and embedding surgery tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.mesh
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """Explicit sharded embedding lookup: forward and gradient equivalence."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.mesh
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,6 +8,10 @@ embedding-gradient bugs (duplicate ids in a batch, scatter-add to wrong
 shard) called out in SURVEY.md §7.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.mesh
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """History-based feature processors + utils/common tests."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.core
+
 import numpy as np
 import pandas as pd
 import pytest
