@@ -15,6 +15,10 @@ Pipeline per epoch:
     columns padded per the Metadata declaration with ``{col}_mask`` masks;
   → the final short batch is padded with repeated rows and flagged by
     ``batch_mask``, keeping every batch shape static for jit.
+
+Padding is fully vectorized off pyarrow list offsets (one fancy-index
+gather per column per batch — no per-row Python), keeping the host loader
+well ahead of device step times.
 """
 
 from typing import Dict, Iterator, List, Optional
@@ -25,6 +29,20 @@ from replay_tpu.data.nn.parquet.info import ReplicasInfo, replica_indices
 from replay_tpu.data.nn.parquet.metadata import Metadata, mask_name, pad_column
 
 Batch = Dict[str, np.ndarray]
+
+
+def _pad_list_batch(flat, lengths, starts, meta):
+    """Vectorized left-pad of ragged rows described by (flat values,
+    per-row lengths, per-row start offsets) → (array [B, L], mask)."""
+    length = meta.shape[0]
+    n = len(lengths)
+    ends = starts + lengths
+    col = np.arange(length)
+    src = ends[:, None] - (length - col)[None, :]
+    valid = src >= starts[:, None]
+    src_safe = np.clip(src, 0, max(len(flat) - 1, 0))
+    arr = np.where(valid, flat[src_safe], meta.padding).astype(meta.dtype)
+    return arr, valid.astype(np.int8)
 
 
 class ParquetDataset:
@@ -82,8 +100,35 @@ class ParquetDataset:
         self._epoch = epoch
 
     # ------------------------------------------------------------- iteration
-    def _row_batches(self) -> Iterator[Dict[str, List]]:
-        """Yield raw column-list chunks of this replica's rows."""
+    def _columns_of(self, table, order: Optional[np.ndarray]):
+        """Table → {col: np scalar array | (flat, lengths, starts)}."""
+        import pyarrow as pa
+
+        out = {}
+        for name, meta in self.metadata.items():
+            column = table.column(name).combine_chunks()
+            if meta.shape == ():
+                arr = column.to_numpy(zero_copy_only=False)
+                out[name] = arr[order] if order is not None else arr
+            elif len(meta.shape) == 1:
+                la = column
+                offsets = np.asarray(la.offsets)
+                flat = np.asarray(la.values.to_numpy(zero_copy_only=False))
+                starts = offsets[:-1].astype(np.int64)
+                lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+                if order is not None:
+                    starts, lengths = starts[order], lengths[order]
+                out[name] = (flat, lengths, starts)
+            else:
+                # 2-D nested lists: rare; fall back to python rows
+                rows = column.to_pylist()
+                if order is not None:
+                    rows = [rows[i] for i in order]
+                out[name] = ("__pylist__", rows)
+        return out
+
+    def _row_batches(self):
+        """Yield per-partition column bundles for this replica's rows."""
         replica, n_replicas = self._replica
         indices = replica_indices(
             self._n_rows,
@@ -93,46 +138,97 @@ class ParquetDataset:
             seed=self.seed,
             epoch=self._epoch,
         )
-        # sort within partitions for sequential reads; take() handles the rest
         columns = self.metadata.names
         for start in range(0, len(indices), self.partition_size):
             chunk = indices[start : start + self.partition_size]
             table = self._dataset.take(np.sort(chunk), columns=columns)
-            data = {name: table.column(name).to_pylist() for name in columns}
-            if self.shuffle:
-                # restore shuffled order within the partition
-                order = np.argsort(np.argsort(chunk))
-                data = {k: [v[i] for i in order] for k, v in data.items()}
-            yield data
+            order = np.argsort(np.argsort(chunk)) if self.shuffle else None
+            yield self._columns_of(table, order), len(chunk)
 
-    def __iter__(self) -> Iterator[Batch]:
-        pending: Dict[str, List] = {name: [] for name in self.metadata.names}
-        count = 0
-
-        def emit(rows: Dict[str, List], real: int) -> Batch:
-            batch: Batch = {}
-            for name, meta in self.metadata.items():
-                values = rows[name]
-                if len(values) < self.batch_size:  # pad final batch
-                    values = values + [values[-1]] * (self.batch_size - len(values))
-                arr, mask = pad_column(values, meta)
+    def _emit(self, bundle_rows: Dict, real: int) -> Batch:
+        batch: Batch = {}
+        bsz = self.batch_size
+        for name, meta in self.metadata.items():
+            data = bundle_rows[name]
+            if meta.shape == ():
+                arr = np.asarray(data)
+                if len(arr) < bsz:
+                    arr = np.resize(arr, bsz)
+                batch[name] = arr.astype(meta.dtype)
+            elif isinstance(data, tuple) and data[0] is not None and not (
+                isinstance(data[0], str) and data[0] == "__pylist__"
+            ):
+                flat, lengths, starts = data
+                if len(lengths) < bsz:
+                    lengths = np.resize(lengths, bsz)
+                    starts = np.resize(starts, bsz)
+                arr, mask = _pad_list_batch(flat, lengths, starts, meta)
+                batch[name] = arr
+                batch[mask_name(name)] = mask
+            else:
+                rows = data[1]
+                if len(rows) < bsz:
+                    rows = rows + [rows[-1]] * (bsz - len(rows))
+                arr, mask = pad_column(rows, meta)
                 batch[name] = arr
                 if mask is not None:
                     batch[mask_name(name)] = mask
-            bm = np.zeros(self.batch_size, dtype=np.int8)
-            bm[:real] = 1
-            batch["batch_mask"] = bm
-            return batch
+        bm = np.zeros(bsz, dtype=np.int8)
+        bm[:real] = 1
+        batch["batch_mask"] = bm
+        return batch
 
-        for part in self._row_batches():
-            n = len(next(iter(part.values())))
-            for name in pending:
-                pending[name].extend(part[name])
+    def __iter__(self) -> Iterator[Batch]:
+        bsz = self.batch_size
+        pending: Dict[str, List] = {name: None for name in self.metadata.names}
+        count = 0
+
+        def append(bundle):
+            nonlocal pending
+            for name, meta in self.metadata.items():
+                new = bundle[name]
+                cur = pending[name]
+                if cur is None:
+                    pending[name] = new
+                elif meta.shape == ():
+                    pending[name] = np.concatenate([cur, new])
+                elif isinstance(new, tuple) and not (
+                    isinstance(new[0], str) and new[0] == "__pylist__"
+                ):
+                    # re-base new starts onto the concatenated flat buffer
+                    flat = np.concatenate([cur[0], new[0]])
+                    starts = np.concatenate([cur[2], new[2] + len(cur[0])])
+                    lengths = np.concatenate([cur[1], new[1]])
+                    pending[name] = (flat, lengths, starts)
+                else:
+                    pending[name] = ("__pylist__", cur[1] + new[1])
+
+        def take(n):
+            """Split off the first n rows of pending."""
+            head, tail = {}, {}
+            for name, meta in self.metadata.items():
+                data = pending[name]
+                if meta.shape == ():
+                    head[name], tail[name] = data[:n], data[n:]
+                elif isinstance(data, tuple) and not (
+                    isinstance(data[0], str) and data[0] == "__pylist__"
+                ):
+                    flat, lengths, starts = data
+                    head[name] = (flat, lengths[:n], starts[:n])
+                    tail[name] = (flat, lengths[n:], starts[n:])
+                else:
+                    head[name] = ("__pylist__", data[1][:n])
+                    tail[name] = ("__pylist__", data[1][n:])
+            return head, tail
+
+        for bundle, n in self._row_batches():
+            append(bundle)
             count += n
-            while count >= self.batch_size:
-                rows = {name: vals[: self.batch_size] for name, vals in pending.items()}
-                pending = {name: vals[self.batch_size :] for name, vals in pending.items()}
-                count -= self.batch_size
-                yield emit(rows, self.batch_size)
+            while count >= bsz:
+                head, tail = take(bsz)
+                pending = tail
+                count -= bsz
+                yield self._emit(head, bsz)
         if count and not self.drop_last:
-            yield emit(pending, count)
+            head, _ = take(count)
+            yield self._emit(head, count)
