@@ -16,6 +16,7 @@ from replay_tpu.nn.head import EmbeddingTyingHead
 from replay_tpu.nn.tiled_ce import CELossTiled
 from replay_tpu.nn.losses import (
     BCELoss,
+    BPRLoss,
     BCESampledLoss,
     CELoss,
     CESampledLoss,
@@ -47,6 +48,7 @@ __all__ = [
     "MultiHeadSelfAttention",
     "EmbeddingTyingHead",
     "BCELoss",
+    "BPRLoss",
     "BCESampledLoss",
     "CELoss",
     "CELossTiled",

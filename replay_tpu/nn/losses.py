@@ -304,3 +304,39 @@ class CESampledWeightedLoss(CESampledLoss):
         nll = -jax.nn.log_softmax(all_logits, axis=-1)[..., 0]
         w = mask.astype(jnp.float32) * sample_weights.astype(jnp.float32)
         return jnp.sum(jnp.where(w > 0, nll * w, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class BPRLoss:
+    """Bayesian Personalized Ranking (Rendle et al., arXiv 1205.2618):
+    pairwise -log sigmoid(pos_score - neg_score) over sampled negatives.
+
+    Named in this framework's north-star loss set alongside sampled-softmax
+    and CE; the reference reaches BPR through the `implicit` wrapper
+    (reference: replay/experimental/models/implicit_wrap.py) — here it is a
+    first-class sequential-training loss.
+    """
+
+    def __init__(self, n_negatives: int = 1):
+        self.n_negatives = n_negatives
+
+    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+        labels = _safe_labels(labels, mask)
+        n_items = item_weights.shape[0]
+        negs = jax.random.randint(
+            key, labels.shape + (self.n_negatives,), 0, n_items
+        )
+        pos_w = jnp.take(item_weights, labels, axis=0)  # [B, L, D]
+        neg_w = jnp.take(item_weights, negs, axis=0)  # [B, L, n, D]
+        pos_logit = jnp.einsum(
+            "bld,bld->bl", hidden, pos_w, preferred_element_type=jnp.float32
+        )
+        neg_logit = jnp.einsum(
+            "bld,blnd->bln", hidden, neg_w, preferred_element_type=jnp.float32
+        )
+        # accidental positives among negatives contribute zero
+        collide = labels[..., None] == negs
+        pair = jax.nn.log_sigmoid(pos_logit[..., None] - neg_logit)
+        pair = jnp.where(collide, 0.0, pair)
+        denom = jnp.maximum(jnp.sum(~collide, axis=-1), 1)
+        per_pos = -jnp.sum(pair, axis=-1) / denom
+        return _masked_mean(per_pos, mask)

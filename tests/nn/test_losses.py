@@ -11,6 +11,7 @@ import pytest
 
 from replay_tpu.nn.losses import (
     BCELoss,
+    BPRLoss,
     BCESampledLoss,
     CELoss,
     CESampledLoss,
@@ -34,6 +35,7 @@ def inputs():
 
 
 ALL_LOSSES = [
+    BPRLoss(2),
     CELoss(),
     CESampledLoss(8),
     BCELoss(),
@@ -139,3 +141,14 @@ def test_weighted_ce_variants(inputs):
     ramp = jnp.linspace(0.1, 1.0, mask.shape[1])[None, :].repeat(mask.shape[0], 0)
     weighted = CEWeightedLoss()(hidden, labels, mask, weights, sample_weights=ramp)
     assert not np.isclose(float(weighted), float(CELoss()(hidden, labels, mask, weights)))
+
+
+def test_bpr_prefers_positive(inputs):
+    """BPR of a model that scores positives higher must beat a random one."""
+    hidden, labels, mask, weights = inputs
+    key = jax.random.PRNGKey(1)
+    # construct hidden = positive item embedding → pos scores maximal
+    aligned = jnp.take(weights, jnp.where(mask > 0, labels, 0), axis=0) * 10
+    good = BPRLoss(4)(aligned, labels, mask, weights, key=key)
+    bad = BPRLoss(4)(hidden, labels, mask, weights, key=key)
+    assert float(good) < float(bad)
