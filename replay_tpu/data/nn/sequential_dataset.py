@@ -138,6 +138,40 @@ class SequentialDataset:
             np.asarray(new_offsets, dtype=np.int64),
         )
 
+    def padded_sequences(
+        self,
+        query_ids: np.ndarray,
+        feature_name: str,
+        length: Optional[int] = None,
+        pad_value: int = -1,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Right-padded [B, length] sequences for a batch of query ids, fully
+        vectorized (no per-row Python; the validation/seen-mask hot path).
+
+        Queries absent from the dataset yield all-padding rows.
+
+        :returns: (values [B, length], lengths [B]).
+        """
+        qids = np.asarray(query_ids)
+        values = self._sequences[feature_name]
+        length = length if length is not None else max(self.max_len, 1)
+        pos = np.searchsorted(self._query_ids, qids)
+        pos_c = np.clip(pos, 0, max(len(self._query_ids) - 1, 0))
+        found = (
+            (self._query_ids[pos_c] == qids)
+            if len(self._query_ids)
+            else np.zeros(len(qids), dtype=bool)
+        )
+        lo = self._offsets[pos_c]
+        hi = self._offsets[pos_c + 1]
+        lens = np.where(found, np.minimum(hi - lo, length), 0).astype(np.int64)
+        col = np.arange(length)
+        src = lo[:, None] + col[None, :]
+        valid = col[None, :] < lens[:, None]
+        src_safe = np.clip(src, 0, max(len(values) - 1, 0))
+        out = np.where(valid, values[src_safe] if len(values) else pad_value, pad_value)
+        return out, lens
+
     @staticmethod
     def keep_common_query_ids(
         lhs: "SequentialDataset", rhs: "SequentialDataset"

@@ -231,9 +231,23 @@ class ScalableCELoss:
         n_items = item_weights.shape[0]
         w = item_weights.astype(jnp.float32)
 
-        proj = jax.random.normal(key, (dim, self.n_buckets), dtype=jnp.float32)
-        h_scores = flat_h @ proj  # [M, buckets]
-        y_scores = w @ proj  # [N, buckets]
+        # bucket directions: random, or (mix_x) random mixtures of the
+        # hidden states themselves (reference sce.py:71-78); selection is
+        # gradient-free in the reference (torch.no_grad)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.float32(dim)))
+        if self.mix_x:
+            omega = scale * jax.random.normal(
+                key, (flat_h.shape[0], self.n_buckets), dtype=jnp.float32
+            )
+            proj = jax.lax.stop_gradient(flat_h).T @ omega  # [D, buckets]
+        else:
+            proj = scale * jax.random.normal(key, (dim, self.n_buckets), dtype=jnp.float32)
+        h_scores = jax.lax.stop_gradient(flat_h) @ proj  # [M, buckets]
+        y_scores = jax.lax.stop_gradient(w) @ proj  # [N, buckets]
+
+        # padded states must not occupy bucket_size_x slots
+        # (reference sce.py:82: x_bucket[:, ~padding_mask] = -inf)
+        h_scores = jnp.where(flat_mask[:, None] > 0, h_scores, -jnp.inf)
 
         # top bucket_size_x states and bucket_size_y items per bucket
         _, x_idx = jax.lax.top_k(h_scores.T, min(self.bucket_size_x, flat_h.shape[0]))
@@ -262,10 +276,17 @@ class ScalableCELoss:
         m = flat_h.shape[0]
         acc = jnp.full((m,), -jnp.inf)
         acc = acc.at[x_idx.reshape(-1)].max(neg_lse.reshape(-1))
-        # states never selected by any bucket see only the positive
         total = jnp.logaddexp(pos_logit, acc)
         nll = total - pos_logit
-        return jnp.sum(nll * flat_mask) / jnp.maximum(jnp.sum(flat_mask), 1.0)
+        # states never selected by any bucket (acc = -inf → nll = 0) are
+        # dropped from the mean, mirroring the reference's
+        # ``loss[(loss != 0) & mask]`` filtering (sce.py:121) — counting
+        # them would dilute the signal at high padding fractions
+        selected = jnp.isfinite(acc).astype(jnp.float32)
+        weight = flat_mask * selected
+        return jnp.sum(jnp.where(weight > 0, nll, 0.0)) / jnp.maximum(
+            jnp.sum(weight), 1.0
+        )
 
 
 class CEWeightedLoss(CELoss):

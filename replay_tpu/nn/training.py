@@ -149,6 +149,7 @@ class Trainer:
         # "constants" buffers) captured at init and threaded into every apply
         self.extra_variables: Dict[str, Any] = {}
         self.state: Optional[TrainState] = None
+        self.epoch: int = 0  # next epoch to run; persisted/restored via checkpoints
         self._train_step = None
         self._history: List[Dict[str, float]] = []
 
@@ -237,9 +238,12 @@ class Trainer:
         """Resume from an orbax checkpoint (replay_tpu.nn.checkpoint).
 
         Rebuilds the state template from ``example_batch`` then loads the
-        saved params/opt-state/step; subsequent ``fit`` continues the
-        counter-based RNG stream from the restored step, so the resumed run
-        matches an uninterrupted one.
+        saved params/opt-state/step AND the epoch counter (from the
+        checkpoint's extra payload): a subsequent ``fit`` continues the
+        epoch loop — and therefore the (seed, epoch) shuffle stream — where
+        it left off, while the counter-based dropout/sampling key stream
+        continues from the restored step, so the resumed run matches an
+        uninterrupted one.
         """
         from replay_tpu.nn.checkpoint import CheckpointManager
 
@@ -248,6 +252,10 @@ class Trainer:
         manager = CheckpointManager(checkpoint_dir)
         template = self.state
         restored = manager.restore(template, step=step)
+        extra = manager.load_extra(step=step)
+        if extra is not None and "epoch" in extra:
+            # extra["epoch"] records the last COMPLETED epoch
+            self.epoch = int(float(extra["epoch"])) + 1
         # orbax restores single-device committed arrays; re-place every leaf
         # on the mesh (params by the sharding rules, the rest replicated) so
         # the jitted step sees one consistent device set
@@ -283,7 +291,7 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         step_no = int(self.state.step) if self.state is not None else 0
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(self.epoch, cfg.max_epochs):
             epoch_losses = []
             # transforms that shorten sequences (NextTokenTransform's shift)
             # declare extra_length so model inputs stay max_sequence_length
@@ -321,21 +329,38 @@ class Trainer:
             for cb in self.callbacks:
                 cb(self, record)
             self._history.append(record)
+            self.epoch = epoch + 1
         return self._history
 
-    def fit_loader(self, module, max_epochs: Optional[int] = None) -> List[Dict[str, float]]:
+    def fit_loader(
+        self,
+        module,
+        max_epochs: Optional[int] = None,
+        val_dataset: Union[SequentialDataset, Dict[str, SequentialDataset], None] = None,
+        val_history: Optional[SequentialDataset] = None,
+    ) -> List[Dict[str, float]]:
         """Fit from a streaming ParquetModule (replay_tpu.data.nn.parquet).
 
         The module's batches must carry the model's expected field names
         (use RenameTransform — e.g. ``{"item_id_mask": "padding_mask"}`` —
         as the module's train transform, composed before the Trainer's own
         transform).
+
+        Resumes the step counter from ``state.step`` (same counter-based RNG
+        contract as ``fit``) and the epoch loop from the restored epoch.
+        ``val_dataset`` enables per-epoch validation exactly as in ``fit``;
+        ``val_history`` supplies the query histories to run inference from
+        (required with ``val_dataset``, since the streaming module does not
+        expose an in-memory SequentialDataset).
         """
         cfg = self.config
         root_key = jax.random.PRNGKey(cfg.seed)
         epochs = max_epochs if max_epochs is not None else cfg.max_epochs
-        step_no = 0
-        for epoch in range(epochs):
+        if val_dataset is not None and val_history is None:
+            msg = "fit_loader validation needs val_history (the query histories)"
+            raise ValueError(msg)
+        step_no = int(self.state.step) if self.state is not None else 0
+        for epoch in range(self.epoch, epochs):
             epoch_losses = []
             pre = module.transform_for("train")
             for batch in module.loader("train", epoch):
@@ -353,9 +378,21 @@ class Trainer:
                 "epoch": epoch,
                 "loss": float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else float("nan"),
             }
+            if val_dataset is not None:
+                if isinstance(val_dataset, dict):
+                    for name, ds in val_dataset.items():
+                        record.update(
+                            {
+                                f"{name}/{k}": v
+                                for k, v in self.validate(val_history, ds).items()
+                            }
+                        )
+                else:
+                    record.update(self.validate(val_history, val_dataset))
             for cb in self.callbacks:
                 cb(self, record)
             self._history.append(record)
+            self.epoch = epoch + 1
         return self._history
 
     # -------------------------------------------------------------- validate
@@ -387,10 +424,7 @@ class Trainer:
             logits = infer(self.state.params, self._place_batch(batch))
             # mask FULL histories to -inf (reference SeenItemsFilter filters
             # every seen item, not just the model's cropped window)
-            seen_mask = _full_seen_mask(
-                history, batch["query_id"], item_name, logits.shape[-1]
-            )
-            logits = jnp.where(jnp.asarray(seen_mask), -jnp.inf, logits)
+            logits = _mask_seen(logits, history, batch["query_id"], item_name)
             _, top_idx = jax.lax.top_k(logits, max_k)
             gt = _gather_ground_truth(val_dataset, batch["query_id"], item_name, max_gt)
             builder.add_prediction(
@@ -467,10 +501,7 @@ class Trainer:
         ):
             logits = infer(self.state.params, self._place_batch(batch))
             if filter_seen:
-                seen_mask = _full_seen_mask(
-                    dataset, batch["query_id"], item_name, logits.shape[-1]
-                )
-                logits = jnp.where(jnp.asarray(seen_mask), -jnp.inf, logits)
+                logits = _mask_seen(logits, dataset, batch["query_id"], item_name)
             vals, idx = jax.lax.top_k(logits, k)
             real = np.asarray(batch["batch_mask"]).astype(bool)
             all_ids.append(np.asarray(batch["query_id"])[real])
@@ -483,25 +514,23 @@ class Trainer:
         )
 
 
-def _full_seen_mask(
-    dataset: SequentialDataset, query_ids, item_name: str, n_items: int
-) -> np.ndarray:
-    """[B, n_items] bool: True where the query has EVER interacted with the
-    item (full history, reference filter-seen semantics,
-    replay/models/base_rec.py:152-201)."""
-    mask = np.zeros((len(query_ids), n_items), dtype=bool)
-    for row, qid in enumerate(np.asarray(query_ids)):
-        seq = dataset.get_sequence_by_query_id(qid, item_name)
-        seq = seq[seq < n_items]
-        mask[row, seq] = True
-    return mask
+def _mask_seen(
+    logits: jnp.ndarray, dataset: SequentialDataset, query_ids, item_name: str
+) -> jnp.ndarray:
+    """-inf the items each query has EVER interacted with (full history,
+    reference filter-seen semantics, replay/models/base_rec.py:152-201).
+
+    Scatters padded seen-id lists [B, max_seen] on device instead of building
+    a dense [B, n_items] bool matrix on host — O(B·max_seen) instead of
+    O(B·N) memory, with out-of-range padding ids dropped by the scatter."""
+    n_items = logits.shape[-1]
+    seen, _ = dataset.padded_sequences(query_ids, item_name, pad_value=n_items)
+    rows = jnp.arange(logits.shape[0])[:, None]
+    return logits.at[rows, jnp.asarray(seen, dtype=jnp.int32)].set(
+        -jnp.inf, mode="drop"
+    )
 
 
 def _gather_ground_truth(dataset: SequentialDataset, query_ids, item_name, max_gt):
-    out = np.full((len(query_ids), max_gt), -1, dtype=np.int64)
-    for row, qid in enumerate(np.asarray(query_ids)):
-        seq = dataset.get_sequence_by_query_id(qid, item_name)
-        take = min(len(seq), max_gt)
-        if take:
-            out[row, :take] = seq[:take]
-    return jnp.asarray(out)
+    out, _ = dataset.padded_sequences(query_ids, item_name, length=max_gt, pad_value=-1)
+    return jnp.asarray(out.astype(np.int64))

@@ -31,7 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -3.0e38  # python float: pallas kernels cannot capture traced constants
 
 
-def _topk_tile_kernel(q_ref, w_ref, vals_ref, idx_ref, *, k: int, block_n: int):
+def _topk_tile_kernel(
+    q_ref, w_ref, vals_ref, idx_ref, *, k: int, block_n: int, n: int
+):
     """One grid step: scores = q @ w_tileᵀ → per-tile top-k."""
     tile = pl.program_id(1)
     scores = jax.lax.dot_general(
@@ -42,6 +44,11 @@ def _topk_tile_kernel(q_ref, w_ref, vals_ref, idx_ref, *, k: int, block_n: int):
     )  # [B, block_n]
     base = tile * block_n
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+    # Zero-padded catalog rows score 0, which would displace real items
+    # with negative scores from the per-tile top-k before the global
+    # merge (the post-merge idx<n mask cannot restore them). Mask them
+    # to NEG_INF here; n is a trace-time Python int.
+    scores = jnp.where(col_ids + base < n, scores, NEG_INF)
 
     b = scores.shape[0]
     # candidate slot padded to the 128-lane tile width; only the first k
@@ -112,7 +119,7 @@ def fused_topk(
     kpad = max(128, -(-k_eff // 128) * 128)  # lane-aligned candidate slot
 
     vals, idxs = pl.pallas_call(
-        partial(_topk_tile_kernel, k=k_eff, block_n=block_n),
+        partial(_topk_tile_kernel, k=k_eff, block_n=block_n, n=n),
         grid=(grid_b, grid_n),
         in_specs=[
             pl.BlockSpec((block_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),

@@ -143,3 +143,46 @@ class TestSequentialDataset:
         np.testing.assert_array_equal(sub.get_sequence_by_query_id(3, "item_id"), [9])
         left, right = SequentialDataset.keep_common_query_ids(ds, sub)
         assert list(left.query_ids) == [1, 3]
+
+
+def _tiny_ds():
+    schema = TensorSchema(
+        [
+            TensorFeatureInfo(
+                "item_id",
+                TensorFeatureType.CATEGORICAL,
+                is_seq=True,
+                feature_hint=FeatureHint.ITEM_ID,
+                feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+                cardinality=10,
+                embedding_dim=8,
+                padding_value=10,
+            )
+        ]
+    )
+    log = pd.DataFrame(
+        {
+            "query_id": [0, 0, 0, 2, 2, 5],
+            "item_id": [1, 2, 3, 4, 5, 6],
+            "timestamp": [0, 1, 2, 0, 1, 0],
+        }
+    )
+    return SequentialDataset.from_interactions(schema, log)
+
+
+def test_padded_sequences_vectorized_matches_per_row():
+    ds = _tiny_ds()
+    qids = np.array([2, 0, 5, 7])  # 7 is absent
+    out, lens = ds.padded_sequences(qids, "item_id", length=4, pad_value=-1)
+    np.testing.assert_array_equal(lens, [2, 3, 1, 0])
+    np.testing.assert_array_equal(out[0], [4, 5, -1, -1])
+    np.testing.assert_array_equal(out[1], [1, 2, 3, -1])
+    np.testing.assert_array_equal(out[2], [6, -1, -1, -1])
+    np.testing.assert_array_equal(out[3], [-1, -1, -1, -1])
+
+
+def test_padded_sequences_truncates_to_length():
+    ds = _tiny_ds()
+    out, lens = ds.padded_sequences(np.array([0]), "item_id", length=2)
+    np.testing.assert_array_equal(out[0], [1, 2])
+    np.testing.assert_array_equal(lens, [2])

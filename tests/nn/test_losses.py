@@ -143,6 +143,52 @@ def test_weighted_ce_variants(inputs):
     assert not np.isclose(float(weighted), float(CELoss()(hidden, labels, mask, weights)))
 
 
+def test_sce_padding_does_not_crowd_buckets(inputs):
+    """Garbage hidden states at padded positions must not occupy bucket_size_x
+    slots (reference sce.py:82 masks x_bucket before top-k): the loss must be
+    identical whether padded positions hold zeros or huge-norm garbage."""
+    hidden, labels, mask, weights = inputs
+    key = jax.random.PRNGKey(7)
+    loss = ScalableCELoss(4, 8, 8)
+    garbage = jnp.where(mask[..., None] > 0, hidden, 1e3)
+    zeroed = jnp.where(mask[..., None] > 0, hidden, 0.0)
+    np.testing.assert_allclose(
+        loss(garbage, labels, mask, weights, key=key),
+        loss(zeroed, labels, mask, weights, key=key),
+        rtol=1e-6,
+    )
+
+
+def test_sce_fully_padded_rows_do_not_dilute(inputs):
+    """Appending all-padding rows must leave SCE unchanged: they may neither
+    enter buckets nor count in the mean denominator (reference sce.py:121
+    drops loss==0 and masked entries)."""
+    hidden, labels, mask, weights = inputs
+    key = jax.random.PRNGKey(11)
+    loss = ScalableCELoss(4, 8, 8)
+    base = loss(hidden, labels, mask, weights, key=key)
+    pad_h = jnp.concatenate([hidden, jnp.full((2, L, D), 50.0)], axis=0)
+    pad_labels = jnp.concatenate([labels, jnp.zeros((2, L), jnp.int32)], axis=0)
+    pad_mask = jnp.concatenate([mask, jnp.zeros((2, L), mask.dtype)], axis=0)
+    diluted = loss(pad_h, pad_labels, pad_mask, weights, key=key)
+    np.testing.assert_allclose(base, diluted, rtol=1e-6)
+
+
+def test_sce_mix_x_variant(inputs):
+    """mix_x builds data-dependent bucket directions (reference sce.py:71-74);
+    it must run, differ from the fixed-projection variant, and be finite
+    under grad."""
+    hidden, labels, mask, weights = inputs
+    key = jax.random.PRNGKey(5)
+    plain = ScalableCELoss(4, 8, 8, mix_x=False)(hidden, labels, mask, weights, key=key)
+    mixed_loss = ScalableCELoss(4, 8, 8, mix_x=True)
+    mixed = mixed_loss(hidden, labels, mask, weights, key=key)
+    assert jnp.isfinite(mixed)
+    assert not np.isclose(float(plain), float(mixed))
+    g = jax.grad(lambda h: mixed_loss(h, labels, mask, weights, key=key))(hidden)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_bpr_prefers_positive(inputs):
     """BPR of a model that scores positives higher must beat a random one."""
     hidden, labels, mask, weights = inputs

@@ -160,6 +160,32 @@ def test_trainer_restore_resumes(tmp_path, seq_dataset):
     assert int(fresh.state.step) > step_after
 
 
+def test_trainer_restore_resumes_epoch(tmp_path, seq_dataset):
+    """Resume continues the epoch loop (and its (seed, epoch) shuffle stream)
+    instead of retraining completed epochs (advisor round-1 finding)."""
+    trainer = make_trainer(seq_dataset, max_epochs=2)
+    cb = CheckpointCallback(str(tmp_path / "ep"))
+    trainer.callbacks.append(cb)
+    trainer.fit(seq_dataset)
+    assert trainer.epoch == 2
+    step_after = int(trainer.state.step)
+
+    resumed = make_trainer(seq_dataset, max_epochs=2)
+    example = next(seq_dataset.batches(batch_size=8, max_sequence_length=9))
+    resumed.restore(str(tmp_path / "ep"), example)
+    assert resumed.epoch == 2
+    # max_epochs already reached: fit must be a no-op, not a retrain
+    resumed.fit(seq_dataset)
+    assert int(resumed.state.step) == step_after
+
+    resumed.config.max_epochs = 3
+    resumed.fit(seq_dataset)
+    # exactly one more epoch of batches
+    n_batches_per_epoch = step_after // 2
+    assert int(resumed.state.step) == step_after + n_batches_per_epoch
+    assert resumed.epoch == 3
+
+
 def test_multi_validation_sets(seq_dataset):
     trainer = make_trainer(seq_dataset, max_epochs=1)
     history = trainer.fit(seq_dataset, val_dataset={"a": seq_dataset, "b": seq_dataset})

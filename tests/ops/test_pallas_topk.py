@@ -40,3 +40,19 @@ def test_padding_rows_never_returned():
     w = jnp.asarray(rng.normal(size=(100, 8)).astype(np.float32))
     _, idx = fused_topk(q, w, 10, block_n=64, interpret=True)
     assert int(jnp.max(idx)) < 100
+
+
+def test_all_negative_final_partial_tile():
+    """Padded zero-score rows must not crowd real negative-score items out of
+    the per-tile top-k (advisor round-1 high finding): N=129, block_n=128, all
+    scores negative, the global best lives in the 1-row partial tile."""
+    d = 8
+    q = jnp.ones((4, d), dtype=jnp.float32)
+    w = np.full((129, d), -1.0 / d, dtype=np.float32)  # every score = -1
+    w[128] = -0.1 / d  # item 128 scores -0.1: the global best, in the partial tile
+    w = jnp.asarray(w)
+    v1, i1 = fused_topk(q, w, 5, block_n=128, interpret=True)
+    v2, i2 = topk_reference(q, w, 5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    assert (np.asarray(i1) == 128).any(axis=1).all()
+    np.testing.assert_allclose(np.asarray(v1)[:, 0], -0.1, rtol=1e-5)
