@@ -125,3 +125,87 @@ def test_slim_similarity_nonnegative_zero_diag(block_dataset):
     sim = np.asarray(model._sim_dense)
     assert sim.min() >= 0.0
     assert np.allclose(np.diag(sim), 0.0)
+
+
+def _random_nonneg_dataset(n_users=60, n_items=25, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for u in range(n_users):
+        items = rng.choice(n_items, size=rng.integers(3, 10), replace=False)
+        for it in items:
+            rows.append((u, int(it), float(rng.integers(1, 6)), 0))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "rating", "timestamp"])
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo(
+                "rating", FeatureType.NUMERICAL,
+                feature_hint=FeatureHint.RATING, feature_source=FeatureSource.INTERACTIONS,
+            ),
+        ]
+    )
+    return Dataset(schema, df)
+
+
+def test_slim_matches_sklearn_elasticnet():
+    """Differential test against the reference's exact inner solver: sklearn
+    ElasticNet(positive=True, fit_intercept=False) per item column with the
+    reference's parametrization (reference: replay/models/slim.py:93-124)."""
+    from sklearn.linear_model import ElasticNet
+
+    beta, lambda_ = 0.08, 0.03
+    ds = _random_nonneg_dataset()
+    model = SLIM(beta=beta, lambda_=lambda_, max_iter=3000, tol=1e-9)
+    model.fit(ds)
+    sim = np.asarray(model._sim_dense)
+
+    inter = ds.interactions
+    n_items = int(inter["item_id"].max()) + 1
+    dense = np.zeros((int(inter["user_id"].max()) + 1, n_items), dtype=np.float64)
+    dense[inter["user_id"], inter["item_id"]] = inter["rating"]
+    alpha = beta + lambda_
+    for j in range(n_items):
+        x = dense.copy()
+        y = dense[:, j].copy()
+        x[:, j] = 0.0
+        ref = ElasticNet(
+            alpha=alpha, l1_ratio=lambda_ / alpha, fit_intercept=False,
+            positive=True, max_iter=20000, tol=1e-10,
+        ).fit(x, y)
+        np.testing.assert_allclose(sim[:, j], ref.coef_, atol=2e-3)
+
+
+def test_slim_active_set_matches_whole_gram():
+    """The screened batched solver must reach the same fixed point as the
+    whole-Gram FISTA (the round-1 path)."""
+    from scipy.sparse import csr_matrix as _csr
+
+    ds = _random_nonneg_dataset(seed=9)
+    model = SLIM(beta=0.05, lambda_=0.02, max_iter=3000, tol=1e-9)
+    model.fit(ds)  # active-set path
+    sim_active = np.asarray(model._sim_dense).copy()
+
+    inter = ds.interactions
+    q = np.searchsorted(model.fit_queries, inter["user_id"].to_numpy())
+    i = np.searchsorted(model.fit_items, inter["item_id"].to_numpy())
+    mat = _csr(
+        (inter["rating"].to_numpy(np.float32), (q, i)),
+        shape=(len(model.fit_queries), len(model.fit_items)),
+    )
+    model._fit_whole_gram(mat)
+    sim_whole = np.asarray(model._sim_dense)
+    np.testing.assert_allclose(sim_active, sim_whole, atol=2e-3)
+
+
+def test_slim_negative_ratings_fall_back(block_dataset):
+    """Negative ratings invalidate the screen; the whole-Gram fallback must
+    produce a usable model."""
+    inter = block_dataset.interactions.copy()
+    inter.loc[inter.index[:5], "rating"] = -1.0
+    ds = Dataset(block_dataset.feature_schema, inter)
+    model = SLIM(beta=0.05, lambda_=0.05)
+    model.fit(ds)
+    sim = np.asarray(model._sim_dense)
+    assert np.allclose(np.diag(sim), 0.0)
+    assert sim.max() > 0
