@@ -26,6 +26,73 @@ class MetricDuplicatesWarning(Warning):
     """Recommendations contain duplicate (query, item) pairs."""
 
 
+class RankingPrep:
+    """Shared padded-array view of (recommendations, ground_truth).
+
+    Replaces the per-user dict-of-lists conversion with one relational pass:
+    recommendations are ranked per user by (score desc, item desc), truncated
+    to ``max_k``, and joined against the deduplicated ground truth to produce
+    a dense ``hits`` [n_users, max_k] matrix.  Every ranking metric is then a
+    vectorized numpy expression over this matrix — the analog of the
+    reference's Scala UDF layer (reference:
+    scala/.../ScalaPySparkUDFs.scala:9-160), built once and shared across all
+    metrics in an OfflineMetrics pass.
+    """
+
+    def __init__(
+        self,
+        recommendations: pd.DataFrame,
+        ground_truth: pd.DataFrame,
+        query_column: str,
+        item_column: str,
+        rating_column: str,
+        max_k: int,
+    ) -> None:
+        q, i, r = query_column, item_column, rating_column
+        self.max_k = max_k
+        self.had_duplicates = bool(recommendations.duplicated([q, i]).any())
+
+        self.users = np.unique(ground_truth[q].to_numpy())
+        n_users = len(self.users)
+
+        recs = recommendations.sort_values([r, i], ascending=False, kind="stable")
+        rank = recs.groupby(q, sort=False).cumcount().to_numpy()
+        rec_q = recs[q].to_numpy()
+        upos = np.searchsorted(self.users, rec_q)
+        upos_c = np.minimum(upos, max(n_users - 1, 0))
+        known = (upos < n_users) & (self.users[upos_c] == rec_q) if n_users else np.zeros(len(rec_q), bool)
+        keep = known & (rank < max_k)
+
+        kept_row = upos[keep]
+        kept_col = rank[keep]
+        gt_dedup = ground_truth.drop_duplicates([q, i])
+        # membership via a left merge on (query, item) — no per-user sets
+        kept_pairs = pd.DataFrame(
+            {q: rec_q[keep], i: recs[i].to_numpy()[keep]}
+        )
+        hit_flags = (
+            kept_pairs.merge(gt_dedup[[q, i]].assign(_hit=True), on=[q, i], how="left")[
+                "_hit"
+            ]
+            .notna()
+            .to_numpy()
+        )
+        self.hits = np.zeros((n_users, max_k), dtype=bool)
+        self.hits[kept_row, kept_col] = hit_flags
+        self.pred_len = np.bincount(kept_row, minlength=n_users)
+
+        self.gt_raw_len = (
+            ground_truth[q].value_counts().reindex(self.users).fillna(0).to_numpy(np.int64)
+        )
+        self.gt_set_len = (
+            gt_dedup[q].value_counts().reindex(self.users).fillna(0).to_numpy(np.int64)
+        )
+        self.hits_f = self.hits.astype(np.float64)
+        self.csum = np.cumsum(self.hits_f, axis=1)
+        # users with empty ground truth or no recommendations score 0
+        self.nonzero = (self.gt_raw_len > 0) & (self.pred_len > 0)
+
+
 def _normalize_value(value: Any) -> Any:
     if isinstance(value, np.generic):
         return value.item()
@@ -118,6 +185,16 @@ class Metric(ABC):
         """
         self._check_dataframes_equal_types(recommendations, ground_truth)
         is_pandas = isinstance(recommendations, pd.DataFrame)
+        if is_pandas and hasattr(self, "_get_metric_values_batch") and len(ground_truth):
+            prep = RankingPrep(
+                recommendations,
+                ground_truth,
+                self.query_column,
+                self.item_column,
+                self.rating_column,
+                max(self.topk),
+            )
+            return self._call_with_prep(prep)
         recommendations = (
             self._convert_pandas_to_dict_with_score(recommendations)
             if is_pandas
@@ -133,6 +210,19 @@ class Metric(ABC):
             pred_item_id=recommendations,
             ground_truth=ground_truth,
         )
+
+    def _call_with_prep(self, prep: "RankingPrep") -> MetricsReturnType:
+        """Vectorized evaluation over a shared RankingPrep (pandas fast path)."""
+        if prep.had_duplicates:
+            self._duplicate_warn()
+        distribution = self._get_metric_values_batch(self.topk, prep)  # [U, n_ks]
+        if self._mode.__name__ == "PerUser":
+            per_user = {
+                user: list(distribution[row]) for row, user in enumerate(prep.users)
+            }
+            return self._aggregate_results_per_user(per_user)
+        metrics = [self._mode.cpu(distribution[:, k]) for k in range(distribution.shape[1])]
+        return self._aggregate_results(metrics)
 
     def _dict_call(self, users: list, **kwargs: dict) -> MetricsReturnType:
         """Evaluate the per-user kernel for every user; aggregate via the mode."""

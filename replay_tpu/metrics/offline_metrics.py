@@ -100,6 +100,34 @@ class OfflineMetrics:
 
         result: Dict[str, float] = {}
         current_map = {"ground_truth": ground_truth, "train": train}
+        # one shared RankingPrep across all ranking metrics (pandas inputs):
+        # the hits matrix is built once at the max cutoff and reused
+        shared_prep = None
+        batchable = [
+            m
+            for m in self.metrics
+            if hasattr(m, "_get_metric_values_batch")
+            and self._metrics_call_requirement_map[m.__class__.__name__]
+            == ["ground_truth"]
+        ]
+        if (
+            self._allow_caching
+            and batchable
+            and isinstance(recommendations, pd.DataFrame)
+            and isinstance(ground_truth, pd.DataFrame)
+            and len(ground_truth)
+        ):
+            from replay_tpu.metrics.base_metric import RankingPrep
+
+            first = batchable[0]
+            shared_prep = RankingPrep(
+                recommendations,
+                ground_truth,
+                first.query_column,
+                first.item_column,
+                first.rating_column,
+                max(max(m.topk) for m in batchable),
+            )
         for metric in self.metrics:
             requirement = self._metrics_call_requirement_map[metric.__class__.__name__]
             args = [current_map[name] for name in requirement]
@@ -109,7 +137,10 @@ class OfflineMetrics:
                     "but it was not provided"
                 )
                 raise ValueError(msg)
-            result.update(metric(recommendations, *args))
+            if shared_prep is not None and metric in batchable:
+                result.update(metric._call_with_prep(shared_prep))
+            else:
+                result.update(metric(recommendations, *args))
 
         if self.unexpectedness_metric:
             if base_recommendations is None:
