@@ -4,13 +4,22 @@ TPU-native analog of the reference (reference:
 replay/experimental/models/ddpg.py:475 — ActorDRR/CriticDRR, replay
 buffer, Ornstein-Uhlenbeck noise; ~932 LoC of torch).  Offline variant:
 
-- **state**: mean of the user's recent item embeddings (the reference's
-  DRR-ave state representation);
+- **state**: masked mean of the user's recent item embeddings (the
+  reference's DRR-ave state representation, ddpg.py:430);
+- **item embeddings are LEARNED**: like the reference's StateReprModule
+  embeddings inside ActorDRR (ddpg.py:443-456), the table is a trainable
+  parameter receiving gradients from both the critic TD loss (through
+  state and action vectors) and the actor loss (through state), with a
+  polyak-averaged target copy for TD bootstrapping;
 - **actor**: MLP state → action vector in item-embedding space;
 - **critic**: MLP Q(state, action);
 - offline transitions from the log (state built from the history prefix,
-  action = the interacted item's embedding, reward = rating), trained with
-  the standard DDPG losses against target networks (polyak-averaged);
+  action = the interacted item's embedding, reward = rating);
+- **conservative critic**: the log is positive-only, so the TD loss alone
+  gives no ranking signal (every logged action earns the same return); a
+  CQL-style penalty regresses Q of uniformly sampled out-of-distribution
+  actions toward zero, making logged actions score above random ones —
+  the offline-RL analog of the reference's online exploration noise;
 - **recommend**: items ranked by ``actor(state) · item_embedding`` — the
   reference's nearest-action-item scoring.
 """
@@ -46,6 +55,18 @@ class _Critic(nn.Module):
         return nn.Dense(1, name="out")(h)[..., 0]
 
 
+def _unit(x: jnp.ndarray) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+
+def _drr_ave(emb: jnp.ndarray, hist: jnp.ndarray, n_items: int) -> jnp.ndarray:
+    """Masked mean of history item embeddings (padding id = n_items maps to
+    the zero row, reference StateReprModule padding_idx, ddpg.py:445)."""
+    e = jnp.take(emb, hist, axis=0)  # [B, w, D]; padding row is zero
+    count = jnp.sum((hist < n_items).astype(jnp.float32), axis=1, keepdims=True)
+    return jnp.sum(e, axis=1) / jnp.maximum(count, 1.0)
+
+
 class DDPG(Recommender):
     """Deterministic policy-gradient recommender (offline)."""
 
@@ -56,6 +77,8 @@ class DDPG(Recommender):
         tau: float = 0.01,
         actor_lr: float = 1e-3,
         critic_lr: float = 1e-3,
+        embedding_lr: float = 1e-2,
+        conservative_weight: float = 1.0,
         epochs: int = 10,
         batch_size: int = 512,
         state_window: int = 5,
@@ -66,6 +89,8 @@ class DDPG(Recommender):
         self.tau = tau
         self.actor_lr = actor_lr
         self.critic_lr = critic_lr
+        self.embedding_lr = embedding_lr
+        self.conservative_weight = conservative_weight
         self.epochs = epochs
         self.batch_size = batch_size
         self.state_window = state_window
@@ -79,6 +104,8 @@ class DDPG(Recommender):
             "tau": self.tau,
             "actor_lr": self.actor_lr,
             "critic_lr": self.critic_lr,
+            "embedding_lr": self.embedding_lr,
+            "conservative_weight": self.conservative_weight,
             "epochs": self.epochs,
             "batch_size": self.batch_size,
             "state_window": self.state_window,
@@ -86,7 +113,8 @@ class DDPG(Recommender):
         }
 
     def _transitions(self, dataset: Dataset):
-        """(state, action_item, reward, next_state) from history prefixes."""
+        """Padded (history, action, reward, next_history) arrays from the log;
+        histories are [N, state_window] right-aligned with padding id n_items."""
         inter = dataset.interactions
         sort_cols = [self.query_column]
         if self.timestamp_column in inter.columns:
@@ -101,77 +129,117 @@ class DDPG(Recommender):
         q = frame[self.query_column].to_numpy()
         uniq, starts = np.unique(q, return_index=True)
         offsets = np.append(starts, len(q))
-        states, actions, rews, next_states = [], [], [], []
         w = self.state_window
+        pad = len(self.fit_items)
+        hists, actions, rews, next_hists = [], [], [], []
         for u in range(len(uniq)):
             lo, hi = offsets[u], offsets[u + 1]
             seq = items[lo:hi]
             rew = rewards[lo:hi]
             for t in range(1, len(seq)):
-                states.append(seq[max(0, t - w) : t])
+                h = seq[max(0, t - w) : t]
+                h2 = seq[max(0, t + 1 - w) : t + 1]
+                hists.append(np.pad(h, (w - len(h), 0), constant_values=pad))
+                next_hists.append(np.pad(h2, (w - len(h2), 0), constant_values=pad))
                 actions.append(seq[t])
                 rews.append(rew[t])
-                next_states.append(seq[max(0, t + 1 - w) : t + 1])
-        return states, np.asarray(actions), np.asarray(rews), next_states
-
-    def _state_matrix(self, histories, item_emb: np.ndarray) -> np.ndarray:
-        out = np.zeros((len(histories), item_emb.shape[1]), dtype=np.float32)
-        for r, h in enumerate(histories):
-            if len(h):
-                out[r] = item_emb[np.asarray(h)].mean(axis=0)
-        return out
+        return (
+            np.asarray(hists, dtype=np.int32).reshape(-1, w),
+            np.asarray(actions, dtype=np.int32),
+            np.asarray(rews, dtype=np.float32),
+            np.asarray(next_hists, dtype=np.int32).reshape(-1, w),
+        )
 
     def _fit(self, dataset: Dataset) -> None:
         rng = np.random.default_rng(self._seed)
         n_items = len(self.fit_items)
         dim = self.embedding_dim
-        self.item_embeddings = rng.normal(0, 1.0 / np.sqrt(dim), (n_items, dim)).astype(
-            np.float32
-        )
-        states_h, actions, rewards, next_h = self._transitions(dataset)
-        states = self._state_matrix(states_h, self.item_embeddings)
-        next_states = self._state_matrix(next_h, self.item_embeddings)
-        action_vecs = self.item_embeddings[actions]
+        hists, actions, rewards, next_hists = self._transitions(dataset)
 
         actor, critic = _Actor(dim), _Critic()
         self._actor = actor
         key = jax.random.PRNGKey(self._seed or 0)
+        # learned table; last row = padding, zero-initialized (reference
+        # StateReprModule init, ddpg.py:453-456)
+        emb = jnp.asarray(
+            np.concatenate(
+                [
+                    rng.normal(0, 0.01, (n_items, dim)).astype(np.float32),
+                    np.zeros((1, dim), dtype=np.float32),
+                ]
+            )
+        )
         a_params = actor.init(key, jnp.zeros((1, dim)))["params"]
         c_params = critic.init(key, jnp.zeros((1, dim)), jnp.zeros((1, dim)))["params"]
-        a_target, c_target = a_params, c_params
-        a_tx, c_tx = optax.adam(self.actor_lr), optax.adam(self.critic_lr)
-        a_opt, c_opt = a_tx.init(a_params), c_tx.init(c_params)
+        a_target, c_target, emb_target = a_params, c_params, emb
+        a_tx = optax.adam(self.actor_lr)
+        c_tx = optax.adam(self.critic_lr)
+        # weight decay keeps the table from encoding the logged/random
+        # distinction in embedding NORMS alone (a degenerate collapse mode);
+        # action vectors are unit-normalized in the critic for the same reason
+        e_tx = optax.adamw(self.embedding_lr, weight_decay=1e-4)
+        a_opt, c_opt, e_opt = a_tx.init(a_params), c_tx.init(c_params), e_tx.init(emb)
         gamma, tau = jnp.float32(self.gamma), jnp.float32(self.tau)
+        cons_w = jnp.float32(self.conservative_weight)
 
         @jax.jit
-        def step(a_params, c_params, a_target, c_target, a_opt, c_opt, s, a, r, s2):
-            # critic: TD target from target nets
-            a2 = actor.apply({"params": a_target}, s2)
-            q_target = r + gamma * critic.apply({"params": c_target}, s2, a2)
+        def step(
+            a_params, c_params, emb,
+            a_target, c_target, emb_target,
+            a_opt, c_opt, e_opt,
+            hist, act, r, hist2, neg_act,
+        ):
+            # TD target from the target networks/table (all stop-grad)
+            s2 = _drr_ave(emb_target, hist2, n_items)
+            a2 = _unit(actor.apply({"params": a_target}, s2))
+            q_target = jax.lax.stop_gradient(
+                r + gamma * critic.apply({"params": c_target}, s2, a2)
+            )
 
-            def critic_loss(cp):
+            def critic_loss(cp, e):
+                s = _drr_ave(e, hist, n_items)
+                a = _unit(jnp.take(e, act, axis=0))
                 q = critic.apply({"params": cp}, s, a)
-                return jnp.mean((q - jax.lax.stop_gradient(q_target)) ** 2)
+                td = jnp.mean((q - q_target) ** 2)
+                # conservative penalty: Q of random (OOD) actions → 0
+                a_neg = _unit(jnp.take(e, neg_act, axis=0))
+                q_neg = critic.apply({"params": cp}, s, a_neg)
+                return td + cons_w * jnp.mean(q_neg**2)
 
-            c_loss, c_grads = jax.value_and_grad(critic_loss)(c_params)
+            (c_grads, e_grads_c) = jax.grad(critic_loss, argnums=(0, 1))(c_params, emb)
             c_updates, c_opt = c_tx.update(c_grads, c_opt)
             c_params = optax.apply_updates(c_params, c_updates)
 
-            def actor_loss(ap):
+            def actor_loss(ap, e):
+                s = _drr_ave(e, hist, n_items)
                 return -jnp.mean(
-                    critic.apply({"params": c_params}, s, actor.apply({"params": ap}, s))
+                    critic.apply(
+                        {"params": c_params}, s, _unit(actor.apply({"params": ap}, s))
+                    )
                 )
 
-            a_loss, a_grads = jax.value_and_grad(actor_loss)(a_params)
+            (a_grads, e_grads_a) = jax.grad(actor_loss, argnums=(0, 1))(a_params, emb)
             a_updates, a_opt = a_tx.update(a_grads, a_opt)
             a_params = optax.apply_updates(a_params, a_updates)
+
+            # embeddings learn from both losses (reference trains them inside
+            # ActorDRR with the joint backward, ddpg.py:742-749)
+            e_updates, e_opt = e_tx.update(e_grads_c + e_grads_a, e_opt, emb)
+            emb = optax.apply_updates(emb, e_updates)
+            # keep the padding row at zero
+            emb = emb.at[n_items].set(0.0)
 
             polyak = lambda t, p: jax.tree_util.tree_map(  # noqa: E731
                 lambda x, y: (1 - tau) * x + tau * y, t, p
             )
-            return a_params, c_params, polyak(a_target, a_params), polyak(c_target, c_params), a_opt, c_opt
+            return (
+                a_params, c_params, emb,
+                polyak(a_target, a_params), polyak(c_target, c_params),
+                polyak(emb_target, emb),
+                a_opt, c_opt, e_opt,
+            )
 
-        n = len(states)
+        n = len(hists)
         bsz = min(self.batch_size, n)
         for epoch in range(self.epochs):
             order = rng.permutation(n)
@@ -179,14 +247,22 @@ class DDPG(Recommender):
                 rows = order[start : start + bsz]
                 if len(rows) < bsz:
                     rows = np.resize(rows, bsz)
-                a_params, c_params, a_target, c_target, a_opt, c_opt = step(
-                    a_params, c_params, a_target, c_target, a_opt, c_opt,
-                    jnp.asarray(states[rows]),
-                    jnp.asarray(action_vecs[rows]),
+                (
+                    a_params, c_params, emb,
+                    a_target, c_target, emb_target,
+                    a_opt, c_opt, e_opt,
+                ) = step(
+                    a_params, c_params, emb,
+                    a_target, c_target, emb_target,
+                    a_opt, c_opt, e_opt,
+                    jnp.asarray(hists[rows]),
+                    jnp.asarray(actions[rows]),
                     jnp.asarray(rewards[rows]),
-                    jnp.asarray(next_states[rows]),
+                    jnp.asarray(next_hists[rows]),
+                    jnp.asarray(rng.integers(0, n_items, size=bsz, dtype=np.int32)),
                 )
         self.actor_params = a_params
+        self.item_embeddings = np.asarray(emb[:n_items])
 
     def _score_block(self, query_ids, item_ids, dataset=None) -> np.ndarray:
         if dataset is None:
@@ -196,12 +272,19 @@ class DDPG(Recommender):
         sub = inter[inter[self.query_column].isin(query_ids)]
         known = np.isin(sub[self.item_column].to_numpy(), self.fit_items)
         sub = sub[known]
-        histories = []
+        w = self.state_window
+        pad = len(self.fit_items)
         grouped = sub.groupby(self.query_column)[self.item_column].agg(list)
-        for q in query_ids:
-            h = grouped.get(q, [])
-            histories.append(np.searchsorted(self.fit_items, h[-self.state_window :]))
-        states = self._state_matrix(histories, self.item_embeddings)
-        action = np.asarray(self._actor.apply({"params": self.actor_params}, jnp.asarray(states)))
+        hists = np.full((len(query_ids), w), pad, dtype=np.int32)
+        for row, q in enumerate(query_ids):
+            h = np.searchsorted(self.fit_items, grouped.get(q, [])[-w:])
+            if len(h):
+                hists[row, w - len(h) :] = h
+        emb_full = np.concatenate(
+            [self.item_embeddings, np.zeros((1, self.item_embeddings.shape[1]), np.float32)]
+        )
+        states = _drr_ave(jnp.asarray(emb_full), jnp.asarray(hists), pad)
+        action = np.asarray(self._actor.apply({"params": self.actor_params}, states))
         item_pos = np.searchsorted(self.fit_items, item_ids)
-        return action @ self.item_embeddings[item_pos].T
+        item_vecs = np.asarray(_unit(jnp.asarray(self.item_embeddings[item_pos])))
+        return action @ item_vecs.T

@@ -109,19 +109,20 @@ class ItemKNN(NeighbourRec):
         np.fill_diagonal(sim, 0.0)
 
         # keep top-num_neighbours per row (ties: higher item index first,
-        # matching reference orderBy(similarity desc, item_idx_two desc))
+        # matching reference orderBy(similarity desc, item_idx_two desc)) —
+        # boundary ties resolved vectorized: entries strictly above the kth
+        # value always stay; among entries equal to it, the highest column
+        # indices fill the remaining slots (rank-from-right via reversed
+        # cumsum, no per-row python)
         k = min(self.num_neighbours, n_i - 1)
         if k < n_i - 1:
             kth = np.partition(sim, -k, axis=1)[:, -k][:, None]
-            drop = sim < kth
-            # on ties at the boundary keep highest item indices
-            for row in np.where((sim == kth).sum(axis=1) > 1)[0]:
-                tied = np.where(sim[row] == kth[row, 0])[0]
-                keep_n = k - int((sim[row] > kth[row, 0]).sum())
-                drop_items = tied[: len(tied) - keep_n] if keep_n > 0 else tied
-                drop[row, drop_items] = True
-                drop[row, tied[len(tied) - keep_n :] if keep_n > 0 else []] = False
-            sim = np.where(drop, 0.0, sim)
+            keep_gt = sim > kth
+            tied = sim == kth
+            need = k - keep_gt.sum(axis=1, keepdims=True)
+            rank_from_right = np.cumsum(tied[:, ::-1], axis=1)[:, ::-1]
+            keep = keep_gt | (tied & (rank_from_right <= need))
+            sim = np.where(keep, sim, 0.0)
         self._set_similarity_dense(sim.astype(np.float32))
 
     def _gram_device(self, ratings_matrix: csr_matrix, block: int = 4096) -> np.ndarray:

@@ -28,8 +28,11 @@ from replay_tpu.nn.losses import (
 )
 from replay_tpu.nn.transforms import (
     Compose,
+    AdaptiveTrimTransform,
+    EqualityMaskTransform,
     GroupTransform,
     MaskedLMTransform,
+    MultiClassNegativeSamplingTransform,
     RenameTransform,
     UnsqueezeTransform,
     NextTokenTransform,
@@ -59,7 +62,10 @@ __all__ = [
     "LogOutCELoss",
     "ScalableCELoss",
     "Compose",
+    "AdaptiveTrimTransform",
+    "EqualityMaskTransform",
     "GroupTransform",
+    "MultiClassNegativeSamplingTransform",
     "MaskedLMTransform",
     "RenameTransform",
     "UnsqueezeTransform",

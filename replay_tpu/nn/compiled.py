@@ -8,12 +8,19 @@ is traced at a fixed (or symbolically-dynamic) batch shape, lowered to
 StableHLO, and serialized to a portable artifact that runs later without
 the Python model definition — XLA's analog of an OpenVINO blob.
 
+The export signature is derived from an example batch (arbitrary feature
+schema — multi-feature SasRec/Bert4Rec, TwoTower with item-feature
+constants), mirroring the reference's schema-driven input declaration
+(base_compiled_model.py:54); without one it defaults to the classic
+``(item_id, padding_mask)`` pair.
+
 Modes mirror the reference (`mode` of BaseCompiledModel):
 - ``one_query``: batch_size fixed to 1;
 - ``batch``: fixed ``batch_size``;
 - ``dynamic_batch_size``: symbolic batch dimension via export symbolic shapes.
 """
 
+import json
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -22,13 +29,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
+# bookkeeping fields that never feed the model's forward pass
+_NON_MODEL_FIELDS = ("batch_mask", "query_id", "seq_len")
+
 
 class CompiledSequentialModel:
     """Serialized forward_inference of a sequential model."""
 
-    def __init__(self, exported, batch_fields, max_sequence_length: int, mode: str):
+    def __init__(self, exported, field_specs, max_sequence_length: int, mode: str):
         self._exported = exported
-        self.batch_fields = batch_fields
+        # [(name, trailing_shape_tuple, dtype_str), ...] in call order
+        self.field_specs = field_specs
+        self.batch_fields = tuple(name for name, _, _ in field_specs)
         self.max_sequence_length = max_sequence_length
         self.mode = mode
 
@@ -42,10 +54,15 @@ class CompiledSequentialModel:
         max_sequence_length: Optional[int] = None,
         mode: str = "batch",
         extra_variables: Optional[Dict] = None,
+        example_batch: Optional[Dict[str, np.ndarray]] = None,
     ) -> "CompiledSequentialModel":
         """Trace + lower ``model.forward_inference`` into a StableHLO artifact.
 
         :param mode: ``one_query`` | ``batch`` | ``dynamic_batch_size``.
+        :param example_batch: any batch the model accepts; its per-field
+            trailing shapes and dtypes define the export signature
+            (bookkeeping fields ``batch_mask``/``query_id``/``seq_len`` are
+            dropped). Defaults to ``{item_id, padding_mask}``.
         """
         if mode not in ("one_query", "batch", "dynamic_batch_size"):
             msg = f"Unknown mode {mode}"
@@ -55,30 +72,42 @@ class CompiledSequentialModel:
             batch_size = 1
         variables = {"params": params, **(extra_variables or {})}
 
-        def fn(item_id, padding_mask):
-            batch = {"item_id": item_id, "padding_mask": padding_mask}
+        if example_batch is not None:
+            field_specs = [
+                (name, tuple(np.asarray(v).shape[1:]), str(np.asarray(v).dtype))
+                for name, v in sorted(example_batch.items())
+                if name not in _NON_MODEL_FIELDS and hasattr(v, "shape")
+            ]
+        else:
+            field_specs = [
+                ("item_id", (length,), "int32"),
+                ("padding_mask", (length,), "int8"),
+            ]
+        names = [name for name, _, _ in field_specs]
+
+        def fn(*arrays):
+            batch = dict(zip(names, arrays))
             return model.apply(variables, batch, method=type(model).forward_inference)
 
         if mode == "dynamic_batch_size":
             b = jax_export.symbolic_shape("b")[0]
-            args = (
-                jax.ShapeDtypeStruct((b, length), jnp.int32),
-                jax.ShapeDtypeStruct((b, length), jnp.int8),
-            )
         else:
-            args = (
-                jax.ShapeDtypeStruct((batch_size, length), jnp.int32),
-                jax.ShapeDtypeStruct((batch_size, length), jnp.int8),
-            )
+            b = batch_size
+        args = tuple(
+            jax.ShapeDtypeStruct((b, *shape), jnp.dtype(dtype))
+            for _, shape, dtype in field_specs
+        )
         exported = jax_export.export(jax.jit(fn))(*args)
-        return cls(exported, ("item_id", "padding_mask"), length, mode)
+        return cls(exported, field_specs, length, mode)
 
     # --------------------------------------------------------------- predict
     def predict(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
         """[B, n_items] logits from a padded batch dict."""
-        item_id = jnp.asarray(batch["item_id"], dtype=jnp.int32)
-        padding_mask = jnp.asarray(batch["padding_mask"], dtype=jnp.int8)
-        return np.asarray(self._exported.call(item_id, padding_mask))
+        args = [
+            jnp.asarray(batch[name], dtype=jnp.dtype(dtype))
+            for name, _, dtype in self.field_specs
+        ]
+        return np.asarray(self._exported.call(*args))
 
     def predict_topk(self, batch: Dict[str, np.ndarray], k: int):
         logits = jnp.asarray(self.predict(batch))
@@ -90,12 +119,26 @@ class CompiledSequentialModel:
         target = Path(path)
         target.mkdir(parents=True, exist_ok=True)
         (target / "model.stablehlo").write_bytes(self._exported.serialize())
-        meta = f"{self.mode}\n{self.max_sequence_length}\n"
-        (target / "meta.txt").write_text(meta)
+        meta = {
+            "mode": self.mode,
+            "max_sequence_length": self.max_sequence_length,
+            "field_specs": [
+                [name, list(shape), dtype] for name, shape, dtype in self.field_specs
+            ],
+        }
+        (target / "meta.json").write_text(json.dumps(meta))
 
     @classmethod
     def load(cls, path: str) -> "CompiledSequentialModel":
         target = Path(path)
         exported = jax_export.deserialize((target / "model.stablehlo").read_bytes())
-        mode, length = (target / "meta.txt").read_text().strip().split("\n")
-        return cls(exported, ("item_id", "padding_mask"), int(length), mode)
+        legacy = target / "meta.txt"
+        if legacy.exists():  # round-1 artifacts
+            mode, length = legacy.read_text().strip().split("\n")
+            specs = [("item_id", (int(length),), "int32"), ("padding_mask", (int(length),), "int8")]
+            return cls(exported, specs, int(length), mode)
+        meta = json.loads((target / "meta.json").read_text())
+        specs = [
+            (name, tuple(shape), dtype) for name, shape, dtype in meta["field_specs"]
+        ]
+        return cls(exported, specs, int(meta["max_sequence_length"]), meta["mode"])

@@ -136,17 +136,156 @@ class MaskedLMTransform:
 
 
 class UniformNegativeSamplingTransform:
-    """Attach a shared uniform negative-id set (reference:
-    replay/nn/transform/negative_sampling.py)."""
+    """Attach a shared negative-id set (reference:
+    replay/nn/transform/negative_sampling.py).
 
-    def __init__(self, n_negatives: int, n_items: int, field: str = "negatives"):
+    With ``sample_distribution`` (weights of length ``n_items``), negatives
+    are drawn without replacement proportionally to the weights via
+    Gumbel-top-k, matching torch.multinomial(replacement=False); otherwise
+    uniform with replacement (cheaper; equivalent for n_negatives ≪ n_items).
+    """
+
+    def __init__(
+        self,
+        n_negatives: int,
+        n_items: int,
+        field: str = "negatives",
+        sample_distribution=None,
+    ):
+        if sample_distribution is not None:
+            sample_distribution = jnp.asarray(sample_distribution, dtype=jnp.float32)
+            if sample_distribution.shape[-1] != n_items:
+                msg = (
+                    f"sample_distribution has size {sample_distribution.shape[-1]}, "
+                    f"expected {n_items}"
+                )
+                raise ValueError(msg)
         self.n_negatives = n_negatives
         self.n_items = n_items
         self.field = field
+        self.sample_distribution = sample_distribution
 
     def __call__(self, batch: Batch, key=None) -> Batch:
         out = dict(batch)
-        out[self.field] = jax.random.randint(key, (self.n_negatives,), 0, self.n_items)
+        if self.sample_distribution is None:
+            out[self.field] = jax.random.randint(key, (self.n_negatives,), 0, self.n_items)
+        else:
+            logw = jnp.log(jnp.maximum(self.sample_distribution, 0.0))
+            gumbel = jax.random.gumbel(key, (self.n_items,))
+            _, idx = jax.lax.top_k(logw + gumbel, self.n_negatives)
+            out[self.field] = idx
+        return out
+
+
+class MultiClassNegativeSamplingTransform:
+    """Per-class negative sampling from a fixed class-assignment matrix
+    (reference: replay/nn/transform/negative_sampling.py:82).
+
+    ``sample_mask`` is [n_classes, n_items] with nonnegative weights; for
+    each class, ``num_negative_samples`` items are drawn without replacement
+    proportionally to the weights (Gumbel-top-k — the XLA-friendly exact
+    equivalent of torch.multinomial(replacement=False)), then rows are
+    gathered per batch element via the ``negative_selector`` field.
+    Output: ``negative_labels`` [B, num_negative_samples].
+    """
+
+    def __init__(
+        self,
+        num_negative_samples: int,
+        sample_mask,
+        negative_selector_name: str = "negative_selector",
+        out_field: str = "negative_labels",
+    ):
+        sample_mask = jnp.asarray(sample_mask, dtype=jnp.float32)
+        if sample_mask.ndim != 2:
+            msg = (
+                "sample_mask must be [n_classes, n_items], got "
+                f"{sample_mask.ndim} dims"
+            )
+            raise ValueError(msg)
+        if num_negative_samples >= sample_mask.shape[1]:
+            msg = (
+                f"num_negative_samples={num_negative_samples} must be less than "
+                f"the catalog size {sample_mask.shape[1]}"
+            )
+            raise ValueError(msg)
+        self.num_negative_samples = num_negative_samples
+        self.sample_mask = sample_mask
+        self.negative_selector_name = negative_selector_name
+        self.out_field = out_field
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = dict(batch)
+        selector = batch[self.negative_selector_name]
+        logw = jnp.log(jnp.maximum(self.sample_mask, 0.0))  # 0-weight → -inf
+        gumbel = jax.random.gumbel(key, self.sample_mask.shape)
+        _, per_class = jax.lax.top_k(logw + gumbel, self.num_negative_samples)
+        out[self.out_field] = jnp.take(per_class, selector, axis=0)
+        return out
+
+
+class EqualityMaskTransform:
+    """Combine the boolean mask with a feature == value test (reference:
+    replay/nn/transform/equality_mask.py:6) — e.g. train only on events of a
+    given type."""
+
+    _OPS = {
+        "and": jnp.logical_and,
+        "or": jnp.logical_or,
+        "xor": jnp.logical_xor,
+    }
+
+    def __init__(
+        self,
+        feature_name: str,
+        equality_value,
+        mode: str = "and",
+        mask_name: str = "labels_padding_mask",
+    ):
+        if mode not in self._OPS:
+            msg = f"Mode={mode} is not supported. Possible values are 'and', 'or', 'xor'."
+            raise ValueError(msg)
+        self.feature_name = feature_name
+        self.equality_value = equality_value
+        self.mode = mode
+        self.mask_name = mask_name
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        out = dict(batch)
+        eq = batch[self.feature_name] == self.equality_value
+        combined = self._OPS[self.mode](batch[self.mask_name].astype(bool), eq)
+        out[self.mask_name] = combined.astype(batch[self.mask_name].dtype)
+        return out
+
+
+class AdaptiveTrimTransform:
+    """Trim left-padded sequences to the longest real length in the batch
+    (reference: replay/nn/transform/trim.py:50).
+
+    The output length is data-dependent, so this is a HOST-side transform for
+    validation/inference loops (each distinct resulting length triggers one
+    XLA compile downstream); do not compose it inside a jitted train step.
+    """
+
+    def __init__(self, apply_to: Optional[Sequence[str]] = None, mask_name: str = "padding_mask"):
+        self.apply_to = list(apply_to) if apply_to is not None else None
+        self.mask_name = mask_name
+
+    def __call__(self, batch: Batch, key=None) -> Batch:
+        if self.mask_name not in batch:
+            msg = f"Padding mask '{self.mask_name}' not found in batch."
+            raise KeyError(msg)
+        pad = batch[self.mask_name]
+        max_len = int(jnp.asarray(pad).sum(axis=1).max())
+        max_len = max(max_len, 1)
+        if max_len == pad.shape[1]:
+            return batch
+        out = dict(batch)
+        for k, v in batch.items():
+            if self.apply_to is not None and k not in self.apply_to and k != self.mask_name:
+                continue
+            if hasattr(v, "ndim") and v.ndim >= 2 and k != "batch_mask":
+                out[k] = v[:, -max_len:]
         return out
 
 

@@ -232,3 +232,26 @@ def test_cql_fits_and_predicts(sequential_dataset):
     recs = model.predict(sequential_dataset, k=3)
     assert recs.groupby("user_id").size().max() <= 3
     assert np.isfinite(recs["rating"]).all()
+
+
+def test_ddpg_beats_random(block_dataset):
+    """With learned embeddings (reference ActorDRR trains them,
+    replay/experimental/models/ddpg.py:443-456) DDPG must recover block
+    structure far above chance — the round-1 frozen-embedding version could
+    not beat random ranking."""
+    from replay_tpu.experimental.models import DDPG
+    from replay_tpu.models import RandomRec
+
+    ddpg = DDPG(embedding_dim=16, epochs=150, batch_size=128,
+                embedding_lr=3e-2, seed=0)
+    ddpg.fit(block_dataset)
+    ddpg_recs = ddpg.predict(block_dataset, k=5)
+    ddpg_frac = in_group_fraction(ddpg_recs)
+
+    rand = RandomRec(seed=0)
+    rand.fit(block_dataset)
+    rand_frac = in_group_fraction(rand.predict(block_dataset, k=5))
+
+    # chance level is ~15/60 = 0.25 (minus seen items)
+    assert ddpg_frac > rand_frac + 0.2, (ddpg_frac, rand_frac)
+    assert ddpg_frac > 0.5, ddpg_frac

@@ -192,3 +192,53 @@ def test_multi_validation_sets(seq_dataset):
     record = history[0]
     assert "a/ndcg@10" in record and "b/ndcg@10" in record
     np.testing.assert_allclose(record["a/ndcg@10"], record["b/ndcg@10"])
+
+
+class TestCompiledGeneralized:
+    """Export signature derived from the TensorSchema batch (reference
+    compiles arbitrary-schema models, base_compiled_model.py:54)."""
+
+    def test_multifeature_export_roundtrip(self, tmp_path):
+        from tests.nn.test_multifeature import rich_dataset
+
+        ds = rich_dataset()
+        model = SasRec(schema=ds.schema, max_sequence_length=8, num_blocks=1, num_heads=2)
+        batch = next(ds.batches(batch_size=4, max_sequence_length=8))
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            device_batch,
+            deterministic=True,
+        )
+        eager = np.asarray(
+            model.apply(variables, device_batch, method=SasRec.forward_inference)
+        )
+        compiled = CompiledSequentialModel.compile(
+            model, variables["params"], batch_size=4, example_batch=batch
+        )
+        assert "category" in compiled.batch_fields and "rating" in compiled.batch_fields
+        np.testing.assert_allclose(compiled.predict(batch), eager, rtol=2e-2, atol=1e-3)
+        compiled.save(str(tmp_path / "mf"))
+        restored = CompiledSequentialModel.load(str(tmp_path / "mf"))
+        np.testing.assert_allclose(restored.predict(batch), compiled.predict(batch), rtol=1e-5)
+
+    def test_twotower_export(self, item_schema):
+        from replay_tpu.nn.sequential.twotower import TwoTower
+
+        model = TwoTower(schema=item_schema, max_sequence_length=8, num_blocks=1, num_heads=2)
+        batch = make_batch(bsz=4, length=8)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            device_batch,
+            deterministic=True,
+        )
+        eager = np.asarray(
+            model.apply(variables, device_batch, method=TwoTower.forward_inference)
+        )
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        compiled = CompiledSequentialModel.compile(
+            model, variables["params"], batch_size=4,
+            example_batch=batch, extra_variables=extra,
+        )
+        np.testing.assert_allclose(compiled.predict(batch), eager, rtol=2e-2, atol=1e-3)

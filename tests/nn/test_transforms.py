@@ -1,5 +1,6 @@
 """Batch transform tests."""
 
+import pytest
 import pytest as _pytest
 
 pytestmark = _pytest.mark.nn
@@ -9,7 +10,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from replay_tpu.nn.transforms import (
+    AdaptiveTrimTransform,
     Compose,
+    EqualityMaskTransform,
+    MultiClassNegativeSamplingTransform,
     CopyTransform,
     NextTokenTransform,
     RenameTransform,
@@ -85,3 +89,71 @@ def test_unsqueeze_and_group():
     grouped = GroupTransform({"feature_tensors": ["item_id", "padding_mask"]})(batch)
     assert set(grouped["feature_tensors"]) == {"item_id", "padding_mask"}
     np.testing.assert_array_equal(grouped["feature_tensors"]["item_id"], batch["item_id"])
+
+
+class TestNewTransforms:
+    def test_equality_mask_modes(self):
+        batch = {
+            "labels_padding_mask": jnp.asarray([[0, 1, 1, 1, 1]], dtype=jnp.int8),
+            "events_type": jnp.asarray([[0, 3, 2, 1, 2]]),
+        }
+        out = EqualityMaskTransform("events_type", 2, mode="and")(batch)
+        np.testing.assert_array_equal(out["labels_padding_mask"][0], [0, 0, 1, 0, 1])
+        out = EqualityMaskTransform("events_type", 2, mode="or")(batch)
+        np.testing.assert_array_equal(out["labels_padding_mask"][0], [0, 1, 1, 1, 1])
+        out = EqualityMaskTransform("events_type", 2, mode="xor")(batch)
+        np.testing.assert_array_equal(out["labels_padding_mask"][0], [0, 1, 0, 1, 0])
+        with pytest.raises(ValueError):
+            EqualityMaskTransform("events_type", 2, mode="nand")
+
+    def test_adaptive_trim(self):
+        batch = {
+            "item_id": jnp.asarray([[5, 5, 5, 5, 0], [5, 5, 0, 2, 4]]),
+            "padding_mask": jnp.asarray([[0, 0, 0, 0, 1], [0, 0, 1, 1, 1]], dtype=jnp.int8),
+            "batch_mask": jnp.asarray([1, 1], dtype=jnp.int8),
+        }
+        out = AdaptiveTrimTransform()(batch)
+        assert out["item_id"].shape == (2, 3)
+        np.testing.assert_array_equal(out["item_id"], [[5, 5, 0], [0, 2, 4]])
+        np.testing.assert_array_equal(out["padding_mask"], [[0, 0, 1], [1, 1, 1]])
+        # no padding to remove → unchanged object
+        full = {
+            "item_id": jnp.asarray([[1, 2]]),
+            "padding_mask": jnp.asarray([[1, 1]], dtype=jnp.int8),
+        }
+        assert AdaptiveTrimTransform()(full) is full
+
+    def test_multiclass_negative_sampling(self):
+        sample_mask = jnp.asarray(
+            [
+                [1, 0, 1, 0, 0, 0],
+                [0, 0, 0, 1, 1, 0],
+                [0, 1, 0, 0, 0, 1],
+            ],
+            dtype=jnp.float32,
+        )
+        batch = {"negative_selector": jnp.asarray([0, 2, 1, 1, 0])}
+        t = MultiClassNegativeSamplingTransform(2, sample_mask)
+        out = t(batch, key=jax.random.PRNGKey(0))
+        negs = np.asarray(out["negative_labels"])
+        assert negs.shape == (5, 2)
+        allowed = {0: {0, 2}, 1: {3, 4}, 2: {1, 5}}
+        for row, cls in enumerate([0, 2, 1, 1, 0]):
+            assert set(negs[row]) <= allowed[cls], (row, negs[row])
+            assert len(set(negs[row])) == 2  # without replacement
+        with pytest.raises(ValueError):
+            MultiClassNegativeSamplingTransform(6, sample_mask)
+        with pytest.raises(ValueError):
+            MultiClassNegativeSamplingTransform(2, jnp.ones((4,)))
+
+    def test_weighted_uniform_negative_sampling(self):
+        # weight concentrated on items 0..4 → samples stay there
+        w = np.zeros(20, np.float32)
+        w[:5] = 1.0
+        t = UniformNegativeSamplingTransform(3, 20, sample_distribution=w)
+        out = t({}, key=jax.random.PRNGKey(1))
+        negs = np.asarray(out["negatives"])
+        assert negs.shape == (3,)
+        assert set(negs) <= set(range(5)) and len(set(negs)) == 3
+        with pytest.raises(ValueError):
+            UniformNegativeSamplingTransform(3, 21, sample_distribution=w)
