@@ -68,8 +68,57 @@ def _lib() -> ctypes.CDLL:
         lib.hnsw_save.restype = ctypes.c_int
         lib.hnsw_load.argtypes = [ctypes.c_char_p]
         lib.hnsw_load.restype = ctypes.c_void_p
+        lib.hnsw_search_filtered.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.ssim_create.restype = ctypes.c_void_p
+        lib.ssim_create.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.ssim_free.argtypes = [ctypes.c_void_p]
+        lib.ssim_size.argtypes = [ctypes.c_void_p]
+        lib.ssim_size.restype = ctypes.c_int
+        lib.ssim_search.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.ssim_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.ssim_save.restype = ctypes.c_int
+        lib.ssim_load.argtypes = [ctypes.c_char_p]
+        lib.ssim_load.restype = ctypes.c_void_p
         _LIB = lib
     return _LIB
+
+
+def _i64_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _f32_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 class HnswIndex:
@@ -142,6 +191,31 @@ class HnswIndex:
         )
         return labels, dists
 
+    def knn_query_filtered(
+        self, queries: np.ndarray, k: int, exclude_lists
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Like :meth:`knn_query` but per-query exclusion label lists are
+        honored INSIDE the native search (filter-seen without the Python
+        over-fetch loop; reference filter-seen inferers,
+        index_inferers/*filter*_inferer.py)."""
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        nq = len(queries)
+        lens = np.fromiter((len(e) for e in exclude_lists), dtype=np.int64, count=nq)
+        indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        flat = (
+            np.concatenate([np.sort(np.asarray(e, dtype=np.int64)) for e in exclude_lists])
+            if indptr[-1]
+            else np.zeros(1, dtype=np.int64)
+        )
+        flat = np.ascontiguousarray(flat, dtype=np.int64)
+        labels = np.empty((nq, k), dtype=np.int64)
+        dists = np.empty((nq, k), dtype=np.float32)
+        _lib().hnsw_search_filtered(
+            self._h, _f32_ptr(queries), nq, k,
+            _i64_ptr(indptr), _i64_ptr(flat), _i64_ptr(labels), _f32_ptr(dists),
+        )
+        return labels, dists
+
     def save(self, path: str) -> None:
         rc = _lib().hnsw_save(self._h, str(path).encode())
         if rc != 0:
@@ -160,3 +234,87 @@ class HnswIndex:
         idx.space = space
         idx.dim = None
         return idx
+
+
+class SparseSimilarityIndex:
+    """Sparse item-item similarity index for NeighbourRec serving.
+
+    Native analog of the reference's nmslib sparse index
+    (reference: replay/models/extensions/ann/index_builders/*nmslib*.py,
+    index_inferers/nmslib_filter_index_inferer.py): the index holds the CSR
+    similarity matrix; a query is a sparse user profile and the result is
+    top-k of profile · similarity with seen items excluded inside the native
+    kernel.  Unlike nmslib's HNSW it is EXACT — recsys similarity rows are
+    sparse enough that exact accumulation beats approximate graph search.
+    """
+
+    def __init__(self, sim_csr=None, _handle=None):
+        if _handle is not None:
+            self._h = _handle
+            return
+        from scipy.sparse import csr_matrix
+
+        sim = csr_matrix(sim_csr).astype(np.float32)
+        sim.sort_indices()
+        indptr = np.ascontiguousarray(sim.indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(sim.indices, dtype=np.int32)
+        values = np.ascontiguousarray(sim.data, dtype=np.float32)
+        self._h = _lib().ssim_create(
+            sim.shape[0], _i64_ptr(indptr), _i32_ptr(indices), _f32_ptr(values),
+            np.int64(len(values)),
+        )
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            _lib().ssim_free(self._h)
+            self._h = None
+
+    def __len__(self) -> int:
+        return _lib().ssim_size(self._h)
+
+    def search(self, profiles, k: int, exclude_lists=None):
+        """:param profiles: scipy CSR [nq, n_items] user profiles.
+        :param exclude_lists: optional per-query seen item-position lists.
+        :returns: (labels [nq, k] int64 item positions, -1 padded;
+                   scores [nq, k] float32)."""
+        from scipy.sparse import csr_matrix
+
+        profiles = csr_matrix(profiles).astype(np.float32)
+        nq = profiles.shape[0]
+        q_indptr = np.ascontiguousarray(profiles.indptr, dtype=np.int64)
+        q_indices = np.ascontiguousarray(profiles.indices, dtype=np.int32)
+        q_values = np.ascontiguousarray(profiles.data, dtype=np.float32)
+        if exclude_lists is not None:
+            lens = np.fromiter((len(e) for e in exclude_lists), dtype=np.int64, count=nq)
+            e_indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            e_flat = (
+                np.concatenate([np.asarray(e, dtype=np.int32) for e in exclude_lists])
+                if e_indptr[-1]
+                else np.zeros(1, dtype=np.int32)
+            )
+            e_indptr = np.ascontiguousarray(e_indptr)
+            e_flat = np.ascontiguousarray(e_flat, dtype=np.int32)
+            ep, ef = _i64_ptr(e_indptr), _i32_ptr(e_flat)
+        else:
+            ep, ef = None, None
+        labels = np.empty((nq, k), dtype=np.int64)
+        scores = np.empty((nq, k), dtype=np.float32)
+        _lib().ssim_search(
+            self._h, _i64_ptr(q_indptr), _i32_ptr(q_indices), _f32_ptr(q_values),
+            nq, k, ep, ef, _i64_ptr(labels), _f32_ptr(scores),
+        )
+        return labels, scores
+
+    def save(self, path: str) -> None:
+        rc = _lib().ssim_save(self._h, str(path).encode())
+        if rc != 0:
+            msg = f"failed to save index to {path}"
+            raise IOError(msg)
+
+    @classmethod
+    def load(cls, path: str) -> "SparseSimilarityIndex":
+        handle = _lib().ssim_load(str(path).encode())
+        if not handle:
+            msg = f"failed to load index from {path}"
+            raise IOError(msg)
+        return cls(_handle=handle)

@@ -33,6 +33,16 @@ class HnswParam:
     ef_search: int = 100
 
 
+@dataclass
+class SparseSimParam:
+    """Marker/params for sparse item-item index serving on NeighbourRec
+    models (reference: entities/nmslib_hnsw_param.py). The native scorer is
+    exact, so graph hyperparameters are unnecessary; ``None`` fields are
+    kept for API familiarity."""
+
+    space: str = "negdotprod_sparse"
+
+
 class ANNMixin:
     """Adds ANN-backed predict to models exposing ``_get_item_vectors`` and
     per-query vectors.  Activated by setting ``index_builder``."""
@@ -64,27 +74,29 @@ class ANNMixin:
         k: int,
         seen_lists=None,
     ) -> pd.DataFrame:
-        """Top-k via the index; over-fetches to survive seen filtering."""
-        max_seen = max((len(s) for s in seen_lists), default=0) if seen_lists else 0
-        fetch = min(k + max_seen, len(self._ann_index))
-        labels, dists = self._ann_index.knn_query(
-            np.asarray(query_vectors, dtype=np.float32), fetch
-        )
+        """Top-k via the index; seen items are excluded INSIDE the native
+        search (reference filter-seen inferers,
+        index_inferers/*filter*_inferer.py) — no Python over-fetch loop."""
+        queries = np.asarray(query_vectors, dtype=np.float32)
+        if seen_lists:
+            # map raw seen ids → index labels (= fit_items positions)
+            n_items = len(self.fit_items)
+            exclude = []
+            for seen in seen_lists:
+                ids = np.asarray(seen)
+                pos = np.searchsorted(self.fit_items, ids)
+                pos_c = np.minimum(pos, n_items - 1)
+                exclude.append(pos[ids == self.fit_items[pos_c]] if len(ids) else pos[:0])
+            labels, dists = self._ann_index.knn_query_filtered(queries, k, exclude)
+        else:
+            labels, dists = self._ann_index.knn_query(queries, min(k, len(self._ann_index)))
         rows = []
         for row, qid in enumerate(query_ids):
-            seen = set(seen_lists[row]) if seen_lists else ()
-            count = 0
-            for pos in range(fetch):
+            for pos in range(labels.shape[1]):
                 item_pos = labels[row, pos]
                 if item_pos < 0:
                     break
-                item = self.fit_items[item_pos]
-                if item in seen:
-                    continue
-                rows.append((qid, item, -float(dists[row, pos])))
-                count += 1
-                if count >= k:
-                    break
+                rows.append((qid, self.fit_items[item_pos], -float(dists[row, pos])))
         return pd.DataFrame(rows, columns=[self.query_column, self.item_column, self.rating_column])
 
     # ----------------------------------------------------------- persistence

@@ -176,6 +176,54 @@ struct Index {
         }
     }
 
+    // filtered variant: labels in excl (sorted) are skipped inside the
+    // result collection; ef is inflated by the exclusion count so the
+    // traversal still reaches k admissible results (the reference's
+    // filter-seen index inferers, index_inferers/*filter*_inferer.py)
+    void search_filtered(const float* q_in, int k, const int64_t* excl, int n_excl,
+                         int64_t* out_labels, float* out_dists) const {
+        std::vector<float> norm;
+        const float* q = q_in;
+        if (space == COSINE) {
+            norm.assign(q_in, q_in + dim);
+            float s = 0.f;
+            for (int i = 0; i < dim; ++i) s += norm[i] * norm[i];
+            s = std::sqrt(std::max(s, 1e-12f));
+            for (int i = 0; i < dim; ++i) norm[i] /= s;
+            q = norm.data();
+        }
+        int ep = entry_point;
+        for (int l = max_level; l > 0; --l) {
+            bool improved = true;
+            float best = dist(q, vec(ep));
+            while (improved) {
+                improved = false;
+                for (int nb : links[ep][l]) {
+                    float d = dist(q, vec(nb));
+                    if (d < best) { best = d; ep = nb; improved = true; }
+                }
+            }
+        }
+        std::priority_queue<std::pair<float, int>> top;
+        search_layer(q, ep, 0, std::max(ef_search, k + n_excl), top);
+        std::vector<std::pair<float, int>> all;
+        while (!top.empty()) { all.push_back(top.top()); top.pop(); }
+        std::sort(all.begin(), all.end());
+        int written = 0;
+        for (auto& [d, node] : all) {
+            if (written >= k) break;
+            int64_t lab = labels[node];
+            if (n_excl && std::binary_search(excl, excl + n_excl, lab)) continue;
+            out_labels[written] = lab;
+            out_dists[written] = d;
+            ++written;
+        }
+        for (; written < k; ++written) {
+            out_labels[written] = -1;
+            out_dists[written] = 3.0e38f;
+        }
+    }
+
     void search(const float* q_in, int k, int64_t* out_labels, float* out_dists) const {
         std::vector<float> norm;
         const float* q = q_in;
@@ -279,9 +327,146 @@ struct Index {
     }
 };
 
+// Sparse item-item scorer: serves NeighbourRec models (ItemKNN/SLIM/
+// AssociationRules) from the sparse similarity matrix — the analog of the
+// reference's nmslib sparse index (index_inferers/nmslib_filter_index_inferer.py),
+// but EXACT: score(u, j) = Σ_{i ∈ profile(u)} w_i · sim[i, j] accumulated
+// over the CSR rows of sim, with seen-item exclusion applied inside the
+// kernel before top-k selection.
+struct SparseSim {
+    int n_items = 0;
+    std::vector<int64_t> indptr;  // n_items + 1
+    std::vector<int> indices;
+    std::vector<float> values;
+
+    bool save(const char* path) const {
+        FILE* f = std::fopen(path, "wb");
+        if (!f) return false;
+        int64_t nnz = (int64_t)indices.size();
+        std::fwrite(&n_items, sizeof(int), 1, f);
+        std::fwrite(&nnz, sizeof(int64_t), 1, f);
+        std::fwrite(indptr.data(), sizeof(int64_t), indptr.size(), f);
+        std::fwrite(indices.data(), sizeof(int), indices.size(), f);
+        std::fwrite(values.data(), sizeof(float), values.size(), f);
+        std::fclose(f);
+        return true;
+    }
+
+    static SparseSim* load(const char* path) {
+        FILE* f = std::fopen(path, "rb");
+        if (!f) return nullptr;
+        auto* s = new SparseSim();
+        int64_t nnz;
+        if (std::fread(&s->n_items, sizeof(int), 1, f) != 1) { std::fclose(f); delete s; return nullptr; }
+        std::fread(&nnz, sizeof(int64_t), 1, f);
+        s->indptr.resize(s->n_items + 1);
+        s->indices.resize(nnz);
+        s->values.resize(nnz);
+        std::fread(s->indptr.data(), sizeof(int64_t), s->indptr.size(), f);
+        std::fread(s->indices.data(), sizeof(int), nnz, f);
+        std::fread(s->values.data(), sizeof(float), nnz, f);
+        std::fclose(f);
+        return s;
+    }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* ssim_create(int n_items, const int64_t* indptr, const int* indices,
+                  const float* values, int64_t nnz) {
+    auto* s = new SparseSim();
+    s->n_items = n_items;
+    s->indptr.assign(indptr, indptr + n_items + 1);
+    s->indices.assign(indices, indices + nnz);
+    s->values.assign(values, values + nnz);
+    return s;
+}
+
+void ssim_free(void* h) { delete (SparseSim*)h; }
+
+int ssim_size(void* h) { return ((SparseSim*)h)->n_items; }
+
+// queries: CSR user profiles over item positions; excl: CSR per-query seen
+// item positions (may be null). Writes [nq, k] labels (-1 padded) + scores.
+void ssim_search(void* h, const int64_t* q_indptr, const int* q_indices,
+                 const float* q_values, int nq, int k,
+                 const int64_t* excl_indptr, const int* excl_indices,
+                 int64_t* out_labels, float* out_scores) {
+    auto* s = (SparseSim*)h;
+    int n = s->n_items;
+#pragma omp parallel
+    {
+        std::vector<float> acc(n, 0.f);
+        std::vector<uint8_t> mask(n, 0);
+        std::vector<int> touched;
+#pragma omp for schedule(dynamic, 16)
+        for (int qi = 0; qi < nq; ++qi) {
+            touched.clear();
+            for (int64_t p = q_indptr[qi]; p < q_indptr[qi + 1]; ++p) {
+                int row = q_indices[p];
+                float w = q_values[p];
+                if (row < 0 || row >= n) continue;
+                for (int64_t rp = s->indptr[row]; rp < s->indptr[row + 1]; ++rp) {
+                    int j = s->indices[rp];
+                    if (!mask[j]) { touched.push_back(j); mask[j] = 1; }
+                    acc[j] += w * s->values[rp];
+                }
+            }
+            // drop excluded (seen) items inside the kernel
+            if (excl_indptr) {
+                for (int64_t p = excl_indptr[qi]; p < excl_indptr[qi + 1]; ++p) {
+                    int j = excl_indices[p];
+                    if (j >= 0 && j < n) { acc[j] = 0.f; mask[j] = 2; }
+                }
+            }
+            // top-k over touched, skipping masked-out entries
+            std::priority_queue<std::pair<float, int>, std::vector<std::pair<float, int>>,
+                                std::greater<>> heap;  // min-heap of (score, -item)
+            for (int j : touched) {
+                if (mask[j] == 2 || acc[j] == 0.f) continue;
+                // tie-break: higher item index wins (reference orderBy desc)
+                std::pair<float, int> cand{acc[j], j};
+                if ((int)heap.size() < k) heap.push(cand);
+                else if (cand > heap.top()) { heap.pop(); heap.push(cand); }
+            }
+            std::vector<std::pair<float, int>> res;
+            while (!heap.empty()) { res.push_back(heap.top()); heap.pop(); }
+            std::sort(res.rbegin(), res.rend());
+            int64_t* ol = out_labels + (size_t)qi * k;
+            float* os = out_scores + (size_t)qi * k;
+            int w = 0;
+            for (auto& [score, j] : res) { ol[w] = j; os[w] = score; ++w; }
+            for (; w < k; ++w) { ol[w] = -1; os[w] = -3.0e38f; }
+            // reset accumulators
+            for (int j : touched) { acc[j] = 0.f; mask[j] = 0; }
+            if (excl_indptr) {
+                for (int64_t p = excl_indptr[qi]; p < excl_indptr[qi + 1]; ++p) {
+                    int j = excl_indices[p];
+                    if (j >= 0 && j < n) { acc[j] = 0.f; mask[j] = 0; }
+                }
+            }
+        }
+    }
+}
+
+int ssim_save(void* h, const char* path) { return ((SparseSim*)h)->save(path) ? 0 : 1; }
+
+void* ssim_load(const char* path) { return SparseSim::load(path); }
+
+void hnsw_search_filtered(void* h, const float* queries, int nq, int k,
+                          const int64_t* excl_indptr, const int64_t* excl_labels,
+                          int64_t* out_labels, float* out_dists) {
+    auto* idx = (Index*)h;
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int i = 0; i < nq; ++i) {
+        const int64_t* excl = excl_labels + excl_indptr[i];
+        int n_excl = (int)(excl_indptr[i + 1] - excl_indptr[i]);
+        idx->search_filtered(queries + (size_t)i * idx->dim, k, excl, n_excl,
+                             out_labels + (size_t)i * k, out_dists + (size_t)i * k);
+    }
+}
 
 void* hnsw_create(int dim, int space, int M, int ef_construction) {
     return new Index(dim, space, M, ef_construction);

@@ -57,12 +57,14 @@ class NeighbourRec(Recommender, ABC):
 
     def _clear_cache(self):
         self._sim_dense = None
+        self._sparse_index = None
 
     # -- device structures ---------------------------------------------------
     def _set_similarity_dense(self, sim: np.ndarray) -> None:
         """Install the [n_fit_items, n_fit_items] similarity matrix on device and
         mirror it as the reference-compatible long-format frame."""
         self._sim_dense = jnp.asarray(sim, dtype=jnp.float32)
+        self._sparse_index = None  # rebuilt lazily from the new similarity
         rows, cols = np.nonzero(sim)
         self.similarity = pd.DataFrame(
             {
@@ -72,8 +74,8 @@ class NeighbourRec(Recommender, ABC):
             }
         )
 
-    def _profiles_for(self, query_ids: np.ndarray, dataset: Dataset) -> np.ndarray:
-        """Binary [len(query_ids), n_fit_items] profile matrix from the
+    def _profiles_sparse(self, query_ids: np.ndarray, dataset: Dataset) -> csr_matrix:
+        """Binary [len(query_ids), n_fit_items] CSR profile matrix from the
         prediction dataset's interactions (duplicates accumulate, matching the
         reference's raw-join semantics)."""
         inter = dataset.interactions
@@ -88,11 +90,54 @@ class NeighbourRec(Recommender, ABC):
             self.fit_items[np.minimum(i_pos, len(self.fit_items) - 1)] == i
         )
         keep = valid_q & valid_i
-        profiles = csr_matrix(
+        return csr_matrix(
             (np.ones(int(keep.sum()), dtype=np.float32), (q_pos[keep], i_pos[keep])),
             shape=(len(query_ids), len(self.fit_items)),
         )
-        return profiles.toarray()
+
+    def _profiles_for(self, query_ids: np.ndarray, dataset: Dataset) -> np.ndarray:
+        return self._profiles_sparse(query_ids, dataset).toarray()
+
+    # -- sparse-index serving (nmslib-analog) --------------------------------
+    index_builder = None
+    _sparse_index = None
+
+    def _build_sparse_index(self):
+        """Install the similarity matrix into the native sparse scorer
+        (reference: nmslib index over the item-item matrix,
+        index_builders/*nmslib*.py)."""
+        from replay_tpu.ann.hnsw import SparseSimilarityIndex
+
+        self._sparse_index = SparseSimilarityIndex(
+            csr_matrix(np.asarray(self._sim_dense))
+        )
+        return self._sparse_index
+
+    def _predict(self, dataset, k, queries, items, filter_seen_items=True):
+        # index-backed path (reference NeighbourRec ANN contract,
+        # ann_mixin.py:126-180) when scoring the full fitted catalog
+        if self.index_builder is not None and len(items) == len(self.fit_items):
+            if self._sparse_index is None:
+                self._build_sparse_index()
+            profiles = self._profiles_sparse(queries, dataset)
+            exclude = None
+            if filter_seen_items:
+                # seen = the profile's own nonzero columns
+                exclude = [
+                    profiles.indices[profiles.indptr[r] : profiles.indptr[r + 1]]
+                    for r in range(profiles.shape[0])
+                ]
+            labels, scores = self._sparse_index.search(profiles, k, exclude)
+            rows = []
+            for r, qid in enumerate(queries):
+                for pos in range(k):
+                    if labels[r, pos] < 0:
+                        break
+                    rows.append((qid, self.fit_items[labels[r, pos]], float(scores[r, pos])))
+            return pd.DataFrame(
+                rows, columns=[self.query_column, self.item_column, self.rating_column]
+            )
+        return super()._predict(dataset, k, queries, items, filter_seen_items)
 
     def _score_block(
         self, query_ids: np.ndarray, item_ids: np.ndarray, dataset: Optional[Dataset] = None

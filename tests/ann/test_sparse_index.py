@@ -1,0 +1,173 @@
+"""Sparse item-item index (nmslib analog), filtered dense search, stores."""
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.core
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy.sparse import csr_matrix, random as sparse_random
+
+from replay_tpu.ann import (
+    BytesIndexStore,
+    DiskIndexStore,
+    HnswIndex,
+    SparseSimParam,
+    SparseSimilarityIndex,
+)
+
+rng = np.random.default_rng(0)
+
+
+def _random_sim(n=80, density=0.1):
+    sim = sparse_random(n, n, density=density, random_state=1, format="csr",
+                        data_rvs=lambda size: rng.uniform(0.1, 1.0, size).astype(np.float32))
+    sim.setdiag(0)
+    sim.eliminate_zeros()
+    return sim.astype(np.float32)
+
+
+class TestSparseSimilarityIndex:
+    def test_exact_vs_dense(self):
+        sim = _random_sim()
+        profiles = sparse_random(30, 80, density=0.15, random_state=2, format="csr",
+                                 data_rvs=lambda size: np.ones(size, np.float32)).astype(np.float32)
+        index = SparseSimilarityIndex(sim)
+        labels, scores = index.search(profiles, k=10)
+        dense = profiles.toarray() @ sim.toarray()
+        for r in range(30):
+            got = {int(l): float(s) for l, s in zip(labels[r], scores[r]) if l >= 0}
+            expect = {j: dense[r, j] for j in np.argsort(-dense[r])[:10] if dense[r, j] > 0}
+            # same score multiset (ties may reorder equal scores)
+            np.testing.assert_allclose(
+                sorted(got.values(), reverse=True),
+                sorted(expect.values(), reverse=True)[: len(got)],
+                rtol=1e-5,
+            )
+
+    def test_exclusion_inside_kernel(self):
+        sim = _random_sim()
+        profiles = csr_matrix(np.eye(80, dtype=np.float32)[:20])
+        index = SparseSimilarityIndex(sim)
+        exclude = [np.asarray([r]) for r in range(20)]  # own column
+        labels, _ = index.search(profiles, k=5, exclude_lists=exclude)
+        for r in range(20):
+            assert r not in labels[r]
+
+    def test_save_load_roundtrip(self, tmp_path):
+        sim = _random_sim()
+        index = SparseSimilarityIndex(sim)
+        index.save(str(tmp_path / "s.bin"))
+        loaded = SparseSimilarityIndex.load(str(tmp_path / "s.bin"))
+        assert len(loaded) == 80
+        profiles = csr_matrix(np.eye(80, dtype=np.float32)[:5])
+        np.testing.assert_array_equal(
+            index.search(profiles, 5)[0], loaded.search(profiles, 5)[0]
+        )
+
+
+class TestFilteredDenseSearch:
+    def test_matches_exact_after_exclusion(self):
+        vecs = rng.normal(size=(300, 16)).astype(np.float32)
+        index = HnswIndex(dim=16, space="ip", ef_construction=400)
+        index.add_items(vecs)
+        index.set_ef(300)
+        q = rng.normal(size=(10, 16)).astype(np.float32)
+        exclude = [rng.choice(300, size=20, replace=False) for _ in range(10)]
+        labels, dists = index.knn_query_filtered(q, 5, exclude)
+        scores = q @ vecs.T
+        for r in range(10):
+            assert not (set(labels[r]) & set(exclude[r]))
+            masked = scores[r].copy()
+            masked[exclude[r]] = -np.inf
+            expect = set(np.argsort(-masked)[:5])
+            assert len(set(labels[r]) & expect) >= 4  # high recall at ef=300
+
+    def test_empty_exclusions(self):
+        vecs = rng.normal(size=(50, 8)).astype(np.float32)
+        index = HnswIndex(dim=8, space="ip")
+        index.add_items(vecs)
+        q = vecs[:3]
+        labels, _ = index.knn_query_filtered(q, 3, [[], [], []])
+        assert (labels >= 0).all()
+
+
+class TestIndexStores:
+    def test_disk_store(self, tmp_path):
+        sim = _random_sim(30)
+        index = SparseSimilarityIndex(sim)
+        store = DiskIndexStore(str(tmp_path / "store"))
+        assert not store.exists()
+        store.dump(index)
+        assert store.exists()
+        again = store.load(SparseSimilarityIndex)
+        assert len(again) == 30
+
+    def test_bytes_store_roundtrip_hnsw(self):
+        vecs = rng.normal(size=(40, 8)).astype(np.float32)
+        index = HnswIndex(dim=8, space="ip")
+        index.add_items(vecs)
+        store = BytesIndexStore()
+        assert not store.exists()
+        store.dump(index)
+        assert isinstance(store.blob, bytes) and len(store.blob) > 0
+        # blob is the distribution unit: a second store with the same bytes
+        remote = BytesIndexStore(store.blob)
+        again = remote.load(HnswIndex, space="ip")
+        l1, _ = index.knn_query(vecs[:5], 3)
+        l2, _ = again.knn_query(vecs[:5], 3)
+        np.testing.assert_array_equal(l1, l2)
+
+    def test_disk_store_missing(self, tmp_path):
+        store = DiskIndexStore(str(tmp_path / "nope"))
+        with pytest.raises(FileNotFoundError):
+            store.load(SparseSimilarityIndex)
+
+
+class TestNeighbourRecSparseServing:
+    def _dataset(self):
+        from replay_tpu.data.dataset import Dataset
+        from replay_tpu.data.schema import (FeatureHint, FeatureInfo,
+                                            FeatureSchema, FeatureSource, FeatureType)
+        rows = []
+        for u in range(60):
+            g = u % 3
+            for _ in range(10):
+                it = int(g * 20 + rng.integers(0, 20)) if rng.random() < 0.9 else int(rng.integers(0, 60))
+                rows.append((u, it, 1.0, 0))
+        df = pd.DataFrame(rows, columns=["user_id", "item_id", "rating", "timestamp"]).drop_duplicates(["user_id", "item_id"])
+        schema = FeatureSchema([
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, feature_hint=FeatureHint.RATING,
+                        feature_source=FeatureSource.INTERACTIONS),
+        ])
+        return Dataset(schema, df)
+
+    @pytest.mark.parametrize("model_name", ["knn", "slim"])
+    def test_index_backed_predict_matches_exact(self, model_name):
+        from replay_tpu.models import SLIM, ItemKNN
+
+        ds = self._dataset()
+        if model_name == "knn":
+            exact_model = ItemKNN(num_neighbours=10)
+            ann_model = ItemKNN(num_neighbours=10, index_builder=SparseSimParam())
+        else:
+            exact_model = SLIM(beta=0.05, lambda_=0.01, seed=0)
+            ann_model = SLIM(beta=0.05, lambda_=0.01, seed=0, index_builder=SparseSimParam())
+        exact_model.fit(ds)
+        ann_model.fit(ds)
+        exact = exact_model.predict(ds, k=10)
+        served = ann_model.predict(ds, k=10)
+        for u in exact["user_id"].unique():
+            e = exact[exact.user_id == u].sort_values("rating", ascending=False)
+            s = served[served.user_id == u].sort_values("rating", ascending=False)
+            # exact sparse serving: same scores (ties may swap items)
+            np.testing.assert_allclose(
+                e["rating"].to_numpy(), s["rating"].to_numpy(), rtol=1e-4,
+                err_msg=f"user {u} ({model_name})",
+            )
+        # seen items never served
+        seen = set(map(tuple, ds.interactions[["user_id", "item_id"]].to_numpy()))
+        assert not (seen & set(map(tuple, served[["user_id", "item_id"]].to_numpy())))
