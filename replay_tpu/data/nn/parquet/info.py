@@ -26,16 +26,36 @@ class DistributedInfoProtocol(Protocol):
 
 
 class JaxProcessInfo:
-    """Reads jax.process_index/process_count lazily (multi-host default)."""
+    """Reads jax.process_index/process_count lazily (multi-host default).
+
+    ``jax.process_count()`` initializes the backend, which can BLOCK when an
+    accelerator is configured but unreachable — a data loader must never
+    hang on construction.  Multi-host setups require
+    ``jax.distributed.initialize`` first, so when no distributed client
+    exists this is by definition a single-process run and (0, 1) is returned
+    without touching the backend."""
+
+    @staticmethod
+    def _distributed_client():
+        try:
+            from jax._src import distributed
+
+            return distributed.global_state.client
+        except Exception:
+            return None
 
     @property
     def world_size(self) -> int:
+        if self._distributed_client() is None:
+            return 1
         import jax
 
         return jax.process_count()
 
     @property
     def rank(self) -> int:
+        if self._distributed_client() is None:
+            return 0
         import jax
 
         return jax.process_index()

@@ -32,6 +32,7 @@ class ParquetModule:
         transforms: Optional[Dict[str, Callable]] = None,
         replica_id: Optional[int] = None,
         num_replicas: Optional[int] = None,
+        prefetch: int = 0,
     ):
         if isinstance(metadata, dict):
             metadata = Metadata.from_dict(metadata)
@@ -47,6 +48,7 @@ class ParquetModule:
         self.shuffle_train = shuffle_train
         self.seed = seed
         self.transforms = transforms or {}
+        self.prefetch = prefetch
         self._replica = (replica_id, num_replicas)
         self._datasets: Dict[str, ParquetDataset] = {}
 
@@ -65,6 +67,7 @@ class ParquetModule:
                 seed=self.seed,
                 replica_id=self._replica[0],
                 num_replicas=self._replica[1],
+                prefetch=self.prefetch,
             )
         return self._datasets[split]
 

@@ -191,3 +191,87 @@ class TestParquetModule:
         history = trainer.fit_loader(module)
         assert len(history) == 2
         assert all(np.isfinite(h["loss"]) for h in history)
+
+
+class Test2DColumnsAndPrefetch:
+    def _write_2d(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(4)
+        rows = []
+        for _ in range(100):
+            n_outer = int(rng.integers(1, 7))
+            rows.append(
+                [rng.integers(0, 50, int(rng.integers(1, 5))).tolist() for _ in range(n_outer)]
+            )
+        path = str(tmp_path / "twod.parquet")
+        pq.write_table(
+            pa.table({
+                "query_id": pa.array(np.arange(100)),
+                "cats": pa.array(rows, type=pa.list_(pa.list_(pa.int64()))),
+            }),
+            path,
+        )
+        return path, rows
+
+    def test_vectorized_2d_matches_python_pad(self, tmp_path):
+        """The vectorized 2-D gather must reproduce pad_column's per-row
+        semantics (outer left-pad keep-tail, inner truncate-first/right-pad;
+        reference impl/array_2d_column.py)."""
+        from replay_tpu.data.nn.parquet.metadata import ColumnMeta, pad_column
+
+        path, rows = self._write_2d(tmp_path)
+        meta = Metadata({
+            "query_id": ColumnMeta(shape=(), dtype="int64"),
+            "cats": ColumnMeta(shape=(4, 3), padding=-1, dtype="int32"),
+        })
+        ds = ParquetDataset(path, meta, batch_size=100, shuffle=False)
+        batch = next(iter(ds))
+        expect_arr, expect_mask = pad_column(rows, meta["cats"])
+        np.testing.assert_array_equal(batch["cats"], expect_arr)
+        np.testing.assert_array_equal(batch["cats_mask"], expect_mask)
+
+    def test_2d_with_shuffle_and_batching(self, tmp_path):
+        path, rows = self._write_2d(tmp_path)
+        meta = Metadata({
+            "query_id": ColumnMeta(shape=(), dtype="int64"),
+            "cats": ColumnMeta(shape=(4, 3), padding=-1, dtype="int32"),
+        })
+        from replay_tpu.data.nn.parquet.metadata import pad_column
+
+        ds = ParquetDataset(path, meta, batch_size=16, shuffle=True, seed=3)
+        seen = set()
+        for b in ds:
+            real = b["batch_mask"].astype(bool)
+            for qid, mat in zip(b["query_id"][real], b["cats"][real]):
+                seen.add(int(qid))
+                expect, _ = pad_column([rows[int(qid)]], meta["cats"])
+                np.testing.assert_array_equal(mat, expect[0])
+        assert seen == set(range(100))
+
+    def test_prefetch_yields_identical_batches(self, parquet_file):
+        meta = Metadata({
+            "query_id": ColumnMeta(shape=(), dtype="int64"),
+            "item_id": ColumnMeta(shape=(8,), padding=50, dtype="int32"),
+            "rating": ColumnMeta(shape=(8,), padding=0.0, dtype="float32"),
+        })
+        sync = list(ParquetDataset(parquet_file, meta, batch_size=32, shuffle=True, seed=1))
+        pre = list(ParquetDataset(parquet_file, meta, batch_size=32, shuffle=True, seed=1, prefetch=3))
+        assert len(sync) == len(pre)
+        for a, b in zip(sync, pre):
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def test_prefetch_propagates_errors(self, tmp_path):
+        from replay_tpu.data.nn.parquet.parquet_dataset import _PrefetchIterator
+
+        def boom():
+            yield 1
+            raise RuntimeError("producer died")
+
+        it = _PrefetchIterator(boom, depth=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="producer died"):
+            next(it)
