@@ -10,6 +10,15 @@ rematerialization trade the reference's SCE loss approximates away —
 reference: replay/models/nn/loss/sce.py:27; this kernel needs no
 approximation).
 
+Performance note (why this is XLA, not Pallas): at B=512, L=50, N=1M, D=64
+the op moves ~0.5 GB of HBM (sub-ms at v5e bandwidth) against ~65 ms of
+MXU work — purely compute-bound, and XLA already fuses the online-softmax
+elementwise chain into the scan GEMMs.  The throughput lever is the GEMM
+input dtype: ``compute_dtype="bfloat16"`` runs all four streaming matmuls
+(fwd logits; bwd logits/dh/dw) with bf16 inputs and f32 accumulation
+(``preferred_element_type``) — ~4x the f32 MXU rate on v5e — while the
+softmax statistics, nll, and weight-gradient accumulators stay f32.
+
 Used through the standard loss contract as ``CELossTiled``.
 """
 
@@ -31,22 +40,28 @@ def _tiles(item_weights: jnp.ndarray, tile: int):
     return item_weights.reshape(padded // tile, tile, d), n, padded
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def tiled_ce_nll(hidden, labels, item_weights, tile: int = 8192):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def tiled_ce_nll(hidden, labels, item_weights, tile: int = 8192,
+                 compute_dtype=None):
     """Per-position −log softmax(h·Wᵀ)[label], exact, O(B·L·tile) memory.
 
     :param hidden: [..., D] states; :param labels: [...] int ids;
     :param item_weights: [N, D].
+    :param compute_dtype: GEMM input dtype (e.g. jnp.bfloat16); statistics
+        and accumulation stay float32. ``None`` keeps the input dtypes.
     :returns: [...] float32 nll.
     """
-    nll, _ = _forward(hidden, labels, item_weights, tile)
+    nll, _ = _forward(hidden, labels, item_weights, tile, compute_dtype)
     return nll
 
 
-def _forward(hidden, labels, item_weights, tile):
+def _forward(hidden, labels, item_weights, tile, compute_dtype=None):
     w_tiles, n, _ = _tiles(item_weights, tile)
     flat_h = hidden.reshape(-1, hidden.shape[-1])
     flat_labels = labels.reshape(-1)
+    if compute_dtype is not None:
+        w_tiles = w_tiles.astype(compute_dtype)
+        flat_h = flat_h.astype(compute_dtype)
 
     def scan_tile(carry, inputs):
         m, s = carry  # running max [M], running sum-exp [M]
@@ -67,6 +82,8 @@ def _forward(hidden, labels, item_weights, tile):
     (m, s), _ = jax.lax.scan(scan_tile, (m0, s0), (w_tiles, bases))
     lse = m + jnp.log(s)
     pos_w = jnp.take(item_weights, flat_labels, axis=0)
+    if compute_dtype is not None:
+        pos_w = pos_w.astype(compute_dtype)
     pos_logit = jnp.einsum(
         "md,md->m", flat_h, pos_w, preferred_element_type=jnp.float32
     )
@@ -74,40 +91,41 @@ def _forward(hidden, labels, item_weights, tile):
     return nll, (m, s)
 
 
-def _fwd(hidden, labels, item_weights, tile):
-    nll, (m, s) = _forward(hidden, labels, item_weights, tile)
+def _fwd(hidden, labels, item_weights, tile, compute_dtype=None):
+    nll, (m, s) = _forward(hidden, labels, item_weights, tile, compute_dtype)
     return nll, (hidden, labels, item_weights, m, s)
 
 
-def _bwd(tile, residuals, g):
+def _bwd(tile, compute_dtype, residuals, g):
     hidden, labels, item_weights, m, s = residuals
     w_tiles, n, padded = _tiles(item_weights, tile)
-    flat_h = hidden.reshape(-1, hidden.shape[-1]).astype(jnp.float32)
+    gemm_dtype = compute_dtype if compute_dtype is not None else jnp.float32
+    flat_h = hidden.reshape(-1, hidden.shape[-1]).astype(gemm_dtype)
     flat_labels = labels.reshape(-1)
     flat_g = g.reshape(-1).astype(jnp.float32)
     lse_norm = (m, s)
 
     def scan_tile(dh, inputs):
         w_t, base = inputs
-        w_f = w_t.astype(jnp.float32)
+        w_f = w_t.astype(gemm_dtype)
         logits = jnp.dot(flat_h, w_f.T, preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base
         probs = jnp.where(
             col < n, jnp.exp(logits - lse_norm[0][:, None]) / lse_norm[1][:, None], 0.0
         )
-        weighted = probs * flat_g[:, None]  # [M, tile]
+        weighted = (probs * flat_g[:, None]).astype(gemm_dtype)  # [M, tile]
         dh = dh + jnp.dot(weighted, w_f, preferred_element_type=jnp.float32)
         dw_t = jnp.dot(weighted.T, flat_h, preferred_element_type=jnp.float32)
         return dh, dw_t
 
     bases = jnp.arange(w_tiles.shape[0], dtype=jnp.int32) * tile
-    dh0 = jnp.zeros_like(flat_h)
+    dh0 = jnp.zeros(flat_h.shape, dtype=jnp.float32)
     dh, dw_tiles = jax.lax.scan(scan_tile, dh0, (w_tiles, bases))
     dw = dw_tiles.reshape(padded, -1)[:n]
     # subtract the positive-term gradients
     pos_w = jnp.take(item_weights, flat_labels, axis=0).astype(jnp.float32)
     dh = dh - flat_g[:, None] * pos_w
-    dw = dw.at[flat_labels].add(-flat_g[:, None] * flat_h)
+    dw = dw.at[flat_labels].add(-flat_g[:, None] * flat_h.astype(jnp.float32))
     return (
         dh.reshape(hidden.shape).astype(hidden.dtype),
         None,
@@ -119,12 +137,21 @@ tiled_ce_nll.defvjp(_fwd, _bwd)
 
 
 class CELossTiled:
-    """Exact full-softmax CE with streaming tiles (drop-in for CELoss)."""
+    """Exact full-softmax CE with streaming tiles (drop-in for CELoss).
 
-    def __init__(self, tile: int = 8192):
+    :param compute_dtype: ``"bfloat16"`` runs the streaming GEMMs with bf16
+        inputs + f32 accumulation (~4x MXU rate on v5e); softmax statistics
+        and the loss stay f32. ``None`` keeps input dtypes (default, exact
+        f32 when the inputs are f32).
+    """
+
+    def __init__(self, tile: int = 8192, compute_dtype=None):
         self.tile = tile
+        self.compute_dtype = (
+            jnp.dtype(compute_dtype) if compute_dtype is not None else None
+        )
 
     def __call__(self, hidden, labels, mask, item_weights, *, key=None):
         labels = _safe_labels(labels, mask)
-        nll = tiled_ce_nll(hidden, labels, item_weights, self.tile)
+        nll = tiled_ce_nll(hidden, labels, item_weights, self.tile, self.compute_dtype)
         return _masked_mean(nll, mask)

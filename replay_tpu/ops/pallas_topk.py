@@ -76,7 +76,96 @@ def _topk_tile_kernel(
     idx_ref[:] = idxs
 
 
-@partial(jax.jit, static_argnames=("k", "block_n", "block_b", "interpret"))
+def _bitonic_sort_desc_segments(vals, idxs, seg: int):
+    """Bitonic-sort each contiguous ``seg``-wide segment of the last axis in
+    DESCENDING order, carrying ``idxs`` as payload.  Pure static-shape
+    reshapes/selects — lowers on Mosaic.  Direction bits come from the
+    index WITHIN a segment so every segment sorts descending (a global-index
+    network would alternate directions across segments)."""
+    n = vals.shape[-1]
+    s = 2
+    while s <= seg:
+        d = s >> 1
+        while d >= 1:
+            shape = vals.shape[:-1] + (n // (2 * d), 2, d)
+            v = vals.reshape(shape)
+            ix = idxs.reshape(shape)
+            a_v, b_v = v[..., 0, :], v[..., 1, :]
+            a_i, b_i = ix[..., 0, :], ix[..., 1, :]
+            blk = jax.lax.broadcasted_iota(jnp.int32, a_v.shape, a_v.ndim - 2)
+            desc = (((blk * 2 * d) % seg) // s) % 2 == 0
+            swap = jnp.where(desc, a_v < b_v, a_v > b_v)
+            hi_v = jnp.where(swap, b_v, a_v)
+            lo_v = jnp.where(swap, a_v, b_v)
+            hi_i = jnp.where(swap, b_i, a_i)
+            lo_i = jnp.where(swap, a_i, b_i)
+            vals = jnp.stack([hi_v, lo_v], axis=-2).reshape(vals.shape)
+            idxs = jnp.stack([hi_i, lo_i], axis=-2).reshape(idxs.shape)
+            d >>= 1
+        s <<= 1
+    return vals, idxs
+
+
+def _bitonic_merge_pairs(vals, idxs, seg: int):
+    """[..., m, seg] descending-sorted segments → [..., m//2, seg]: each
+    output segment is the sorted top-``seg`` of a pair (reverse + max gives
+    the top multiset as a bitonic sequence; a descending clean sorts it)."""
+    m = vals.shape[-2]
+    v = vals.reshape(vals.shape[:-2] + (m // 2, 2, seg))
+    ix = idxs.reshape(idxs.shape[:-2] + (m // 2, 2, seg))
+    a_v, b_v = v[..., 0, :], v[..., 1, :][..., ::-1]
+    a_i, b_i = ix[..., 0, :], ix[..., 1, :][..., ::-1]
+    take = a_v >= b_v
+    mv = jnp.where(take, a_v, b_v)
+    mi = jnp.where(take, a_i, b_i)
+    # descending bitonic clean
+    d = seg >> 1
+    while d >= 1:
+        shape = mv.shape[:-1] + (seg // (2 * d), 2, d)
+        vv = mv.reshape(shape)
+        vi = mi.reshape(shape)
+        a2v, b2v = vv[..., 0, :], vv[..., 1, :]
+        a2i, b2i = vi[..., 0, :], vi[..., 1, :]
+        swap = a2v < b2v
+        hi_v = jnp.where(swap, b2v, a2v)
+        lo_v = jnp.where(swap, a2v, b2v)
+        hi_i = jnp.where(swap, b2i, a2i)
+        lo_i = jnp.where(swap, a2i, b2i)
+        mv = jnp.stack([hi_v, lo_v], axis=-2).reshape(mv.shape)
+        mi = jnp.stack([hi_i, lo_i], axis=-2).reshape(mi.shape)
+        d >>= 1
+    return mv, mi
+
+
+def _topk_tile_kernel_bitonic(
+    q_ref, w_ref, vals_ref, idx_ref, *, block_n: int, n: int, seg: int = 128
+):
+    """Per-tile top-``seg`` via a bitonic network: O(log² seg + log(block_n/seg)
+    · log seg) vector stages instead of the iterative kernel's O(k) argmax
+    passes — the k>32 regime where iterative selection loses to XLA."""
+    tile = pl.program_id(1)
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, block_n]
+    base = tile * block_n
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+    scores = jnp.where(col_ids + base < n, scores, NEG_INF)
+    idxs = col_ids + base
+
+    b = scores.shape[0]
+    vals, idxs = _bitonic_sort_desc_segments(scores, idxs, seg)
+    vals = vals.reshape(b, block_n // seg, seg)
+    idxs = idxs.reshape(b, block_n // seg, seg)
+    while vals.shape[1] > 1:
+        vals, idxs = _bitonic_merge_pairs(vals, idxs, seg)
+    vals_ref[:] = vals.reshape(b, seg)
+    idx_ref[:] = idxs.reshape(b, seg)
+
+
+@partial(jax.jit, static_argnames=("k", "block_n", "block_b", "interpret", "method"))
 def fused_topk(
     queries: jnp.ndarray,  # [B, D]
     items: jnp.ndarray,  # [N, D]
@@ -84,6 +173,7 @@ def fused_topk(
     block_n: int = 4096,
     block_b: int = 256,
     interpret: bool = False,
+    method: str = "auto",
 ):
     """Exact top-k of Q·Wᵀ without materializing [B, N] in HBM.
 
@@ -91,8 +181,19 @@ def fused_topk(
     [block_b, block_n] (f32), sized to fit alongside the double-buffered
     item tile within the ~16 MB VMEM budget.
 
+    :param method: per-tile selection — ``iterative`` (O(k) masked argmax
+        passes, best for small k), ``bitonic`` (sorting network, wins for
+        k>32 up to 128), or ``auto``.
     :returns: (values [B, k] float32, indices [B, k] int32).
     """
+    if method == "auto":
+        method = "iterative" if k <= 32 else "bitonic"
+    if method == "bitonic" and (
+        k > 128 or block_n % 128 or (block_n // 128) & (block_n // 128 - 1)
+    ):
+        # bitonic path keeps one 128-lane segment and needs a power-of-two
+        # segment count for the merge tree
+        method = "iterative"
     b, d = queries.shape
     n = items.shape[0]
     if n % block_n:
@@ -118,8 +219,12 @@ def fused_topk(
     k_eff = min(k, block_n)
     kpad = max(128, -(-k_eff // 128) * 128)  # lane-aligned candidate slot
 
+    if method == "bitonic":
+        kernel = partial(_topk_tile_kernel_bitonic, block_n=block_n, n=n, seg=kpad)
+    else:
+        kernel = partial(_topk_tile_kernel, k=k_eff, block_n=block_n, n=n)
     vals, idxs = pl.pallas_call(
-        partial(_topk_tile_kernel, k=k_eff, block_n=block_n, n=n),
+        kernel,
         grid=(grid_b, grid_n),
         in_specs=[
             pl.BlockSpec((block_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
@@ -163,10 +268,10 @@ def is_tpu() -> bool:
 
 
 def auto_topk(queries, items, k, block_n: int = 4096):
-    """Dispatch: fused_topk on TPU for small k (measured ≥1x vs XLA at k≤32
-    with O(B·N) HBM traffic removed); XLA path for large k, where the
-    k-iteration in-tile selection loses to XLA's sort, and on non-TPU
-    backends (pallas CPU = interpret only)."""
-    if is_tpu() and k <= 32:
+    """Dispatch: fused_topk on TPU — iterative in-tile selection for k≤32,
+    bitonic sorting network for 32<k≤128 (the regime where iterative
+    selection lost to XLA in round 1) — XLA dense path for k>128 and on
+    non-TPU backends (pallas CPU = interpret only)."""
+    if is_tpu() and k <= 128:
         return fused_topk(queries, items, k, block_n=block_n)
     return topk_reference(queries, items, k)

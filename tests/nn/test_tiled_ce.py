@@ -52,3 +52,39 @@ def test_works_under_jit_and_masked_labels(inputs):
     val = loss(hidden, weights)
     ref = CELoss()(hidden, labels, mask, weights)
     np.testing.assert_allclose(val, ref, rtol=1e-5)
+
+
+def test_bf16_compute_matches_bf16_dense():
+    """bf16-GEMM tiled CE must agree with a dense CE computed from the SAME
+    bf16 inputs (f32 accumulation both sides) — the throughput mode for the
+    1M-catalog training path."""
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    B, L, D, N = 3, 5, 16, 200
+    hidden = jax.random.normal(k1, (B, L, D))
+    labels = jax.random.randint(k2, (B, L), 0, N)
+    mask = jnp.ones((B, L))
+    weights = jax.random.normal(k3, (N, D)) * 0.2
+
+    def dense_bf16(h, w):
+        logits = jnp.dot(
+            h.astype(jnp.bfloat16).reshape(-1, D),
+            w.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels.reshape(-1)[:, None], axis=-1)[:, 0]
+        return jnp.mean(nll)
+
+    tiled = CELossTiled(tile=64, compute_dtype="bfloat16")
+    loss_t = tiled(hidden, labels, mask, weights)
+    loss_d = dense_bf16(hidden, weights)
+    np.testing.assert_allclose(float(loss_t), float(loss_d), rtol=1e-5)
+
+    # backward runs its GEMMs with the probs*g operand rounded to bf16 (the
+    # MXU speed trade); dense autodiff keeps it f32 — tolerance reflects one
+    # bf16 rounding step
+    gt = jax.grad(lambda h, w: tiled(h, labels, mask, w), argnums=(0, 1))(hidden, weights)
+    gd = jax.grad(dense_bf16, argnums=(0, 1))(hidden, weights)
+    np.testing.assert_allclose(np.asarray(gt[0]), np.asarray(gd[0]).reshape(B, L, D), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gt[1]), np.asarray(gd[1]), atol=1e-3)

@@ -56,3 +56,36 @@ def test_all_negative_final_partial_tile():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
     assert (np.asarray(i1) == 128).any(axis=1).all()
     np.testing.assert_allclose(np.asarray(v1)[:, 0], -0.1, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k", [33, 64, 100, 128])
+def test_bitonic_exact_vs_reference(k):
+    q = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2048, 32)).astype(np.float32))
+    v1, i1 = fused_topk(q, w, k, block_n=512, interpret=True, method="bitonic")
+    v2, i2 = topk_reference(q, w, k)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    # indices may permute within exactly-equal scores; values define the set
+    for r in range(8):
+        assert set(np.asarray(i1)[r].tolist()) == set(np.asarray(i2)[r].tolist())
+
+
+def test_bitonic_ragged_catalog_all_negative():
+    """Ragged final tile + all-negative scores (the round-1 bug shape)."""
+    q = jnp.ones((4, 8), dtype=jnp.float32)
+    w = np.full((700, 8), -1.0 / 8, dtype=np.float32)
+    w[650] = -0.05 / 8
+    v1, i1 = fused_topk(jnp.asarray(q), jnp.asarray(w), 40, block_n=256,
+                        interpret=True, method="bitonic")
+    v2, _ = topk_reference(q, jnp.asarray(w), 40)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    assert (np.asarray(i1) == 650).any(axis=1).all()
+
+
+def test_bitonic_falls_back_when_unsupported():
+    q = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(500, 16)).astype(np.float32))
+    # k > 128 → silently uses the iterative kernel, still exact
+    v1, i1 = fused_topk(q, w, 150, block_n=256, interpret=True, method="bitonic")
+    v2, i2 = topk_reference(q, w, 150)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
