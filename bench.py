@@ -179,7 +179,8 @@ def main():
     global BATCH
     backend = _ensure_live_backend()
     if "tpu" not in backend:
-        BATCH = 256  # CPU can't hold the TPU-sized batch's logits
+        BATCH = 128  # CPU can't hold the TPU-sized batch's logits; 128 is
+        # the measured XLA-CPU sweet spot for this model
     jax_rate = bench_jax()
     try:
         torch_rate = bench_torch()
