@@ -3,9 +3,16 @@ examples/02_models_comparison.ipynb): time split → hyperparameter search on
 a validation split → fit/predict with timing → Experiment table over the
 whole classical zoo.
 
-    python examples/04_models_comparison.py
+    python examples/04_models_comparison.py                    # synthetic log
+    python examples/04_models_comparison.py --ratings ml-1m/ratings.dat
+
+With ``--ratings`` the REAL MovieLens-1M protocol runs (the quality-parity
+run QUALITY.md is waiting on; the file is not vendorable in the zero-egress
+build environment). Accepts the classic ``::``-separated ratings.dat or any
+csv/parquet with user/item/rating/timestamp columns.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -62,8 +69,27 @@ def synthetic_ml(n_users=800, n_items=600, seed=11) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "item_id", "rating", "timestamp"])
 
 
+def load_ratings(path: str) -> pd.DataFrame:
+    """MovieLens ratings.dat (``user::item::rating::timestamp``) or any
+    csv/parquet with the four standard columns."""
+    cols = ["query_id", "item_id", "rating", "timestamp"]
+    if path.endswith(".parquet"):
+        frame = pd.read_parquet(path)
+    elif path.endswith(".dat"):
+        frame = pd.read_csv(path, sep="::", engine="python", names=cols)
+    else:
+        frame = pd.read_csv(path)
+    rename = {"user_id": "query_id", "userId": "query_id", "movieId": "item_id"}
+    frame = frame.rename(columns=rename)
+    return frame[cols]
+
+
 def main():
-    log = synthetic_ml()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ratings", default=None,
+                        help="path to MovieLens ratings (runs the real ML-1M protocol)")
+    args = parser.parse_args()
+    log = load_ratings(args.ratings) if args.ratings else synthetic_ml()
     schema = FeatureSchema(
         [
             FeatureInfo("query_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),

@@ -177,26 +177,30 @@ class SLIM(NeighbourRec):
             cols = nonzero_cols[tiers == tier]
             s = int(tier)
             # chunk so C·S² stays within a ~64 MB f32 working set
-            chunk = max(1, (16 << 20) // (s * s))
+            chunk = min(max(1, (16 << 20) // (s * s)), len(cols))
             for start in range(0, len(cols), chunk):
                 jcols = cols[start : start + chunk]
                 self._solve_tier(
                     jcols, s, act_idx, col_ptr, counts,
-                    dense_gram, csr_gram, n_q, l1, l2, sim,
+                    dense_gram, csr_gram, n_q, l1, l2, sim, pad_to=chunk,
                 )
         self._set_similarity_dense(sim)
 
     def _solve_tier(
         self, jcols, s, act_idx, col_ptr, counts,
-        dense_gram, csr_gram, n_q, l1, l2, sim,
+        dense_gram, csr_gram, n_q, l1, l2, sim, pad_to=None,
     ) -> None:
-        c = len(jcols)
+        # pad the chunk to a fixed column count so every chunk of a tier
+        # shares one compiled kernel shape (padded columns: all-invalid)
+        c = pad_to if pad_to is not None else len(jcols)
+        real = len(jcols)
         idx = np.zeros((c, s), dtype=np.int64)
         valid = np.zeros((c, s), dtype=np.float32)
         for row, j in enumerate(jcols):  # cheap: builds index lists only
             lo, hi = col_ptr[j], col_ptr[j + 1]
             idx[row, : counts[j]] = act_idx[lo:hi]
             valid[row, : counts[j]] = 1.0
+        jcols = np.concatenate([jcols, np.zeros(c - real, dtype=jcols.dtype)])
 
         if dense_gram is not None:
             gsub = dense_gram[idx[:, :, None], idx[:, None, :]].astype(np.float32)

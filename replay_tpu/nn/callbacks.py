@@ -45,8 +45,16 @@ class SampleItems:
 
 # -------------------------------------------------------------------- callbacks
 class TopKPredictionsCallback:
-    """Accumulate per-batch top-k into one recommendations frame (reference:
-    PandasTopItemsCallback, predictions_callback.py:124)."""
+    """Accumulate per-batch top-k into a recommendations result (reference:
+    TopItemsCallbackBase + Pandas/Polars/Spark/Torch variants,
+    predictions_callback.py:124-237).
+
+    :param output_format: ``pandas`` (default) — one concatenated frame;
+        ``polars`` — a polars frame (requires polars installed); ``arrays``
+        — dict of numpy arrays (the torch-variant analog); ``parquet`` —
+        chunks stream straight to ``output_path`` and ``get_result`` returns
+        that path (the Spark-variant analog for at-scale outputs).
+    """
 
     def __init__(
         self,
@@ -56,14 +64,31 @@ class TopKPredictionsCallback:
         rating_column: str = "rating",
         postprocessors: Sequence = (),
         item_id_decoder=None,
+        output_format: str = "pandas",
+        output_path: Optional[str] = None,
     ):
+        if output_format not in ("pandas", "polars", "arrays", "parquet"):
+            msg = f"Unknown output_format {output_format}"
+            raise ValueError(msg)
+        if output_format == "polars":
+            from replay_tpu.utils.types import POLARS_AVAILABLE
+
+            if not POLARS_AVAILABLE:
+                msg = "output_format='polars' requires polars to be installed"
+                raise ImportError(msg)
+        if output_format == "parquet" and not output_path:
+            msg = "output_format='parquet' requires output_path"
+            raise ValueError(msg)
         self.k = k
         self.query_column = query_column
         self.item_column = item_column
         self.rating_column = rating_column
         self.postprocessors = list(postprocessors)
         self.item_id_decoder = item_id_decoder
-        self._chunks: List[pd.DataFrame] = []
+        self.output_format = output_format
+        self.output_path = output_path
+        self._chunks: List[Dict[str, np.ndarray]] = []
+        self._writer = None
 
     def on_batch(
         self,
@@ -81,22 +106,48 @@ class TopKPredictionsCallback:
             query_ids, vals, idx = np.asarray(query_ids)[keep], vals[keep], idx[keep]
         items = idx.ravel()
         if self.item_id_decoder is not None:
-            items = self.item_id_decoder(items)
-        chunk = pd.DataFrame(
-            {
-                self.query_column: np.repeat(np.asarray(query_ids), self.k),
-                self.item_column: items,
-                self.rating_column: vals.ravel().astype(np.float64),
-            }
-        )
-        self._chunks.append(chunk[np.isfinite(chunk[self.rating_column])])
+            items = np.asarray(self.item_id_decoder(items))
+        ratings = vals.ravel().astype(np.float64)
+        finite = np.isfinite(ratings)
+        chunk = {
+            self.query_column: np.repeat(np.asarray(query_ids), self.k)[finite],
+            self.item_column: items[finite],
+            self.rating_column: ratings[finite],
+        }
+        if self.output_format == "parquet":
+            self._write_parquet(chunk)
+        else:
+            self._chunks.append(chunk)
 
-    def get_result(self) -> pd.DataFrame:
+    def _write_parquet(self, chunk: Dict[str, np.ndarray]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table({k: pa.array(v) for k, v in chunk.items()})
+        if self._writer is None:
+            self._writer = pq.ParquetWriter(self.output_path, table.schema)
+        self._writer.write_table(table)
+
+    def _arrays(self) -> Dict[str, np.ndarray]:
+        cols = [self.query_column, self.item_column, self.rating_column]
         if not self._chunks:
-            return pd.DataFrame(
-                columns=[self.query_column, self.item_column, self.rating_column]
-            )
-        return pd.concat(self._chunks, ignore_index=True)
+            return {c: np.array([]) for c in cols}
+        return {c: np.concatenate([ch[c] for ch in self._chunks]) for c in cols}
+
+    def get_result(self):
+        if self.output_format == "parquet":
+            if self._writer is not None:
+                self._writer.close()
+                self._writer = None
+            return self.output_path
+        arrays = self._arrays()
+        if self.output_format == "arrays":
+            return arrays
+        if self.output_format == "polars":
+            import polars as pl
+
+            return pl.DataFrame(arrays)
+        return pd.DataFrame(arrays)
 
 
 class QueryEmbeddingsCallback:

@@ -129,3 +129,53 @@ class TestSequenceGenerator:
         df = pd.DataFrame({"user": [1] * 4, "item": [1, 2, 3, 4], "t": range(4)})
         out = SequenceGenerator("user", "item", orderby_column="t", window_size=2).transform(df)
         assert out["list_item"].iloc[3] == [2, 3]
+
+
+def test_neural_ts_uses_item_features():
+    """Wide&Deep feature path (reference neural_ts.py wide/cat/continuous
+    columns): with rewards determined by an item feature, scores must track
+    the feature."""
+    from replay_tpu.data.dataset import Dataset
+    from replay_tpu.data.schema import (
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureSource,
+        FeatureType,
+    )
+    from replay_tpu.experimental.models import NeuralTS
+
+    rng = np.random.default_rng(1)
+    n_items = 30
+    good = np.zeros(n_items); good[::2] = 1.0  # even items are good
+    rows = []
+    for u in range(30):
+        for i in rng.choice(n_items, size=12, replace=False):
+            rows.append((u, int(i), float(good[i])))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"])
+    item_feats = pd.DataFrame({
+        "item_id": np.arange(n_items),
+        "quality": good,
+        "color": np.where(good > 0, "green", "red"),
+    })
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, feature_hint=FeatureHint.RATING,
+                        feature_source=FeatureSource.INTERACTIONS),
+            FeatureInfo("quality", FeatureType.NUMERICAL, feature_source=FeatureSource.ITEM_FEATURES),
+            FeatureInfo("color", FeatureType.CATEGORICAL, feature_source=FeatureSource.ITEM_FEATURES),
+        ]
+    )
+    ds = Dataset(schema, df, item_features=item_feats)
+    model = NeuralTS(embedding_dim=8, phi_dim=8, nu=0.01, epochs=40, seed=0)
+    model.fit(ds)
+    assert model._item_feats.shape == (n_items, 3)  # quality + onehot(color)×2
+    scores = model._score_block(np.arange(30), np.arange(n_items), ds)
+    assert scores[:, ::2].mean() > scores[:, 1::2].mean() + 0.5
+
+    # feature-less mode still works
+    plain = NeuralTS(embedding_dim=8, phi_dim=8, epochs=2, seed=0, use_features=False)
+    plain.fit(ds)
+    assert plain._item_feats.shape[1] == 0

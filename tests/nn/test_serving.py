@@ -242,3 +242,53 @@ class TestCompiledGeneralized:
             example_batch=batch, extra_variables=extra,
         )
         np.testing.assert_allclose(compiled.predict(batch), eager, rtol=2e-2, atol=1e-3)
+
+
+class TestCallbackOutputFormats:
+    """Output-format variants of the top-k callback (reference has
+    Pandas/Polars/Spark/Torch variants, predictions_callback.py:124-237)."""
+
+    def _run(self, cb):
+        logits = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 20)).astype(np.float32)
+        )
+        cb.on_batch(np.arange(4), logits)
+        cb.on_batch(np.arange(4, 8), logits)
+        return cb.get_result()
+
+    def test_arrays_format(self):
+        out = self._run(TopKPredictionsCallback(k=3, output_format="arrays"))
+        assert set(out) == {"query_id", "item_id", "rating"}
+        assert len(out["query_id"]) == 24
+        pandas_out = self._run(TopKPredictionsCallback(k=3))
+        np.testing.assert_array_equal(out["item_id"], pandas_out["item_id"].to_numpy())
+
+    def test_parquet_format(self, tmp_path):
+        path = str(tmp_path / "recs.parquet")
+        out_path = self._run(
+            TopKPredictionsCallback(k=3, output_format="parquet", output_path=path)
+        )
+        assert out_path == path
+        import pyarrow.parquet as pq
+
+        frame = pq.read_table(path).to_pandas()
+        pandas_out = self._run(TopKPredictionsCallback(k=3))
+        pd_testing = frame.sort_values(["query_id", "rating"]).reset_index(drop=True)
+        expect = pandas_out.sort_values(["query_id", "rating"]).reset_index(drop=True)
+        np.testing.assert_array_equal(pd_testing["item_id"], expect["item_id"])
+
+    def test_polars_gated(self):
+        from replay_tpu.utils.types import POLARS_AVAILABLE
+
+        if POLARS_AVAILABLE:
+            out = self._run(TopKPredictionsCallback(k=3, output_format="polars"))
+            assert out.height == 24
+        else:
+            with pytest.raises(ImportError):
+                TopKPredictionsCallback(k=3, output_format="polars")
+
+    def test_invalid_format(self):
+        with pytest.raises(ValueError):
+            TopKPredictionsCallback(k=3, output_format="spark")
+        with pytest.raises(ValueError):
+            TopKPredictionsCallback(k=3, output_format="parquet")
