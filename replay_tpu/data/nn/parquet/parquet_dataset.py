@@ -167,6 +167,7 @@ class ParquetDataset:
         drop_last: bool = False,
         shuffle_mode: str = "partition",
         prefetch: int = 0,
+        num_workers: int = 0,
     ):
         """
         :param source: path / list of paths to parquet files or directories.
@@ -182,6 +183,13 @@ class ParquetDataset:
         :param prefetch: batches to decode ahead in a background thread
             (0 = synchronous). Overlaps parquet decode/padding with the
             consumer's device steps.
+        :param num_workers: >0 splits THIS replica's shard across
+            ``num_workers`` reader threads (the reference's DataLoader
+            workers × DDP ranks composition, info/replicas.py:7-20:
+            ``sub_replica = worker_id + num_workers × replica``) and merges
+            their batch streams round-robin — deterministic, unlike torch's
+            arrival-order interleave. Implies prefetching (each worker keeps
+            ``max(prefetch, 2)`` batches in flight).
         """
         if shuffle_mode not in ("partition", "global"):
             msg = f"Unknown shuffle_mode {shuffle_mode}"
@@ -198,6 +206,8 @@ class ParquetDataset:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._source = source
         if replica_id is not None and num_replicas is not None:
             self._replica = (replica_id, num_replicas)
         else:
@@ -415,7 +425,50 @@ class ParquetDataset:
             batch["batch_mask"] = bm
             yield batch
 
+    def _worker_datasets(self):
+        """One sub-dataset per worker thread: replica (r, W) composes with
+        worker (w, K) into sub-replica (w + K·r, K·W)."""
+        replica, n_replicas = self._replica
+        k = self.num_workers
+        out = []
+        for w in range(k):
+            sub = ParquetDataset(
+                self._source,
+                self.metadata,
+                batch_size=self.batch_size,
+                partition_size=self.partition_size,
+                shuffle=self.shuffle,
+                seed=self.seed,
+                replica_id=w + k * replica,
+                num_replicas=k * n_replicas,
+                drop_last=self.drop_last,
+                shuffle_mode=self.shuffle_mode,
+            )
+            sub.set_epoch(self._epoch)
+            out.append(sub)
+        return out
+
     def __iter__(self) -> Iterator[Batch]:
+        if self.num_workers > 0:
+            depth = max(self.prefetch, 2)
+            streams = [
+                _PrefetchIterator(sub._batches, depth)
+                for sub in self._worker_datasets()
+            ]
+
+            def merged():
+                live = list(streams)
+                while live:
+                    still = []
+                    for stream in live:
+                        try:
+                            yield next(stream)
+                        except StopIteration:
+                            continue
+                        still.append(stream)
+                    live = still
+
+            return merged()
         if self.prefetch > 0:
             return iter(_PrefetchIterator(self._batches, self.prefetch))
         return self._batches()

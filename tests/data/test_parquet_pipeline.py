@@ -275,3 +275,57 @@ class Test2DColumnsAndPrefetch:
         assert next(it) == 1
         with pytest.raises(RuntimeError, match="producer died"):
             next(it)
+
+
+class TestMultiWorkerLoading:
+    def test_workers_cover_dataset_disjointly(self, parquet_file):
+        meta = Metadata({
+            "query_id": ColumnMeta(shape=(), dtype="int64"),
+            "item_id": ColumnMeta(shape=(8,), padding=50, dtype="int32"),
+            "rating": ColumnMeta(shape=(8,), padding=0.0, dtype="float32"),
+        })
+        single = ParquetDataset(parquet_file, meta, batch_size=16)
+        base_ids = []
+        for b in single:
+            base_ids.extend(b["query_id"][b["batch_mask"].astype(bool)].tolist())
+
+        multi = ParquetDataset(parquet_file, meta, batch_size=16, num_workers=3)
+        got = []
+        for b in multi:
+            got.extend(b["query_id"][b["batch_mask"].astype(bool)].tolist())
+        # replica padding may duplicate a few head rows; every base row served
+        assert set(got) >= set(base_ids)
+        assert len(got) >= len(base_ids)
+
+    def test_worker_merge_is_deterministic(self, parquet_file):
+        meta = Metadata({
+            "query_id": ColumnMeta(shape=(), dtype="int64"),
+            "item_id": ColumnMeta(shape=(8,), padding=50, dtype="int32"),
+            "rating": ColumnMeta(shape=(8,), padding=0.0, dtype="float32"),
+        })
+        def run():
+            ds = ParquetDataset(parquet_file, meta, batch_size=16,
+                                shuffle=True, seed=5, num_workers=2)
+            return [b["query_id"].tolist() for b in ds]
+
+        assert run() == run()
+
+    def test_worker_composes_with_replicas(self, parquet_file):
+        """worker (w, K) × replica (r, W) = sub-replica (w + K·r, K·W):
+        2 replicas × 2 workers must tile like 4 flat replicas."""
+        meta = Metadata({"query_id": ColumnMeta(shape=(), dtype="int64"),
+                        "item_id": ColumnMeta(shape=(8,), padding=50, dtype="int32"),
+                        "rating": ColumnMeta(shape=(8,), padding=0.0, dtype="float32")})
+        composed = []
+        for r in range(2):
+            ds = ParquetDataset(parquet_file, meta, batch_size=16,
+                                replica_id=r, num_replicas=2, num_workers=2)
+            for b in ds:
+                composed.extend(b["query_id"][b["batch_mask"].astype(bool)].tolist())
+        flat = []
+        for sub in range(4):
+            ds = ParquetDataset(parquet_file, meta, batch_size=16,
+                                replica_id=sub, num_replicas=4)
+            for b in ds:
+                flat.extend(b["query_id"][b["batch_mask"].astype(bool)].tolist())
+        assert sorted(composed) == sorted(flat)
