@@ -36,12 +36,76 @@ def _install_polars_stub():
     sys.modules["polars"] = fake
 
 
+def _install_lightning_stub():
+    """Minimal lightning so the reference's pure-torch model modules import
+    (their package __init__ defines LightningModule subclasses; the torch
+    models themselves never touch lightning)."""
+    if "lightning" in sys.modules:
+        return
+    import importlib.machinery
+
+    import torch
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = m
+        return m
+
+    fake = _mod("lightning")
+
+    class LightningModule(torch.nn.Module):
+        def save_hyperparameters(self, *a, **k):
+            pass
+
+        def log(self, *a, **k):
+            pass
+
+    class LightningDataModule:
+        pass
+
+    class Trainer:
+        def __init__(self, *a, **k):
+            pass
+
+    fake.LightningModule = LightningModule
+    fake.LightningDataModule = LightningDataModule
+    fake.Trainer = Trainer
+    fake.Callback = type("Callback", (), {})
+    pytorch = _mod("lightning.pytorch")
+    utilities = _mod("lightning.pytorch.utilities")
+    rank_zero = _mod("lightning.pytorch.utilities.rank_zero")
+    rank_zero.rank_zero_only = lambda fn: fn
+    utilities.rank_zero = rank_zero
+    utilities.CombinedLoader = type("CombinedLoader", (), {})
+    utilities.move_data_to_device = lambda batch, device: batch
+    trainer_mod = _mod("lightning.pytorch.trainer")
+    states = _mod("lightning.pytorch.trainer.states")
+
+    class RunningStage:
+        TRAINING = "train"
+        VALIDATING = "validate"
+        TESTING = "test"
+        PREDICTING = "predict"
+
+    states.RunningStage = RunningStage
+    trainer_mod.states = states
+    pytorch.trainer = trainer_mod
+    pytorch.utilities = utilities
+    pytorch.LightningModule = LightningModule
+    pytorch.LightningDataModule = LightningDataModule
+    pytorch.Trainer = Trainer
+    pytorch.Callback = fake.Callback
+    fake.pytorch = pytorch
+
+
 @pytest.fixture(scope="session")
 def reference():
     """Importable reference package, or skip."""
     if not REFERENCE.exists():
         pytest.skip("reference checkout not available")
     _install_polars_stub()
+    _install_lightning_stub()
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
     import replay  # noqa: F401
