@@ -267,11 +267,23 @@ def is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_FUSED_BROKEN: set = set()
+
+
 def auto_topk(queries, items, k, block_n: int = 4096):
     """Dispatch: fused_topk on TPU — iterative in-tile selection for k≤32,
     bitonic sorting network for 32<k≤128 (the regime where iterative
     selection lost to XLA in round 1) — XLA dense path for k>128 and on
-    non-TPU backends (pallas CPU = interpret only)."""
+    non-TPU backends (pallas CPU = interpret only).
+
+    A Mosaic lowering failure of a fused kernel variant (toolchain drift)
+    downgrades that variant to the XLA path once, instead of breaking the
+    serving call site."""
     if is_tpu() and k <= 128:
-        return fused_topk(queries, items, k, block_n=block_n)
+        method = "iterative" if k <= 32 else "bitonic"
+        if method not in _FUSED_BROKEN:
+            try:
+                return fused_topk(queries, items, k, block_n=block_n, method=method)
+            except Exception:  # pragma: no cover - compiler-dependent
+                _FUSED_BROKEN.add(method)
     return topk_reference(queries, items, k)
