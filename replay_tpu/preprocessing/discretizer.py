@@ -64,8 +64,10 @@ class BaseDiscretizingRule(abc.ABC):
                 out = out[~invalid]
                 values = out[self._col]
                 invalid = values.isna()
+        # values equal to an inner edge fall in the RIGHT bin (sklearn
+        # KBinsDiscretizer.transform searchsorted side="right" semantics)
         binned = (
-            np.searchsorted(np.asarray(self._bins[1:-1]), values.to_numpy(), side="left")
+            np.searchsorted(np.asarray(self._bins[1:-1]), values.to_numpy(), side="right")
             .astype(np.int64)
         )
         binned = np.where(invalid.to_numpy(), self._n_bins, binned)
@@ -213,8 +215,16 @@ class QuantileDiscretizingRule(BaseDiscretizingRule):
             msg = f"Column {self._col} contains NaN values"
             raise ValueError(msg)
         clean = values.dropna().to_numpy(dtype=float)
-        quantiles = np.linspace(0, 1, self._n_bins + 1)
-        edges = np.unique(np.quantile(clean, quantiles))
+        # the reference's rule wraps sklearn KBinsDiscretizer
+        # (discretizer.py:429), whose quantile strategy is
+        # np.percentile(col, linspace(0, 100, n+1), method="averaged_inverted_cdf")
+        # for sklearn >= 1.9 — percentile levels (not 0..1 fractions) matter:
+        # averaged_inverted_cdf is a step function of q, so q=100/7 vs 1/7
+        # land in different steps
+        levels = np.linspace(0, 100, self._n_bins + 1)
+        edges = np.unique(
+            np.percentile(clean, levels, method="averaged_inverted_cdf")
+        )
         bins = edges.tolist()
         bins[0] = -np.inf
         bins[-1] = np.inf

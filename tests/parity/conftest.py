@@ -31,6 +31,7 @@ def _install_polars_stub():
     fake.DataFrame = _FakeDF
     fake.Series = _FakeDF
     fake.Expr = _FakeDF
+    fake.LazyFrame = type("LazyFrame", (), {})
     fake.col = lambda *a, **k: None
     fake.read_parquet = lambda *a, **k: None
     sys.modules["polars"] = fake
