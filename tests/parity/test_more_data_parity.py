@@ -153,3 +153,43 @@ class TestMoreSplittersParity:
             )
         _assert_frames_equal(mtr, rtr, "two stage train")
         _assert_frames_equal(mte, rte, "two stage test")
+
+
+def test_csr_converter_matches_reference(reference, random_log):
+    from replay.preprocessing import CSRConverter as Ref
+
+    from replay_tpu.preprocessing import CSRConverter as Mine
+
+    kwargs = dict(first_dim_column="query_id", second_dim_column="item_id",
+                  data_column="rating")
+    m = Mine(**kwargs).transform(random_log)
+    r = Ref(**kwargs).transform(random_log)
+    assert m.shape == r.shape
+    np.testing.assert_array_equal(m.toarray(), r.toarray())
+
+
+@pytest.mark.parametrize("on_duplicate", ["drop", "ignore"])
+def test_merge_subsets_matches_reference(reference, random_log, on_duplicate):
+    from replay.preprocessing.utils import merge_subsets as ref_merge
+
+    from replay_tpu.preprocessing import merge_subsets as my_merge
+
+    a = random_log.iloc[:1500]
+    b = random_log.iloc[1200:]  # overlap → duplicates
+    m = my_merge([a, b], on_duplicate=on_duplicate,
+                 subset_for_duplicates=["query_id", "item_id"])
+    r = ref_merge([a, b], on_duplicate=on_duplicate,
+                  subset_for_duplicates=["query_id", "item_id"])
+    _assert_frames_equal(m, r, f"merge {on_duplicate}")
+
+
+def test_merge_subsets_error_on_duplicates(reference, random_log):
+    from replay.preprocessing.utils import merge_subsets as ref_merge
+
+    from replay_tpu.preprocessing import merge_subsets as my_merge
+
+    a, b = random_log.iloc[:1500], random_log.iloc[1200:]
+    with pytest.raises(ValueError):
+        my_merge([a, b], on_duplicate="error", subset_for_duplicates=["query_id", "item_id"])
+    with pytest.raises(ValueError):
+        ref_merge([a, b], on_duplicate="error", subset_for_duplicates=["query_id", "item_id"])
