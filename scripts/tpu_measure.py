@@ -1,0 +1,158 @@
+"""One-shot TPU measurement sweep: the round-1/2 PENDING list.
+
+Run on a live chip:  python scripts/tpu_measure.py [--quick]
+
+Covers: SASRec train throughput (batch sweep), CELossTiled f32 vs bf16
+fwd+bwd at 1M items, fused_topk iterative vs bitonic vs XLA across k,
+classical fits at ML-1M scale (ALS / SLIM / KNN / PopRec), parquet-fed
+streaming step rate. Prints a markdown-ish table; paste into PERF.md.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def timed(fn, *args, warmup=2, iters=5, **kwargs):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_sasrec(quick=False):
+    import bench as bench_mod
+
+    for batch in ([4096] if quick else [256, 1024, 4096, 8192]):
+        bench_mod.BATCH = batch
+        rate = bench_mod.bench_jax()
+        print(f"| sasrec train | batch {batch} | {rate/1e3:.0f}k ex/s |")
+
+
+def bench_tiled_ce(quick=False):
+    import jax
+    import jax.numpy as jnp
+
+    from replay_tpu.nn.tiled_ce import CELossTiled
+
+    B, L, D, N = 512, 50, 64, 1_000_000
+    key = jax.random.PRNGKey(0)
+    hidden = jax.random.normal(key, (B, L, D), dtype=jnp.float32)
+    labels = jax.random.randint(key, (B, L), 0, N)
+    mask = jnp.ones((B, L))
+    weights = jax.random.normal(key, (N, D)) * 0.05
+
+    for dtype in [None, "bfloat16"]:
+        loss = CELossTiled(tile=8192, compute_dtype=dtype)
+        grad_fn = jax.jit(jax.grad(lambda h, w: loss(h, labels, mask, w), argnums=(0, 1)))
+        dt = timed(grad_fn, hidden, weights, warmup=1, iters=3 if quick else 5)
+        flops = 4 * 2 * B * L * N * D  # 4 streaming GEMMs
+        print(f"| tiled CE fwd+bwd | {dtype or 'f32'} | {dt*1000:.0f} ms | {flops/dt/1e12:.1f} TFLOP/s |")
+
+
+def bench_topk(quick=False):
+    import jax.numpy as jnp
+
+    from replay_tpu.ops.pallas_topk import fused_topk, topk_reference
+
+    rng = np.random.default_rng(0)
+    configs = [(256, 1_000_000, 128, 10), (256, 1_000_000, 256, 100)]
+    if not quick:
+        configs += [(1024, 1_000_000, 128, 10), (256, 1_000_000, 256, 128)]
+    for b, n, d, k in configs:
+        q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        t_ref = timed(topk_reference, q, w, k, iters=3)
+        row = f"| topk B={b} N={n} D={d} k={k} | XLA {t_ref*1000:.1f} ms |"
+        for method in (["iterative"] if k <= 32 else ["iterative", "bitonic"]):
+            try:
+                t = timed(fused_topk, q, w, k, method=method, iters=3)
+                row += f" {method} {t*1000:.1f} ms ({t_ref/t:.2f}x) |"
+            except Exception as exc:  # lowering failure is a result too
+                row += f" {method} FAILED ({type(exc).__name__}) |"
+        print(row)
+
+
+def bench_classical(quick=False):
+    import pandas as pd
+
+    from replay_tpu.data.dataset import Dataset
+    from replay_tpu.data.schema import (
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureSource,
+        FeatureType,
+    )
+    from replay_tpu.models import ALSWrap, ItemKNN, PopRec, SLIM
+
+    rng = np.random.default_rng(0)
+    n_u, n_i = 6040, 3706
+    u = rng.integers(0, n_u, 840_000)
+    i = (rng.zipf(1.3, 840_000) - 1) % n_i
+    df = pd.DataFrame({"user_id": u, "item_id": i, "rating": 1.0, "timestamp": 0}).drop_duplicates(
+        ["user_id", "item_id"]
+    ).head(420_000)
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, feature_hint=FeatureHint.RATING,
+                        feature_source=FeatureSource.INTERACTIONS),
+        ]
+    )
+    ds = Dataset(schema, df)
+    models = [
+        ("PopRec", PopRec()),
+        ("ItemKNN", ItemKNN()),
+        ("ALS rank=32 it=10", ALSWrap(rank=32, seed=0, num_iterations=10)),
+        ("SLIM", SLIM()),
+    ]
+    for name, model in models:
+        t0 = time.perf_counter()
+        model.fit(ds)
+        fit_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        model.predict(ds, k=10)
+        pred_t = time.perf_counter() - t0
+        print(f"| {name} | fit {fit_t:.1f}s | predict k=10 {pred_t:.1f}s |")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--only", default=None,
+                        choices=[None, "sasrec", "ce", "topk", "classical"])
+    args = parser.parse_args()
+    import jax
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    suites = {
+        "sasrec": bench_sasrec,
+        "ce": bench_tiled_ce,
+        "topk": bench_topk,
+        "classical": bench_classical,
+    }
+    for name, fn in suites.items():
+        if args.only and name != args.only:
+            continue
+        print(f"\n== {name} ==")
+        try:
+            fn(quick=args.quick)
+        except Exception as exc:
+            print(f"{name} suite failed: {type(exc).__name__}: {exc}")
+
+
+if __name__ == "__main__":
+    main()
