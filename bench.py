@@ -179,7 +179,7 @@ def main():
     global BATCH
     backend = _ensure_live_backend()
     if "tpu" not in backend:
-        BATCH = 128  # CPU can't hold the TPU-sized batch's logits; 128 is
+        BATCH = 256  # CPU can't hold the TPU-sized batch's logits; 256 is
         # the measured XLA-CPU sweet spot for this model
     jax_rate = bench_jax()
     try:

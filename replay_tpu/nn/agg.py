@@ -6,10 +6,12 @@ Standalone blocks for custom model composition; ``SequenceEmbedding``'s
 ``aggregation_mode`` uses the same math inline.
 """
 
-from typing import Dict, Sequence
+from typing import Dict, Sequence, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+from replay_tpu.nn.dtypes import resolve_dtype
 
 
 class SumAggregator(nn.Module):
@@ -28,13 +30,13 @@ class ConcatAggregator(nn.Module):
     """Concatenate per-feature embeddings then project to ``output_dim``."""
 
     output_dim: int
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, embeddings: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         joined = jnp.concatenate(list(embeddings.values()), axis=-1)
         return nn.Dense(
-            self.output_dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
+            self.output_dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="proj"
         )(joined)
 
 
@@ -45,7 +47,7 @@ class PositionAwareAggregator(nn.Module):
 
     max_len: int
     dropout_rate: float = 0.0
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -57,7 +59,7 @@ class PositionAwareAggregator(nn.Module):
         pos = nn.Embed(
             self.max_len,
             dim,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32,
             embedding_init=nn.initializers.truncated_normal(stddev=0.02),
             name="pos_table",

@@ -21,6 +21,8 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from replay_tpu.nn.dtypes import resolve_dtype
+
 NEG_INF = -1e9
 
 
@@ -48,7 +50,7 @@ class MultiHeadSelfAttention(nn.Module):
 
     num_heads: int
     dropout_rate: float = 0.0
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -61,7 +63,7 @@ class MultiHeadSelfAttention(nn.Module):
         head_dim = dim // self.num_heads
         dense = lambda name: nn.DenseGeneral(  # noqa: E731
             features=(self.num_heads, head_dim),
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32,
             name=name,
         )
@@ -73,14 +75,14 @@ class MultiHeadSelfAttention(nn.Module):
         scores = scores / jnp.sqrt(jnp.float32(head_dim))
         if attn_bias is not None:
             scores = scores + attn_bias
-        weights = nn.softmax(scores, axis=-1).astype(self.dtype)
+        weights = nn.softmax(scores, axis=-1).astype(resolve_dtype(self.dtype))
         weights = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = nn.DenseGeneral(
             features=dim,
             axis=(-2, -1),
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32,
             name="out",
         )(out)
@@ -95,7 +97,7 @@ class MultiHeadDifferentialAttention(nn.Module):
     num_heads: int
     depth: int = 1  # layer index, sets lambda_init
     dropout_rate: float = 0.0
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -110,7 +112,7 @@ class MultiHeadDifferentialAttention(nn.Module):
         def project(name, n_out):
             return nn.DenseGeneral(
                 features=(self.num_heads, n_out),
-                dtype=self.dtype,
+                dtype=resolve_dtype(self.dtype),
                 param_dtype=jnp.float32,
                 name=name,
             )
@@ -143,15 +145,15 @@ class MultiHeadDifferentialAttention(nn.Module):
 
         weights = attn(q1, k1) - lam[None, :, None, None] * attn(q2, k2)
         weights = nn.Dropout(self.dropout_rate)(
-            weights.astype(self.dtype), deterministic=deterministic
+            weights.astype(resolve_dtype(self.dtype)), deterministic=deterministic
         )
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
-        out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="subln")(out)
+        out = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="subln")(out)
         out = out * (1.0 - lambda_init)
         out = nn.DenseGeneral(
             features=dim,
             axis=(-2, -1),
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32,
             name="out",
         )(out)

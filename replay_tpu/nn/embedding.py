@@ -21,6 +21,8 @@ from typing import Dict, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from replay_tpu.nn.dtypes import resolve_dtype
+
 from replay_tpu.data.nn.schema import TensorSchema
 
 
@@ -37,7 +39,7 @@ class CategoricalEmbedding(nn.Module):
 
     cardinality: int
     embedding_dim: int
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @staticmethod
     def padded_rows(cardinality: int) -> int:
@@ -49,7 +51,7 @@ class CategoricalEmbedding(nn.Module):
         table = nn.Embed(
             num_embeddings=self.padded_rows(self.cardinality),
             features=self.embedding_dim,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32,
             embedding_init=nn.initializers.truncated_normal(stddev=0.02),
             name="table",
@@ -63,7 +65,7 @@ class NumericalEmbedding(nn.Module):
 
     tensor_dim: int
     embedding_dim: int
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, values: jnp.ndarray) -> jnp.ndarray:
@@ -71,11 +73,11 @@ class NumericalEmbedding(nn.Module):
             values = values[..., None]
         proj = nn.Dense(
             self.embedding_dim,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32,
             name="proj",
         )
-        return proj(values.astype(self.dtype))
+        return proj(values.astype(resolve_dtype(self.dtype)))
 
 
 class SequenceEmbedding(nn.Module):
@@ -94,7 +96,7 @@ class SequenceEmbedding(nn.Module):
     # list-feature slot aggregation (reference SequenceEmbedding's
     # categorical_list_feature_aggregation_method): sum | mean | max
     list_aggregation: str = "sum"
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         embedders: Dict[str, nn.Module] = {}
@@ -105,14 +107,14 @@ class SequenceEmbedding(nn.Module):
                 embedders[feature.name] = CategoricalEmbedding(
                     cardinality=feature.cardinality,
                     embedding_dim=feature.embedding_dim,
-                    dtype=self.dtype,
+                    dtype=resolve_dtype(self.dtype),
                     name=f"emb_{feature.name}",
                 )
             else:
                 embedders[feature.name] = NumericalEmbedding(
                     tensor_dim=feature.tensor_dim or 1,
                     embedding_dim=self._target_dim(),
-                    dtype=self.dtype,
+                    dtype=resolve_dtype(self.dtype),
                     name=f"emb_{feature.name}",
                 )
         self._embedders = embedders
@@ -178,7 +180,7 @@ class SequenceEmbedding(nn.Module):
         weights = table[:cardinality]
         if item_ids is not None:
             weights = jnp.take(table, item_ids, axis=0)
-        return weights.astype(self.dtype)
+        return weights.astype(resolve_dtype(self.dtype))
 
 
 class PositionalEmbedding(nn.Module):
@@ -187,14 +189,14 @@ class PositionalEmbedding(nn.Module):
 
     max_len: int
     embedding_dim: int
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, seq_len: int) -> jnp.ndarray:
         table = nn.Embed(
             num_embeddings=self.max_len,
             features=self.embedding_dim,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32,
             embedding_init=nn.initializers.truncated_normal(stddev=0.02),
             name="pos_table",

@@ -1,15 +1,18 @@
+from typing import Optional
 """Normalization blocks (reference: replay/nn/normalization.py —
 NormalizerProto with LayerNorm/RMSNorm choices)."""
 
 import flax.linen as nn
 import jax.numpy as jnp
 
+from replay_tpu.nn.dtypes import resolve_dtype
+
 
 class RMSNorm(nn.Module):
     """Root-mean-square layer norm (no mean subtraction, no bias)."""
 
     epsilon: float = 1e-6
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -18,4 +21,4 @@ class RMSNorm(nn.Module):
         xf = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
         normed = xf / jnp.sqrt(var + self.epsilon)
-        return (normed * scale).astype(self.dtype)
+        return (normed * scale).astype(resolve_dtype(self.dtype))

@@ -22,6 +22,8 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from replay_tpu.nn.dtypes import resolve_dtype
+
 from replay_tpu.data.nn.schema import TensorSchema
 from replay_tpu.nn.attention import build_attention_bias
 from replay_tpu.nn.embedding import PositionalEmbedding, SequenceEmbedding
@@ -43,20 +45,20 @@ class Bert4RecBody(nn.Module):
     hidden_dim: Optional[int] = None
     dropout_rate: float = 0.1
     excluded_features: tuple = ()
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.embedder = SequenceEmbedding(
             schema=self.schema,
             excluded_features=self.excluded_features,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             name="embedder",
         )
         dim = self.embedder.embedding_dim
         self.pos_embedding = PositionalEmbedding(
-            max_len=self.max_sequence_length, embedding_dim=dim, dtype=self.dtype, name="pos"
+            max_len=self.max_sequence_length, embedding_dim=dim, dtype=resolve_dtype(self.dtype), name="pos"
         )
-        self.input_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="input_norm")
+        self.input_norm = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="input_norm")
         self.input_dropout = nn.Dropout(self.dropout_rate)
         self.layers = [
             SasRecTransformerLayer(
@@ -64,12 +66,12 @@ class Bert4RecBody(nn.Module):
                 hidden_dim=self.hidden_dim or dim * 4,
                 dropout_rate=self.dropout_rate,
                 depth=i + 1,
-                dtype=self.dtype,
+                dtype=resolve_dtype(self.dtype),
                 name=f"layer_{i}",
             )
             for i in range(self.num_blocks)
         ]
-        self.final_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="final_norm")
+        self.final_norm = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="final_norm")
 
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True) -> jnp.ndarray:
         pad = batch["padding_mask"]
@@ -95,7 +97,7 @@ class Bert4Rec(nn.Module):
     num_heads: int = 2
     hidden_dim: Optional[int] = None
     dropout_rate: float = 0.1
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.body = Bert4RecBody(
@@ -105,7 +107,7 @@ class Bert4Rec(nn.Module):
             num_heads=self.num_heads,
             hidden_dim=self.hidden_dim,
             dropout_rate=self.dropout_rate,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             name="body",
         )
 

@@ -24,6 +24,8 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from replay_tpu.nn.dtypes import resolve_dtype
+
 from replay_tpu.data.nn.schema import TensorSchema
 from replay_tpu.nn.attention import (
     MultiHeadDifferentialAttention,
@@ -45,34 +47,34 @@ class SasRecTransformerLayer(nn.Module):
     attention: str = "default"  # "default" | "diff"
     ffn: str = "pointwise"  # "pointwise" | "swiglu"
     depth: int = 1
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln_attn")(x)
+        h = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="ln_attn")(x)
         if self.attention == "diff":
             attn = MultiHeadDifferentialAttention(
                 num_heads=self.num_heads,
                 depth=self.depth,
                 dropout_rate=self.dropout_rate,
-                dtype=self.dtype,
+                dtype=resolve_dtype(self.dtype),
                 name="attn",
             )
         else:
             attn = MultiHeadSelfAttention(
                 num_heads=self.num_heads,
                 dropout_rate=self.dropout_rate,
-                dtype=self.dtype,
+                dtype=resolve_dtype(self.dtype),
                 name="attn",
             )
         x = x + nn.Dropout(self.dropout_rate)(
             attn(h, attn_bias, deterministic=deterministic), deterministic=deterministic
         )
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln_ffn")(x)
+        h = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="ln_ffn")(x)
         if self.ffn == "swiglu":
-            ff = SwiGLU(self.hidden_dim, self.dropout_rate, dtype=self.dtype, name="ffn")
+            ff = SwiGLU(self.hidden_dim, self.dropout_rate, dtype=resolve_dtype(self.dtype), name="ffn")
         else:
-            ff = PointWiseFeedForward(self.hidden_dim, self.dropout_rate, dtype=self.dtype, name="ffn")
+            ff = PointWiseFeedForward(self.hidden_dim, self.dropout_rate, dtype=resolve_dtype(self.dtype), name="ffn")
         return x + ff(h, deterministic=deterministic)
 
 
@@ -89,20 +91,20 @@ class SasRecBody(nn.Module):
     attention: str = "default"
     ffn: str = "pointwise"
     excluded_features: tuple = ()
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.embedder = SequenceEmbedding(
             schema=self.schema,
             excluded_features=self.excluded_features,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             name="embedder",
         )
         dim = self.embedder.embedding_dim
         self.pos_embedding = PositionalEmbedding(
             max_len=self.max_sequence_length,
             embedding_dim=dim,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             name="pos",
         )
         self.input_dropout = nn.Dropout(self.dropout_rate)
@@ -114,12 +116,12 @@ class SasRecBody(nn.Module):
                 attention=self.attention,
                 ffn=self.ffn,
                 depth=i + 1,
-                dtype=self.dtype,
+                dtype=resolve_dtype(self.dtype),
                 name=f"layer_{i}",
             )
             for i in range(self.num_blocks)
         ]
-        self.final_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="final_norm")
+        self.final_norm = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="final_norm")
 
     def __call__(
         self,
@@ -155,7 +157,7 @@ class SasRec(nn.Module):
     dropout_rate: float = 0.2
     attention: str = "default"
     ffn: str = "pointwise"
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @classmethod
     def from_params(
@@ -200,7 +202,7 @@ class SasRec(nn.Module):
             dropout_rate=self.dropout_rate,
             attention=self.attention,
             ffn=self.ffn,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             name="body",
         )
 

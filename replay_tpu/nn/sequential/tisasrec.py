@@ -15,6 +15,8 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from replay_tpu.nn.dtypes import resolve_dtype
+
 from replay_tpu.data.nn.schema import TensorSchema
 from replay_tpu.nn.attention import build_attention_bias
 from replay_tpu.nn.embedding import PositionalEmbedding, SequenceEmbedding
@@ -39,17 +41,17 @@ class TiSasRecLayer(nn.Module):
     hidden_dim: int
     time_span: int
     dropout_rate: float = 0.0
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, intervals, attn_bias, deterministic: bool = True):
         batch, length, dim = x.shape
         head_dim = dim // self.num_heads
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln_attn")(x)
+        h = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="ln_attn")(x)
 
         dense = lambda name: nn.DenseGeneral(  # noqa: E731
             features=(self.num_heads, head_dim),
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32,
             name=name,
         )
@@ -57,27 +59,27 @@ class TiSasRecLayer(nn.Module):
         k = dense("key")(h)
         v = dense("value")(h)
         r_k = nn.Embed(
-            self.time_span + 1, head_dim, dtype=self.dtype, param_dtype=jnp.float32, name="interval_k"
+            self.time_span + 1, head_dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="interval_k"
         )(intervals)  # [B, L, L, hd]
         r_v = nn.Embed(
-            self.time_span + 1, head_dim, dtype=self.dtype, param_dtype=jnp.float32, name="interval_v"
+            self.time_span + 1, head_dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="interval_v"
         )(intervals)
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         scores = scores + jnp.einsum("bqhd,bqkd->bhqk", q, r_k).astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(head_dim)) + attn_bias
-        weights = nn.softmax(scores, axis=-1).astype(self.dtype)
+        weights = nn.softmax(scores, axis=-1).astype(resolve_dtype(self.dtype))
         weights = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out + jnp.einsum("bhqk,bqkd->bqhd", weights, r_v)
         out = nn.DenseGeneral(
-            features=dim, axis=(-2, -1), dtype=self.dtype, param_dtype=jnp.float32, name="out"
+            features=dim, axis=(-2, -1), dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="out"
         )(out)
         x = x + nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln_ffn")(x)
+        h = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="ln_ffn")(x)
         return x + PointWiseFeedForward(
-            self.hidden_dim, self.dropout_rate, dtype=self.dtype, name="ffn"
+            self.hidden_dim, self.dropout_rate, dtype=resolve_dtype(self.dtype), name="ffn"
         )(h, deterministic=deterministic)
 
 
@@ -94,18 +96,18 @@ class TiSasRec(nn.Module):
     num_heads: int = 2
     time_span: int = 256
     dropout_rate: float = 0.2
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.embedder = SequenceEmbedding(
             schema=self.schema,
             excluded_features=("timestamp",),
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             name="embedder",
         )
         dim = self.embedder.embedding_dim
         self.pos_embedding = PositionalEmbedding(
-            max_len=self.max_sequence_length, embedding_dim=dim, dtype=self.dtype, name="pos"
+            max_len=self.max_sequence_length, embedding_dim=dim, dtype=resolve_dtype(self.dtype), name="pos"
         )
         self.input_dropout = nn.Dropout(self.dropout_rate)
         self.layers = [
@@ -114,12 +116,12 @@ class TiSasRec(nn.Module):
                 hidden_dim=dim * 4,
                 time_span=self.time_span,
                 dropout_rate=self.dropout_rate,
-                dtype=self.dtype,
+                dtype=resolve_dtype(self.dtype),
                 name=f"layer_{i}",
             )
             for i in range(self.num_blocks)
         ]
-        self.final_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="final_norm")
+        self.final_norm = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="final_norm")
 
     @property
     def body(self):

@@ -28,6 +28,8 @@ from typing import Dict, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from replay_tpu.nn.dtypes import resolve_dtype
+
 from replay_tpu.data.nn.schema import TensorSchema
 from replay_tpu.nn.attention import build_attention_bias
 from replay_tpu.nn.embedding import (
@@ -47,7 +49,7 @@ class ItemTower(nn.Module):
     embedding_dim: int
     item_schema: Optional[TensorSchema] = None
     hidden_dims: Sequence[int] = ()
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -56,7 +58,7 @@ class ItemTower(nn.Module):
         item_features: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         id_table = CategoricalEmbedding(
-            cardinality=self.n_items, embedding_dim=self.embedding_dim, dtype=self.dtype, name="id_emb"
+            cardinality=self.n_items, embedding_dim=self.embedding_dim, dtype=resolve_dtype(self.dtype), name="id_emb"
         )
         all_ids = jnp.arange(self.n_items)
         x = id_table(all_ids)  # [N, D]
@@ -73,24 +75,24 @@ class ItemTower(nn.Module):
                     emb = CategoricalEmbedding(
                         cardinality=feature.cardinality,
                         embedding_dim=self.embedding_dim,
-                        dtype=self.dtype,
+                        dtype=resolve_dtype(self.dtype),
                         name=f"feat_{name}",
                     )(values)
                     if emb.ndim == 3:  # list feature [N, slots, D] → mean
                         emb = jnp.mean(emb, axis=1)
                 else:
-                    vals = values.astype(self.dtype)
+                    vals = values.astype(resolve_dtype(self.dtype))
                     if vals.ndim == 1:
                         vals = vals[:, None]
                     emb = nn.Dense(
-                        self.embedding_dim, dtype=self.dtype, param_dtype=jnp.float32, name=f"feat_{name}"
+                        self.embedding_dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name=f"feat_{name}"
                     )(vals)
                 x = x + emb
         for i, h in enumerate(self.hidden_dims):
-            x = nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name=f"mlp_{i}")(x)
+            x = nn.Dense(h, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name=f"mlp_{i}")(x)
             x = nn.relu(x)
         x = nn.Dense(
-            self.embedding_dim, dtype=self.dtype, param_dtype=jnp.float32, name="out"
+            self.embedding_dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="out"
         )(x)
         if item_ids is not None:
             x = jnp.take(x, item_ids, axis=0)
@@ -108,13 +110,13 @@ class TwoTowerBody(nn.Module):
     item_schema: Optional[TensorSchema] = None
     item_hidden_dims: Sequence[int] = ()
     causal: bool = True
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.embedder = SequenceEmbedding(schema=self.schema, dtype=self.dtype, name="embedder")
+        self.embedder = SequenceEmbedding(schema=self.schema, dtype=resolve_dtype(self.dtype), name="embedder")
         dim = self.embedder.embedding_dim
         self.pos_embedding = PositionalEmbedding(
-            max_len=self.max_sequence_length, embedding_dim=dim, dtype=self.dtype, name="pos"
+            max_len=self.max_sequence_length, embedding_dim=dim, dtype=resolve_dtype(self.dtype), name="pos"
         )
         self.input_dropout = nn.Dropout(self.dropout_rate)
         self.layers = [
@@ -123,19 +125,19 @@ class TwoTowerBody(nn.Module):
                 hidden_dim=dim * 4,
                 dropout_rate=self.dropout_rate,
                 depth=i + 1,
-                dtype=self.dtype,
+                dtype=resolve_dtype(self.dtype),
                 name=f"layer_{i}",
             )
             for i in range(self.num_blocks)
         ]
-        self.final_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="final_norm")
+        self.final_norm = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="final_norm")
         item_name = self.schema.item_id_feature_name
         self.item_tower = ItemTower(
             n_items=self.schema[item_name].cardinality,
             embedding_dim=dim,
             item_schema=self.item_schema,
             hidden_dims=self.item_hidden_dims,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             name="item_tower",
         )
 
@@ -173,7 +175,7 @@ class TwoTower(nn.Module):
     dropout_rate: float = 0.1
     item_schema: Optional[TensorSchema] = None
     item_hidden_dims: tuple = ()
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.body = TwoTowerBody(
@@ -184,7 +186,7 @@ class TwoTower(nn.Module):
             dropout_rate=self.dropout_rate,
             item_schema=self.item_schema,
             item_hidden_dims=self.item_hidden_dims,
-            dtype=self.dtype,
+            dtype=resolve_dtype(self.dtype),
             name="body",
         )
 
