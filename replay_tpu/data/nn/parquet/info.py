@@ -28,37 +28,54 @@ class DistributedInfoProtocol(Protocol):
 class JaxProcessInfo:
     """Reads jax.process_index/process_count lazily (multi-host default).
 
-    ``jax.process_count()`` initializes the backend, which can BLOCK when an
-    accelerator is configured but unreachable — a data loader must never
-    hang on construction.  Multi-host setups require
-    ``jax.distributed.initialize`` first, so when no distributed client
-    exists this is by definition a single-process run and (0, 1) is returned
-    without touching the backend."""
+    ``jax.process_count()`` initializes the backend, which can BLOCK
+    indefinitely when an accelerator is configured but unreachable — a data
+    loader must never hang on construction.  The query therefore runs in a
+    daemon thread with a timeout: on TPU pods (where libtpu reports
+    process_count > 1 even without ``jax.distributed.initialize``) it
+    returns the real topology within milliseconds; a dead tunnel times out
+    once, warns, and falls back to single-process (0, 1).  The result is
+    cached either way."""
 
-    @staticmethod
-    def _distributed_client():
-        try:
-            from jax._src import distributed
+    _QUERY_TIMEOUT_S = 20.0
+    _cached = None
 
-            return distributed.global_state.client
-        except Exception:
-            return None
+    @classmethod
+    def _query(cls):
+        if cls._cached is not None:
+            return cls._cached
+        import threading
+        import warnings
+
+        result = {}
+
+        def probe():
+            import jax
+
+            result["rank"] = jax.process_index()
+            result["world"] = jax.process_count()
+
+        thread = threading.Thread(target=probe, daemon=True)
+        thread.start()
+        thread.join(cls._QUERY_TIMEOUT_S)
+        if "world" in result:
+            cls._cached = (result["rank"], result["world"])
+        else:
+            warnings.warn(
+                "jax backend initialization did not answer within "
+                f"{cls._QUERY_TIMEOUT_S}s; assuming a single-process run "
+                "(rank 0 / world 1) for data sharding"
+            )
+            cls._cached = (0, 1)
+        return cls._cached
 
     @property
     def world_size(self) -> int:
-        if self._distributed_client() is None:
-            return 1
-        import jax
-
-        return jax.process_count()
+        return self._query()[1]
 
     @property
     def rank(self) -> int:
-        if self._distributed_client() is None:
-            return 0
-        import jax
-
-        return jax.process_index()
+        return self._query()[0]
 
 
 class StaticInfo:

@@ -118,25 +118,51 @@ class _PrefetchIterator:
     """Background-thread iterator with a bounded queue (double/N-buffering).
 
     Exceptions in the producer re-raise in the consumer; the thread is a
-    daemon so abandoned iterators cannot hang interpreter shutdown."""
+    daemon so abandoned iterators cannot hang interpreter shutdown.  An
+    abandoned consumer (early break / exception) releases the producer via
+    ``close()``, which garbage collection also triggers — without it the
+    producer would stay blocked in ``put`` pinning partition-sized arrays."""
 
     _SENTINEL = object()
 
     def __init__(self, make_iter, depth: int):
         self._queue: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+        self._closed = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=(make_iter,), daemon=True
         )
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        while not self._closed.is_set():
+            try:
+                self._queue.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
     def _run(self, make_iter):
         try:
             for item in make_iter():
-                self._queue.put(item)
+                if not self._put(item):
+                    return
         except BaseException as exc:  # noqa: BLE001 — propagate to consumer
-            self._queue.put(exc)
+            self._put(exc)
             return
-        self._queue.put(self._SENTINEL)
+        self._put(self._SENTINEL)
+
+    def close(self) -> None:
+        """Stop the producer and drop queued batches."""
+        self._closed.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue_mod.Empty:
+            pass
+
+    def __del__(self):  # pragma: no cover - GC timing
+        self.close()
 
     def __iter__(self):
         return self
@@ -220,12 +246,21 @@ class ParquetDataset:
         self._n_rows = self._dataset.count_rows()
 
     def __len__(self) -> int:
-        """Number of batches this replica yields per epoch."""
+        """Number of batches this replica yields per epoch (accounting for
+        worker sub-sharding: each worker pads/rounds its own shard)."""
         n_replicas = self._replica[1]
-        per_replica = -(-self._n_rows // n_replicas) if n_replicas > 1 else self._n_rows
+        if self.num_workers > 0:
+            shards = self.num_workers
+            total = shards * n_replicas
+            per_shard = -(-self._n_rows // total) if total > 1 else self._n_rows
+        else:
+            shards = 1
+            per_shard = (
+                -(-self._n_rows // n_replicas) if n_replicas > 1 else self._n_rows
+            )
         if self.drop_last:
-            return per_replica // self.batch_size
-        return -(-per_replica // self.batch_size)
+            return shards * (per_shard // self.batch_size)
+        return shards * -(-per_shard // self.batch_size)
 
     def set_epoch(self, epoch: int) -> None:
         """Advance the shuffle stream (reference epoch semantics)."""
@@ -458,15 +493,20 @@ class ParquetDataset:
 
             def merged():
                 live = list(streams)
-                while live:
-                    still = []
-                    for stream in live:
-                        try:
-                            yield next(stream)
-                        except StopIteration:
-                            continue
-                        still.append(stream)
-                    live = still
+                try:
+                    while live:
+                        still = []
+                        for stream in live:
+                            try:
+                                yield next(stream)
+                            except StopIteration:
+                                continue
+                            still.append(stream)
+                        live = still
+                finally:
+                    # abandoned consumer: release every worker thread
+                    for stream in streams:
+                        stream.close()
 
             return merged()
         if self.prefetch > 0:

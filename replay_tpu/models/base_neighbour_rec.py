@@ -129,14 +129,34 @@ class NeighbourRec(Recommender, ABC):
                 ]
             labels, scores = self._sparse_index.search(profiles, k, exclude)
             rows = []
+            short = []
             for r, qid in enumerate(queries):
+                count = 0
                 for pos in range(k):
                     if labels[r, pos] < 0:
                         break
                     rows.append((qid, self.fit_items[labels[r, pos]], float(scores[r, pos])))
-            return pd.DataFrame(
+                    count += 1
+                if count < k:
+                    short.append(qid)
+            frame = pd.DataFrame(
                 rows, columns=[self.query_column, self.item_column, self.rating_column]
             )
+            if short:
+                # the sparse kernel only scores items the profile touches;
+                # cold queries / sparse profiles can come back with fewer
+                # than k rows while the exact path pads with zero-score
+                # unseen items — match it by re-predicting the short queries
+                # exactly (NeighbourRec.can_predict_cold_queries contract)
+                short_arr = np.asarray(short)
+                exact = super()._predict(
+                    dataset, k, short_arr, items, filter_seen_items
+                )
+                frame = pd.concat(
+                    [frame[~frame[self.query_column].isin(short_arr)], exact],
+                    ignore_index=True,
+                )
+            return frame
         return super()._predict(dataset, k, queries, items, filter_seen_items)
 
     def _score_block(

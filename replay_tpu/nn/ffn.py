@@ -1,9 +1,10 @@
-from typing import Optional
 """Position-wise feed-forward blocks (reference: replay/nn/ffn.py:11,60,102).
 
 All matmuls run in the compute dtype (bfloat16 default) against float32
 params; XLA fuses the activation into the GEMM epilogue on TPU.
 """
+
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

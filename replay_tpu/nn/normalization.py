@@ -1,6 +1,7 @@
-from typing import Optional
 """Normalization blocks (reference: replay/nn/normalization.py —
 NormalizerProto with LayerNorm/RMSNorm choices)."""
+
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

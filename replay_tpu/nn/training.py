@@ -291,7 +291,9 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         step_no = int(self.state.step) if self.state is not None else 0
+        ran_any = False
         for epoch in range(self.epoch, cfg.max_epochs):
+            ran_any = True
             epoch_losses = []
             # transforms that shorten sequences (NextTokenTransform's shift)
             # declare extra_length so model inputs stay max_sequence_length
@@ -330,6 +332,11 @@ class Trainer:
                 cb(self, record)
             self._history.append(record)
             self.epoch = epoch + 1
+        if ran_any:
+            # a COMPLETED run resets the epoch cursor so a subsequent fit()
+            # trains again (the cursor only persists across restore-resume
+            # and across a no-op fit at an already-reached max_epochs)
+            self.epoch = 0
         return self._history
 
     def fit_loader(
@@ -360,7 +367,9 @@ class Trainer:
             msg = "fit_loader validation needs val_history (the query histories)"
             raise ValueError(msg)
         step_no = int(self.state.step) if self.state is not None else 0
+        ran_any = False
         for epoch in range(self.epoch, epochs):
+            ran_any = True
             epoch_losses = []
             pre = module.transform_for("train")
             for batch in module.loader("train", epoch):
@@ -393,6 +402,8 @@ class Trainer:
                 cb(self, record)
             self._history.append(record)
             self.epoch = epoch + 1
+        if ran_any:
+            self.epoch = 0  # completed run: next fit_loader trains again
         return self._history
 
     # -------------------------------------------------------------- validate

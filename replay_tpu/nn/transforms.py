@@ -160,6 +160,13 @@ class UniformNegativeSamplingTransform:
                     f"expected {n_items}"
                 )
                 raise ValueError(msg)
+            if int((sample_distribution > 0).sum()) < n_negatives:
+                msg = (
+                    f"sample_distribution has only "
+                    f"{int((sample_distribution > 0).sum())} positive-weight items "
+                    f"but n_negatives={n_negatives} (sampling is without replacement)"
+                )
+                raise ValueError(msg)
         self.n_negatives = n_negatives
         self.n_items = n_items
         self.field = field
@@ -207,6 +214,17 @@ class MultiClassNegativeSamplingTransform:
             msg = (
                 f"num_negative_samples={num_negative_samples} must be less than "
                 f"the catalog size {sample_mask.shape[1]}"
+            )
+            raise ValueError(msg)
+        # torch.multinomial(replacement=False) errors when a class has fewer
+        # positive-weight items than samples; match it at construction so
+        # zero-weight (forbidden) items can never leak out of the top-k
+        eligible = (sample_mask > 0).sum(axis=1)
+        if int(eligible.min()) < num_negative_samples:
+            short = int(jnp.argmin(eligible))
+            msg = (
+                f"class {short} has only {int(eligible.min())} positive-weight "
+                f"items but num_negative_samples={num_negative_samples}"
             )
             raise ValueError(msg)
         self.num_negative_samples = num_negative_samples

@@ -171,3 +171,29 @@ class TestNeighbourRecSparseServing:
         # seen items never served
         seen = set(map(tuple, ds.interactions[["user_id", "item_id"]].to_numpy()))
         assert not (seen & set(map(tuple, served[["user_id", "item_id"]].to_numpy())))
+
+
+def test_index_backed_predict_pads_cold_queries():
+    """Cold queries must receive k zero-score recommendations through the
+    index path, matching the exact path (round-2 review finding)."""
+    from replay_tpu.models import ItemKNN
+
+    ds = TestNeighbourRecSparseServing()._dataset()
+    exact = ItemKNN(num_neighbours=10)
+    served = ItemKNN(num_neighbours=10, index_builder=SparseSimParam())
+    exact.fit(ds)
+    served.fit(ds)
+    # query 59 exists; fabricate a prediction dataset missing its history
+    import pandas as pd
+
+    inter = ds.interactions
+    cold_ds = type(ds)(ds.feature_schema, inter[inter.user_id != 59], check_consistency=False)
+    e = exact.predict(cold_ds, k=5, queries=np.array([59, 0]))
+    s = served.predict(cold_ds, k=5, queries=np.array([59, 0]))
+    assert (s[s.user_id == 59].shape[0]) == 5
+    assert (e[e.user_id == 59].shape[0]) == 5
+    np.testing.assert_allclose(
+        np.sort(s[s.user_id == 0].rating.to_numpy())[::-1],
+        np.sort(e[e.user_id == 0].rating.to_numpy())[::-1],
+        rtol=1e-4,
+    )

@@ -329,3 +329,50 @@ class TestMultiWorkerLoading:
             for b in ds:
                 flat.extend(b["query_id"][b["batch_mask"].astype(bool)].tolist())
         assert sorted(composed) == sorted(flat)
+
+
+class TestReviewFindings:
+    """Round-2 review regressions: len() with workers, prefetch abandonment."""
+
+    def _meta(self):
+        return Metadata({
+            "query_id": ColumnMeta(shape=(), dtype="int64"),
+            "item_id": ColumnMeta(shape=(8,), padding=50, dtype="int32"),
+            "rating": ColumnMeta(shape=(8,), padding=0.0, dtype="float32"),
+        })
+
+    def test_len_accounts_for_workers(self, parquet_file):
+        for workers in [0, 2, 3]:
+            for drop_last in [False, True]:
+                ds = ParquetDataset(parquet_file, self._meta(), batch_size=16,
+                                    num_workers=workers, drop_last=drop_last)
+                assert len(ds) == sum(1 for _ in ds), (workers, drop_last)
+
+    def test_abandoned_prefetch_releases_producer(self, parquet_file):
+        import threading
+
+        before = threading.active_count()
+        ds = ParquetDataset(parquet_file, self._meta(), batch_size=8, prefetch=2)
+        it = iter(ds)
+        next(it)  # consume one batch, then abandon
+        it.close()
+        import time
+
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_abandoned_worker_merge_releases_threads(self, parquet_file):
+        import threading
+        import time
+
+        before = threading.active_count()
+        ds = ParquetDataset(parquet_file, self._meta(), batch_size=8, num_workers=2)
+        gen = iter(ds)
+        next(gen)
+        gen.close()  # generator finally closes worker streams
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before

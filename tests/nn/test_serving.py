@@ -167,7 +167,8 @@ def test_trainer_restore_resumes_epoch(tmp_path, seq_dataset):
     cb = CheckpointCallback(str(tmp_path / "ep"))
     trainer.callbacks.append(cb)
     trainer.fit(seq_dataset)
-    assert trainer.epoch == 2
+    # a completed run resets the cursor so a later fit() retrains
+    assert trainer.epoch == 0
     step_after = int(trainer.state.step)
 
     resumed = make_trainer(seq_dataset, max_epochs=2)
@@ -177,13 +178,24 @@ def test_trainer_restore_resumes_epoch(tmp_path, seq_dataset):
     # max_epochs already reached: fit must be a no-op, not a retrain
     resumed.fit(seq_dataset)
     assert int(resumed.state.step) == step_after
+    assert resumed.epoch == 2  # no-op keeps the cursor for a later resume
 
     resumed.config.max_epochs = 3
     resumed.fit(seq_dataset)
     # exactly one more epoch of batches
     n_batches_per_epoch = step_after // 2
     assert int(resumed.state.step) == step_after + n_batches_per_epoch
-    assert resumed.epoch == 3
+    assert resumed.epoch == 0  # completed again
+
+
+def test_second_fit_trains_again(seq_dataset):
+    """fit() after a completed fit() must train, not silently no-op
+    (round-2 review finding)."""
+    trainer = make_trainer(seq_dataset, max_epochs=2)
+    trainer.fit(seq_dataset)
+    steps = int(trainer.state.step)
+    trainer.fit(seq_dataset)
+    assert int(trainer.state.step) == 2 * steps
 
 
 def test_multi_validation_sets(seq_dataset):

@@ -157,3 +157,16 @@ class TestNewTransforms:
         assert set(negs) <= set(range(5)) and len(set(negs)) == 3
         with pytest.raises(ValueError):
             UniformNegativeSamplingTransform(3, 21, sample_distribution=w)
+
+
+def test_negative_sampling_rejects_short_classes():
+    """Zero-weight items must never leak out of the without-replacement
+    sampler (round-2 review finding: -inf survives top_k when a class has
+    fewer eligible items than requested samples)."""
+    short_mask = jnp.asarray([[1.0, 0, 1, 0, 0, 0], [0, 0, 0, 1, 1, 1]])
+    with pytest.raises(ValueError, match="positive-weight"):
+        MultiClassNegativeSamplingTransform(4, short_mask)
+    w = np.zeros(20, np.float32)
+    w[:2] = 1.0
+    with pytest.raises(ValueError, match="positive-weight"):
+        UniformNegativeSamplingTransform(3, 20, sample_distribution=w)
