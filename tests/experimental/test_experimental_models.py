@@ -197,11 +197,54 @@ def sequential_dataset():
     return Dataset(schema, df)
 
 
+def test_dt4rec_trajectories_match_reference_semantics():
+    """Vectorized build_trajectories vs a literal re-enactment of the
+    reference's per-row loop (replay/experimental/models/dt4rec/utils.py:193
+    create_dataset): memory of the last 3 relevant items, irrelevant steps
+    leave the state unchanged, rtg = reversed cumsum of rewards."""
+    from replay_tpu.experimental.models.dt4rec import build_trajectories
+
+    rng = np.random.default_rng(7)
+    n_items, mem = 20, 3
+    items_l, ratings_l, offsets = [], [], [0]
+    for _u in range(15):
+        ln = int(rng.integers(1, 12))
+        items_l.append(rng.integers(0, n_items, ln))
+        ratings_l.append(rng.integers(0, 6, ln).astype(np.float32))
+        offsets.append(offsets[-1] + ln)
+    items = np.concatenate(items_l).astype(np.int32)
+    ratings = np.concatenate(ratings_l)
+    offsets = np.array(offsets, dtype=np.int64)
+
+    states, rewards, rtgs = build_trajectories(
+        items, ratings, offsets, n_items=n_items, memory_size=mem,
+        reward_threshold=3.0,
+    )
+
+    # reference-loop re-enactment
+    for u in range(15):
+        lo, hi = offsets[u], offsets[u + 1]
+        state = [n_items] * mem
+        exp_states, exp_rewards = [], []
+        for i in range(lo, hi):
+            exp_states.append(list(state))
+            if ratings[i] > 3.0:
+                exp_rewards.append(1)
+                state = state[1:] + [int(items[i])]
+            else:
+                exp_rewards.append(0)
+        exp_rtg = np.cumsum(exp_rewards[::-1])[::-1]
+        np.testing.assert_array_equal(states[lo:hi], exp_states)
+        np.testing.assert_array_equal(rewards[lo:hi], exp_rewards)
+        np.testing.assert_array_equal(rtgs[lo:hi], exp_rtg)
+
+
 def test_dt4rec_learns_successor_pattern(sequential_dataset):
     from replay_tpu.experimental.models import DT4Rec
 
-    model = DT4Rec(max_sequence_length=12, embedding_dim=32, num_blocks=1,
-                   epochs=100, batch_size=32, seed=0, learning_rate=3e-3)
+    model = DT4Rec(trajectory_len=12, embedding_dim=32, num_blocks=1,
+                   epochs=100, batch_size=64, seed=0, learning_rate=3e-3,
+                   warmup_steps=20, reward_threshold=0.5)
     model.fit(sequential_dataset)
     # for each user the next item is (last + 1) % 30; check top-1 accuracy
     recs = model.predict(sequential_dataset, k=1, filter_seen_items=False)
