@@ -67,7 +67,10 @@ def test_neural_ts_learns_preferences():
         ]
     )
     ds = Dataset(schema, df)
-    model = NeuralTS(embedding_dim=8, phi_dim=8, nu=0.01, epochs=60, seed=0)
+    # linear posterior-sampling mode (NeuralTS-paper head, kept from round 1)
+    model = NeuralTS(embedding_dim=8, phi_dim=8, nu=0.01, epochs=60, seed=0,
+                     exploration="linear", loss="logistic", head_dropout=0.2,
+                     deep_dropout=0.1, learning_rate=3e-3, cnt_neg_samples=0)
     model.fit(ds)
     scores = model._score_block(np.arange(40), np.arange(20), ds)
     # group-0 users should rank items 0-9 above 10-19
@@ -131,6 +134,39 @@ class TestSequenceGenerator:
         assert out["list_item"].iloc[3] == [2, 3]
 
 
+def test_warp_loss_matches_reference_semantics():
+    """_warp_loss vs a literal re-enactment of the reference loop
+    (replay/experimental/models/neural_ts.py:65): first margin-violating
+    negative in order, rank weight log(floor((N-1)/tries)), hinge at the
+    violating trial, rows with no violation (or exhausted trials) dropped."""
+    import jax.numpy as jnp
+    from replay_tpu.experimental.models.neural_ts import _warp_loss
+
+    rng = np.random.default_rng(5)
+    p, t, n_labels = 12, 6, 50
+    pos = rng.normal(size=p).astype(np.float32)
+    neg = rng.normal(size=(p, t)).astype(np.float32)
+    valid = (rng.random(p) > 0.2).astype(np.float32)
+
+    expected = 0.0
+    for r in range(p):
+        if valid[r] == 0:
+            continue
+        tries = None
+        for j in range(t):
+            if 1.0 + neg[r, j] - pos[r] > 0:
+                tries = j + 1
+                break
+        if tries is None:
+            continue
+        w = np.log(max(np.floor((n_labels - 1) / tries), 1.0))
+        expected += w * (1.0 - pos[r] + neg[r, tries - 1])
+
+    got = float(_warp_loss(jnp.asarray(pos), jnp.asarray(neg), n_labels,
+                           jnp.asarray(valid)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
 def test_neural_ts_uses_item_features():
     """Wide&Deep feature path (reference neural_ts.py wide/cat/continuous
     columns): with rewards determined by an item feature, scores must track
@@ -169,7 +205,12 @@ def test_neural_ts_uses_item_features():
         ]
     )
     ds = Dataset(schema, df, item_features=item_feats)
-    model = NeuralTS(embedding_dim=8, phi_dim=8, nu=0.01, epochs=40, seed=0)
+    # MC-dropout exploration (reference predict_test: mean + coef·std) with
+    # the reference's WARP loss
+    model = NeuralTS(embedding_dim=8, phi_dim=8, epochs=40, seed=0,
+                     exploration="dropout", loss="warp", head_dropout=0.2,
+                     deep_dropout=0.1, exploration_coef=0.1,
+                     cnt_neg_samples=20)
     model.fit(ds)
     assert model._item_feats.shape == (n_items, 3)  # quality + onehot(color)×2
     scores = model._score_block(np.arange(30), np.arange(n_items), ds)
