@@ -1,7 +1,7 @@
 from typing import Any
 
 from replay_tpu.experimental.models.admm_slim import ADMMSLIM
-from replay_tpu.experimental.models.cql import CQL
+from replay_tpu.experimental.models.cql import CQL, DiscreteCQL, MdpDatasetBuilder
 from replay_tpu.experimental.models.ddpg import DDPG
 from replay_tpu.experimental.models.dt4rec import DT4Rec
 from replay_tpu.experimental.models.hierarchical_recommender import HierarchicalRecommender
@@ -15,6 +15,8 @@ __all__ = [
     "CQL",
     "DDPG",
     "DT4Rec",
+    "DiscreteCQL",
+    "MdpDatasetBuilder",
     "HierarchicalRecommender",
     "MultVAE",
     "NeuralTS",

@@ -268,13 +268,89 @@ def test_ddpg_fits_and_predicts(sequential_dataset):
 
 
 def test_cql_fits_and_predicts(sequential_dataset):
-    from replay_tpu.experimental.models import CQL
+    """Continuous SAC-based CQL (reference cql.py:43 semantics)."""
+    from replay_tpu.experimental.models import CQL, MdpDatasetBuilder
 
-    model = CQL(embedding_dim=16, epochs=3, batch_size=256, seed=0)
+    model = CQL(
+        mdp_dataset_builder=MdpDatasetBuilder(top_k=3),
+        n_steps=60, batch_size=128, hidden_dim=64, seed=0,
+    )
     model.fit(sequential_dataset)
     recs = model.predict(sequential_dataset, k=3)
     assert recs.groupby("user_id").size().max() <= 3
     assert np.isfinite(recs["rating"]).all()
+
+
+def test_cql_policy_learns_preferences():
+    """The SAC actor's deterministic action must track relevance: items
+    rated 5 by everyone score above items rated 1."""
+    from replay_tpu.data.schema import FeatureSchema
+    from replay_tpu.experimental.models import CQL, MdpDatasetBuilder
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for u in range(30):
+        for t, i in enumerate(rng.permutation(20)[:12]):
+            rows.append((u, int(i), 5.0 if i < 10 else 1.0, t))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "rating", "timestamp"])
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, feature_hint=FeatureHint.RATING,
+                        feature_source=FeatureSource.INTERACTIONS),
+            FeatureInfo("timestamp", FeatureType.NUMERICAL, feature_hint=FeatureHint.TIMESTAMP,
+                        feature_source=FeatureSource.INTERACTIONS),
+        ]
+    )
+    ds = Dataset(schema, df)
+    model = CQL(mdp_dataset_builder=MdpDatasetBuilder(top_k=5),
+                n_steps=400, batch_size=256, hidden_dim=64, seed=0)
+    model.fit(ds)
+    scores = model._score_block(np.arange(30), np.arange(20), ds)
+    assert scores[:, :10].mean() > scores[:, 10:].mean() + 1.0
+
+
+def test_discrete_cql_fits_and_predicts(sequential_dataset):
+    from replay_tpu.experimental.models import DiscreteCQL
+
+    model = DiscreteCQL(embedding_dim=16, epochs=3, batch_size=256, seed=0)
+    model.fit(sequential_dataset)
+    recs = model.predict(sequential_dataset, k=3)
+    assert recs.groupby("user_id").size().max() <= 3
+    assert np.isfinite(recs["rating"]).all()
+
+
+def test_mdp_dataset_builder_semantics():
+    """Reference MdpDatasetBuilder (cql.py:418): reward 1 for the user's
+    top-k rows by (relevance desc, timestamp desc), terminal at the last
+    interaction, actions = relevance + small noise."""
+    from replay_tpu.experimental.models import MdpDatasetBuilder
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "item_id": [10, 11, 12, 13, 10, 11],
+        "rating": [5.0, 3.0, 4.0, 3.0, 1.0, 2.0],
+        "timestamp": [0, 1, 2, 3, 0, 1],
+    })
+    builder = MdpDatasetBuilder(top_k=2, action_randomization_scale=1e-3)
+    frame, actions, rewards, terminals = builder.build(
+        df, "user_id", "item_id", "rating", "timestamp",
+        np.random.default_rng(0),
+    )
+    # user 1 top-2 by rating: items 10 (5.0) and 12 (4.0)
+    by_item = dict(zip(frame["item_id"] + 100 * frame["user_id"], rewards))
+    assert by_item[110] == 1.0 and by_item[112] == 1.0
+    assert by_item[111] == 0.0 and by_item[113] == 0.0
+    # user 2 top-2: both rows rewarded
+    assert by_item[210] == 1.0 and by_item[211] == 1.0
+    # terminals at each user's last (time-sorted) row
+    assert terminals.sum() == 2.0
+    assert terminals[3] == 1.0 and terminals[5] == 1.0
+    # actions track relevance closely
+    np.testing.assert_allclose(actions[:, 0], frame["rating"], atol=0.01)
+    with pytest.raises(ValueError):
+        MdpDatasetBuilder(top_k=1, action_randomization_scale=0.0)
 
 
 def test_ddpg_beats_random(block_dataset):
