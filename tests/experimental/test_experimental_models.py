@@ -143,6 +143,40 @@ def test_two_stages_scenario(block_dataset):
     assert not (seen & set(map(tuple, recs[["user_id", "item_id"]].to_numpy())))
 
 
+def test_two_stages_full_surface(block_dataset):
+    """Reference options together: fallback filling, first-level factor
+    features (ALS), random negatives, generated history features, and a
+    custom ReRanker (two_stages_scenario.py:146 constructor surface)."""
+    from replay_tpu.experimental.scenarios import TwoStagesScenario
+    from replay_tpu.experimental.scenarios.two_stages import GBMReRanker
+    from replay_tpu.models import ALSWrap, PopRec
+
+    scenario = TwoStagesScenario(
+        first_level_models=[ALSWrap(rank=8, seed=2)],
+        fallback_model=PopRec(),
+        use_first_level_models_feat=True,
+        second_model=GBMReRanker(seed=2, max_iter=30),
+        num_negatives=20,
+        negatives_type="random",
+        use_generated_features=True,
+        k_first_level=15,
+        seed=2,
+    )
+    recs = scenario.fit_predict(block_dataset, k=5)
+    assert recs.groupby("user_id").size().max() <= 5
+    assert np.isfinite(recs["rating"]).all()
+    # ALS factor features made it into the reranker's frame
+    assert any(c.startswith("m0_fm_") for c in scenario._feature_columns)
+    assert any(c.startswith("u_log_") or c.startswith("i_log_")
+               for c in scenario._feature_columns)
+
+    with pytest.raises(ValueError):
+        TwoStagesScenario(negatives_type="bogus")
+    with pytest.raises(ValueError):
+        TwoStagesScenario(first_level_models=[PopRec()],
+                          use_first_level_models_feat=[True, False])
+
+
 def test_hierarchical_recommender():
     from replay_tpu.experimental.models import HierarchicalRecommender
     from replay_tpu.models import PopRec
