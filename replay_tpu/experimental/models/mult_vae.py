@@ -68,6 +68,8 @@ class MultVAE(Recommender):
         dropout: float = 0.3,
         anneal: float = 0.1,
         l2_reg: float = 0.0,
+        factor: float = 0.2,
+        patience: int = 3,
         batch_size: int = 256,
         seed: Optional[int] = None,
     ):
@@ -78,6 +80,8 @@ class MultVAE(Recommender):
         self.dropout = dropout
         self.anneal = anneal
         self.l2_reg = l2_reg
+        self.factor = factor
+        self.patience = patience
         self.batch_size = batch_size
         self._seed = seed
         self.params = None
@@ -92,6 +96,8 @@ class MultVAE(Recommender):
             "dropout": self.dropout,
             "anneal": self.anneal,
             "l2_reg": self.l2_reg,
+            "factor": self.factor,
+            "patience": self.patience,
             "batch_size": self.batch_size,
             "seed": self._seed,
         }
@@ -119,7 +125,10 @@ class MultVAE(Recommender):
         params = model.init(
             {"params": key, "dropout": key}, jnp.zeros((1, n_items)), deterministic=True
         )["params"]
-        tx = optax.adam(self.learning_rate)
+        # lr halts on plateau like the reference's ReduceLROnPlateau
+        # (mult_vae.py factor/patience params); inject_hyperparams lets the
+        # epoch loop rescale the lr without recompiling the step
+        tx = optax.inject_hyperparams(optax.adam)(learning_rate=self.learning_rate)
         opt_state = tx.init(params)
         anneal = jnp.float32(self.anneal)
         l2 = self.l2_reg
@@ -150,17 +159,31 @@ class MultVAE(Recommender):
         rng = np.random.default_rng(self._seed)
         bsz = min(self.batch_size, n_q)
         step_no = 0
+        lr_now, best, bad = self.learning_rate, np.inf, 0
         for epoch in range(self.epochs):
             order = rng.permutation(n_q)
+            epoch_losses = []
             for start in range(0, n_q, bsz):
                 rows = order[start : start + bsz]
                 if len(rows) < bsz:
                     rows = np.resize(rows, bsz)
                 x = jnp.asarray(mat[rows].toarray())
-                params, opt_state, _ = step(
+                params, opt_state, loss = step(
                     params, opt_state, x, jax.random.fold_in(key, step_no)
                 )
+                epoch_losses.append(float(loss))
                 step_no += 1
+            mean_loss = float(np.mean(epoch_losses))
+            if mean_loss < best - 1e-5:
+                best, bad = mean_loss, 0
+            else:
+                bad += 1
+                if bad > self.patience:
+                    lr_now *= self.factor
+                    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                        lr_now, dtype=jnp.float32
+                    )
+                    bad = 0
         self.params = params
 
     def _score_block(self, query_ids, item_ids, dataset=None) -> np.ndarray:
