@@ -67,6 +67,36 @@ def _drr_ave(emb: jnp.ndarray, hist: jnp.ndarray, n_items: int) -> jnp.ndarray:
     return jnp.sum(e, axis=1) / jnp.maximum(count, 1.0)
 
 
+class _StateRepr(nn.Module):
+    """DRR state (reference StateReprModule, ddpg.py:425): user embedding,
+    memory average, and their product through a linear projection."""
+
+    n_users: int
+    n_items: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, users, hist, item_emb):
+        u = nn.Embed(
+            self.n_users, self.dim,
+            embedding_init=nn.initializers.normal(stddev=0.01), name="user_emb",
+        )(users)
+        ave = _drr_ave(item_emb, hist, self.n_items)
+
+        # identity-on-ave init: the projection starts as state == ave (the
+        # plain DRR-ave state, which trains stably) and learns the user and
+        # interaction terms on top, rather than scrambling the state through
+        # a random matrix from step 0
+        def proj_init(key, shape, dtype=jnp.float32):
+            del key
+            k = jnp.zeros(shape, dtype)
+            return k.at[2 * self.dim :, :].set(jnp.eye(self.dim, dtype=dtype))
+
+        return nn.Dense(self.dim, kernel_init=proj_init, name="proj")(
+            jnp.concatenate([u, u * ave, ave], axis=-1)
+        )
+
+
 class DDPG(Recommender):
     """Deterministic policy-gradient recommender (offline)."""
 
@@ -131,11 +161,12 @@ class DDPG(Recommender):
         offsets = np.append(starts, len(q))
         w = self.state_window
         pad = len(self.fit_items)
-        hists, actions, rews, next_hists = [], [], [], []
+        hists, actions, rews, next_hists, users = [], [], [], [], []
         for u in range(len(uniq)):
             lo, hi = offsets[u], offsets[u + 1]
             seq = items[lo:hi]
             rew = rewards[lo:hi]
+            urow = np.searchsorted(self.fit_queries, uniq[u])
             for t in range(1, len(seq)):
                 h = seq[max(0, t - w) : t]
                 h2 = seq[max(0, t + 1 - w) : t + 1]
@@ -143,21 +174,25 @@ class DDPG(Recommender):
                 next_hists.append(np.pad(h2, (w - len(h2), 0), constant_values=pad))
                 actions.append(seq[t])
                 rews.append(rew[t])
+                users.append(urow)
         return (
             np.asarray(hists, dtype=np.int32).reshape(-1, w),
             np.asarray(actions, dtype=np.int32),
             np.asarray(rews, dtype=np.float32),
             np.asarray(next_hists, dtype=np.int32).reshape(-1, w),
+            np.asarray(users, dtype=np.int32),
         )
 
     def _fit(self, dataset: Dataset) -> None:
         rng = np.random.default_rng(self._seed)
         n_items = len(self.fit_items)
+        n_users = len(self.fit_queries)
         dim = self.embedding_dim
-        hists, actions, rewards, next_hists = self._transitions(dataset)
+        hists, actions, rewards, next_hists, users = self._transitions(dataset)
 
         actor, critic = _Actor(dim), _Critic()
-        self._actor = actor
+        state_repr = _StateRepr(n_users=n_users, n_items=n_items, dim=dim)
+        self._actor, self._state_repr = actor, state_repr
         key = jax.random.PRNGKey(self._seed or 0)
         # learned table; last row = padding, zero-initialized (reference
         # StateReprModule init, ddpg.py:453-456)
@@ -169,35 +204,40 @@ class DDPG(Recommender):
                 ]
             )
         )
+        dummy_u = jnp.zeros((1,), jnp.int32)
+        dummy_h = jnp.zeros((1, self.state_window), jnp.int32)
+        s_params = state_repr.init(key, dummy_u, dummy_h, emb)["params"]
         a_params = actor.init(key, jnp.zeros((1, dim)))["params"]
         c_params = critic.init(key, jnp.zeros((1, dim)), jnp.zeros((1, dim)))["params"]
-        a_target, c_target, emb_target = a_params, c_params, emb
+        a_target, c_target, emb_target, s_target = a_params, c_params, emb, s_params
         a_tx = optax.adam(self.actor_lr)
         c_tx = optax.adam(self.critic_lr)
         # weight decay keeps the table from encoding the logged/random
         # distinction in embedding NORMS alone (a degenerate collapse mode);
         # action vectors are unit-normalized in the critic for the same reason
         e_tx = optax.adamw(self.embedding_lr, weight_decay=1e-4)
-        a_opt, c_opt, e_opt = a_tx.init(a_params), c_tx.init(c_params), e_tx.init(emb)
+        s_tx = optax.adam(self.actor_lr)
+        a_opt, c_opt = a_tx.init(a_params), c_tx.init(c_params)
+        e_opt, s_opt = e_tx.init(emb), s_tx.init(s_params)
         gamma, tau = jnp.float32(self.gamma), jnp.float32(self.tau)
         cons_w = jnp.float32(self.conservative_weight)
 
         @jax.jit
         def step(
-            a_params, c_params, emb,
-            a_target, c_target, emb_target,
-            a_opt, c_opt, e_opt,
-            hist, act, r, hist2, neg_act,
+            a_params, c_params, emb, s_params,
+            a_target, c_target, emb_target, s_target,
+            a_opt, c_opt, e_opt, s_opt,
+            user, hist, act, r, hist2, neg_act,
         ):
             # TD target from the target networks/table (all stop-grad)
-            s2 = _drr_ave(emb_target, hist2, n_items)
+            s2 = state_repr.apply({"params": s_target}, user, hist2, emb_target)
             a2 = _unit(actor.apply({"params": a_target}, s2))
             q_target = jax.lax.stop_gradient(
                 r + gamma * critic.apply({"params": c_target}, s2, a2)
             )
 
-            def critic_loss(cp, e):
-                s = _drr_ave(e, hist, n_items)
+            def critic_loss(cp, e, sp):
+                s = state_repr.apply({"params": sp}, user, hist, e)
                 a = _unit(jnp.take(e, act, axis=0))
                 q = critic.apply({"params": cp}, s, a)
                 td = jnp.mean((q - q_target) ** 2)
@@ -206,37 +246,46 @@ class DDPG(Recommender):
                 q_neg = critic.apply({"params": cp}, s, a_neg)
                 return td + cons_w * jnp.mean(q_neg**2)
 
-            (c_grads, e_grads_c) = jax.grad(critic_loss, argnums=(0, 1))(c_params, emb)
+            c_grads, e_grads_c, s_grads_c = jax.grad(critic_loss, argnums=(0, 1, 2))(
+                c_params, emb, s_params
+            )
             c_updates, c_opt = c_tx.update(c_grads, c_opt)
             c_params = optax.apply_updates(c_params, c_updates)
 
-            def actor_loss(ap, e):
-                s = _drr_ave(e, hist, n_items)
+            def actor_loss(ap, e, sp):
+                s = state_repr.apply({"params": sp}, user, hist, e)
                 return -jnp.mean(
                     critic.apply(
                         {"params": c_params}, s, _unit(actor.apply({"params": ap}, s))
                     )
                 )
 
-            (a_grads, e_grads_a) = jax.grad(actor_loss, argnums=(0, 1))(a_params, emb)
+            a_grads, e_grads_a, s_grads_a = jax.grad(actor_loss, argnums=(0, 1, 2))(
+                a_params, emb, s_params
+            )
             a_updates, a_opt = a_tx.update(a_grads, a_opt)
             a_params = optax.apply_updates(a_params, a_updates)
 
-            # embeddings learn from both losses (reference trains them inside
-            # ActorDRR with the joint backward, ddpg.py:742-749)
+            # embeddings + state projection learn from both losses (reference
+            # trains them inside ActorDRR with the joint backward, :742-749)
             e_updates, e_opt = e_tx.update(e_grads_c + e_grads_a, e_opt, emb)
             emb = optax.apply_updates(emb, e_updates)
             # keep the padding row at zero
             emb = emb.at[n_items].set(0.0)
+            s_grads = jax.tree_util.tree_map(
+                lambda g1, g2: g1 + g2, s_grads_c, s_grads_a
+            )
+            s_updates, s_opt = s_tx.update(s_grads, s_opt)
+            s_params = optax.apply_updates(s_params, s_updates)
 
             polyak = lambda t, p: jax.tree_util.tree_map(  # noqa: E731
                 lambda x, y: (1 - tau) * x + tau * y, t, p
             )
             return (
-                a_params, c_params, emb,
+                a_params, c_params, emb, s_params,
                 polyak(a_target, a_params), polyak(c_target, c_params),
-                polyak(emb_target, emb),
-                a_opt, c_opt, e_opt,
+                polyak(emb_target, emb), polyak(s_target, s_params),
+                a_opt, c_opt, e_opt, s_opt,
             )
 
         n = len(hists)
@@ -248,13 +297,14 @@ class DDPG(Recommender):
                 if len(rows) < bsz:
                     rows = np.resize(rows, bsz)
                 (
-                    a_params, c_params, emb,
-                    a_target, c_target, emb_target,
-                    a_opt, c_opt, e_opt,
+                    a_params, c_params, emb, s_params,
+                    a_target, c_target, emb_target, s_target,
+                    a_opt, c_opt, e_opt, s_opt,
                 ) = step(
-                    a_params, c_params, emb,
-                    a_target, c_target, emb_target,
-                    a_opt, c_opt, e_opt,
+                    a_params, c_params, emb, s_params,
+                    a_target, c_target, emb_target, s_target,
+                    a_opt, c_opt, e_opt, s_opt,
+                    jnp.asarray(users[rows]),
                     jnp.asarray(hists[rows]),
                     jnp.asarray(actions[rows]),
                     jnp.asarray(rewards[rows]),
@@ -262,6 +312,7 @@ class DDPG(Recommender):
                     jnp.asarray(rng.integers(0, n_items, size=bsz, dtype=np.int32)),
                 )
         self.actor_params = a_params
+        self.state_params = s_params
         self.item_embeddings = np.asarray(emb[:n_items])
 
     def _score_block(self, query_ids, item_ids, dataset=None) -> np.ndarray:
@@ -283,7 +334,11 @@ class DDPG(Recommender):
         emb_full = np.concatenate(
             [self.item_embeddings, np.zeros((1, self.item_embeddings.shape[1]), np.float32)]
         )
-        states = _drr_ave(jnp.asarray(emb_full), jnp.asarray(hists), pad)
+        user_rows = np.searchsorted(self.fit_queries, query_ids).astype(np.int32)
+        states = self._state_repr.apply(
+            {"params": self.state_params},
+            jnp.asarray(user_rows), jnp.asarray(hists), jnp.asarray(emb_full),
+        )
         action = np.asarray(self._actor.apply({"params": self.actor_params}, states))
         item_pos = np.searchsorted(self.fit_items, item_ids)
         item_vecs = np.asarray(_unit(jnp.asarray(self.item_embeddings[item_pos])))
