@@ -175,6 +175,8 @@ class CQL(Recommender):
         hidden_dim: int = 256,
         seed: Optional[int] = None,
     ):
+        if isinstance(mdp_dataset_builder, dict):  # restored from init_args
+            mdp_dataset_builder = MdpDatasetBuilder(**mdp_dataset_builder)
         self.mdp_dataset_builder = mdp_dataset_builder or MdpDatasetBuilder(top_k=10)
         self.actor_learning_rate = actor_learning_rate
         self.critic_learning_rate = critic_learning_rate
@@ -216,6 +218,22 @@ class CQL(Recommender):
             "hidden_dim": self.hidden_dim,
             "seed": self._seed,
         }
+
+    def _get_save_state(self):
+        if not hasattr(self, "actor_params"):
+            return {}
+        return {
+            "actor_params": jax.tree_util.tree_map(np.asarray, self.actor_params),
+            "_obs_mean": np.asarray(self._obs_mean),
+            "_obs_std": np.asarray(self._obs_std),
+            "_act_lo": self._act_lo,
+            "_act_hi": self._act_hi,
+        }
+
+    def _load_model(self, path: str):
+        super()._load_model(path)
+        if hasattr(self, "actor_params"):
+            self._actor = _Actor(hidden=self.hidden_dim)
 
     def _encode_obs(self, query_ids, item_ids):
         """(user, item) → standard-scaled float observations."""
@@ -556,6 +574,19 @@ class DiscreteCQL(Recommender):
                 if step_no % self.target_update_every == 0:
                     target = params
         self.params = params
+
+    def _get_save_state(self):
+        if not hasattr(self, "params") or self.params is None:
+            return {}
+        return {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "item_embeddings": np.asarray(self.item_embeddings),
+        }
+
+    def _load_model(self, path: str):
+        super()._load_model(path)
+        if getattr(self, "params", None) is not None:
+            self._qnet = _QNet(n_actions=len(self.fit_items))
 
     def _score_block(self, query_ids, item_ids, dataset=None) -> np.ndarray:
         if dataset is None:

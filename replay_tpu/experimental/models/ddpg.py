@@ -142,6 +142,26 @@ class DDPG(Recommender):
             "seed": self._seed,
         }
 
+    def _get_save_state(self):
+        if not hasattr(self, "actor_params"):
+            return {}
+        np_tree = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+        return {
+            "actor_params": np_tree(self.actor_params),
+            "state_params": np_tree(self.state_params),
+            "item_embeddings": np.asarray(self.item_embeddings),
+        }
+
+    def _load_model(self, path: str):
+        super()._load_model(path)
+        if hasattr(self, "actor_params"):
+            self._actor = _Actor(self.embedding_dim)
+            self._state_repr = _StateRepr(
+                n_users=len(self.fit_queries),
+                n_items=len(self.fit_items),
+                dim=self.embedding_dim,
+            )
+
     def _transitions(self, dataset: Dataset):
         """Padded (history, action, reward, next_history) arrays from the log;
         histories are [N, state_window] right-aligned with padding id n_items."""

@@ -296,6 +296,31 @@ class DT4Rec(Recommender):
             "seed": self._seed,
         }
 
+    def _get_save_state(self):
+        if self.params is None:
+            return {}
+        return {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "_seq_cache": self._seq_cache,
+            "_traj_cache": self._traj_cache,
+        }
+
+    def _load_model(self, path: str):
+        super()._load_model(path)
+        if getattr(self, "params", None) is not None:
+            uniq, _items, _ratings, offsets = self._seq_cache
+            self._model = _DTGPT(
+                n_users=len(uniq),
+                n_items=len(self.fit_items),
+                memory_size=self.memory_size,
+                trajectory_len=self.trajectory_len,
+                max_timestep=int(max(1, (offsets[1:] - offsets[:-1]).max())),
+                dim=self.embedding_dim,
+                blocks=self.num_blocks,
+                heads=self.num_heads,
+                dropout=self.dropout,
+            )
+
     # ----------------------------------------------------------------- data
 
     def _sequences(self, dataset: Dataset):

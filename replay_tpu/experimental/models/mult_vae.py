@@ -102,6 +102,21 @@ class MultVAE(Recommender):
             "seed": self._seed,
         }
 
+    def _get_save_state(self):
+        if self.params is None:
+            return {}
+        return {"params": jax.tree_util.tree_map(np.asarray, self.params)}
+
+    def _load_model(self, path: str):
+        super()._load_model(path)
+        if getattr(self, "params", None) is not None:
+            self._model = VAE(
+                item_count=len(self.fit_items),
+                latent_dim=self.latent_dim,
+                hidden_dim=self.hidden_dim,
+                dropout=self.dropout,
+            )
+
     def _user_matrix(self, dataset: Dataset) -> csr_matrix:
         inter = dataset.interactions
         q = np.searchsorted(self.fit_queries, inter[self.query_column].to_numpy())

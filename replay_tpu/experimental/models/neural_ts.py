@@ -320,6 +320,41 @@ class NeuralTS(Recommender):
             "seed": self._seed,
         }
 
+    def _get_save_state(self):
+        if not hasattr(self, "params"):
+            return {}
+        state = {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "_user_feats": self._user_feats,
+            "_user_blocks": self._user_blocks,
+            "_user_spec": self._user_spec,
+            "_item_feats": self._item_feats,
+            "_item_blocks": self._item_blocks,
+            "_item_spec": self._item_spec,
+        }
+        if getattr(self, "head", None) is not None:
+            state["head"] = np.asarray(self.head)
+        if getattr(self, "_a_inv", None) is not None:
+            state["_a_inv"] = np.asarray(self._a_inv)
+        return state
+
+    def _load_model(self, path: str):
+        super()._load_model(path)
+        if hasattr(self, "params"):
+            self._net = _WideDeep(
+                n_users=len(self.fit_queries),
+                n_items=len(self.fit_items),
+                user_embed=self.embedding_sizes[0],
+                item_embed=self.embedding_sizes[1],
+                crossed_embed=self.embedding_sizes[2],
+                hidden_layers=self.hidden_layers,
+                wide_out_dim=self.wide_out_dim,
+                deep_out_dim=self.deep_out_dim,
+                dim_head=self.dim_head,
+                deep_dropout=self.deep_dropout,
+                head_dropout=self.head_dropout,
+            )
+
     # ---------------------------------------------------------------- fit
 
     def _epoch_samples(self, rng, pos_u, pos_i, neg_pool, pool_off, trials):
@@ -495,10 +530,13 @@ class NeuralTS(Recommender):
                     bu, bi = pos_u[perm][rows], pos_i[perm][rows]
                     bn, bv = negs[rows], valid[rows]
                     if len(bu) < bsz:
+                        # tile (not slice) the partial batch: it may hold
+                        # fewer rows than the padding needed
                         pad = bsz - len(bu)
-                        bu = np.concatenate([bu, bu[:pad]])
-                        bi = np.concatenate([bi, bi[:pad]])
-                        bn = np.concatenate([bn, bn[:pad]])
+                        idx = np.resize(np.arange(len(bu)), pad)
+                        bu = np.concatenate([bu, bu[idx]])
+                        bi = np.concatenate([bi, bi[idx]])
+                        bn = np.concatenate([bn, bn[idx]])
                         bv = np.concatenate([bv, np.zeros(pad, np.float32)])
                     params, opt_state, _ = warp_step(
                         params, opt_state, jnp.asarray(bu), jnp.asarray(bi),

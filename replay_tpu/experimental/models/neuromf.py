@@ -96,6 +96,22 @@ class NeuroMF(Recommender):
             "seed": self._seed,
         }
 
+    def _get_save_state(self):
+        if self.params is None:
+            return {}
+        return {"params": jax.tree_util.tree_map(np.asarray, self.params)}
+
+    def _load_model(self, path: str):
+        super()._load_model(path)
+        if getattr(self, "params", None) is not None:
+            self._model = NMF(
+                user_count=len(self.fit_queries),
+                item_count=len(self.fit_items),
+                embedding_gmf_dim=self.embedding_gmf_dim,
+                embedding_mlp_dim=self.embedding_mlp_dim,
+                hidden_mlp_dims=self.hidden_mlp_dims,
+            )
+
     def _fit(self, dataset: Dataset) -> None:
         inter = dataset.interactions
         users = np.searchsorted(self.fit_queries, inter[self.query_column].to_numpy()).astype(np.int32)

@@ -33,6 +33,13 @@ class ULinUCB(HybridRecommender):
     def _init_args(self):
         return {"eps": self.eps, "alpha": self.alpha}
 
+    def _get_save_state(self):
+        return {
+            "theta": self.theta,
+            "a_inv": self.a_inv,
+            "_item_feature_cols": self._item_feature_cols,
+        }
+
     def _fit(self, dataset: Dataset) -> None:
         if dataset.item_features is None:
             msg = "Item features are missing"

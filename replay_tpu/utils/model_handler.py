@@ -74,6 +74,7 @@ def save(model, path, overwrite: bool = False) -> None:
 
 def load(path, model_type: Optional[type] = None):
     """Restore a model saved with :func:`save`."""
+    import replay_tpu.experimental.models as experimental
     import replay_tpu.models as models
     import replay_tpu.scenarios as scenarios
 
@@ -86,6 +87,8 @@ def load(path, model_type: Optional[type] = None):
         model_class = getattr(models, name)
     elif hasattr(scenarios, name):
         model_class = getattr(scenarios, name)
+    elif name in getattr(experimental, "__all__", ()):
+        model_class = getattr(experimental, name)
     else:
         msg = f"Unknown model class {name}"
         raise ValueError(msg)

@@ -408,3 +408,128 @@ def test_ddpg_beats_random(block_dataset):
     # chance level is ~15/60 = 0.25 (minus seen items)
     assert ddpg_frac > rand_frac + 0.2, (ddpg_frac, rand_frac)
     assert ddpg_frac > 0.5, ddpg_frac
+
+
+# ---------------------------------------------------------------- save/load
+
+
+@pytest.fixture(scope="module")
+def rt_dataset():
+    """Small log with timestamps (DT4Rec/DDPG/CQL sort by them)."""
+    rng = np.random.default_rng(3)
+    rows = []
+    t = 0
+    for u in range(25):
+        g = u % N_GROUPS
+        for _ in range(12):
+            item = (
+                int(g * GROUP_SIZE + rng.integers(0, GROUP_SIZE))
+                if rng.random() < 0.9
+                else int(rng.integers(0, N_ITEMS))
+            )
+            rows.append((u, item, float(rng.integers(1, 6)), t))
+            t += 1
+    df = pd.DataFrame(
+        rows, columns=["user_id", "item_id", "rating", "timestamp"]
+    ).drop_duplicates(["user_id", "item_id"])
+    extra = [
+        FeatureInfo(
+            "timestamp",
+            FeatureType.NUMERICAL,
+            feature_hint=FeatureHint.TIMESTAMP,
+            feature_source=FeatureSource.INTERACTIONS,
+        )
+    ]
+    return Dataset(make_schema(extra), df)
+
+
+def _rt_models():
+    from replay_tpu.experimental.models import CQL, DDPG, DT4Rec, DiscreteCQL, NeuralTS
+
+    return [
+        pytest.param(lambda: ADMMSLIM(lambda_1=0.1, lambda_2=1.0, n_iterations=5), id="admmslim"),
+        pytest.param(
+            lambda: MultVAE(epochs=2, latent_dim=8, hidden_dim=16, batch_size=32, seed=0),
+            id="multvae",
+        ),
+        pytest.param(
+            lambda: NeuroMF(
+                embedding_gmf_dim=8, embedding_mlp_dim=8, epochs=2, batch_size=64, seed=0
+            ),
+            id="neuromf",
+        ),
+        pytest.param(
+            lambda: DiscreteCQL(embedding_dim=8, epochs=2, batch_size=64, seed=0),
+            id="discrete_cql",
+        ),
+        pytest.param(lambda: CQL(n_steps=20, batch_size=32, seed=0), id="cql"),
+        pytest.param(
+            lambda: DDPG(embedding_dim=8, epochs=2, batch_size=64, seed=0), id="ddpg"
+        ),
+        pytest.param(
+            lambda: DT4Rec(
+                trajectory_len=6, memory_size=4, embedding_dim=16,
+                num_blocks=1, num_heads=2, epochs=1, batch_size=16, seed=0,
+            ),
+            id="dt4rec",
+        ),
+        pytest.param(
+            lambda: NeuralTS(
+                embedding_sizes=[8, 8, 8], hidden_layers=[16], epochs=1,
+                batch_size=64, use_features=False, exploration="dropout", seed=0,
+            ),
+            id="neural_ts",
+        ),
+    ]
+
+
+@pytest.mark.parametrize("factory", _rt_models())
+def test_experimental_save_load_roundtrip(tmp_path, rt_dataset, factory):
+    """Every experimental model round-trips through the model registry
+    (reference: experimental models persist their torch state via
+    replay/experimental/utils/model_handler.py save/load)."""
+    from replay_tpu.utils.model_handler import load, save
+
+    model = factory()
+    model.fit(rt_dataset)
+    before = model.predict(rt_dataset, k=5)
+    save(model, tmp_path / "m", overwrite=True)
+    restored = load(tmp_path / "m")
+    assert type(restored) is type(model)
+    after = restored.predict(rt_dataset, k=5)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+
+
+def test_ulinucb_save_load_roundtrip(tmp_path):
+    from replay_tpu.utils.model_handler import load, save
+
+    rng = np.random.default_rng(0)
+    n_users, n_items, d = 12, 10, 3
+    item_feats = rng.normal(size=(n_items, d))
+    rows = [
+        (u, i, float(rng.normal()))
+        for u in range(n_users)
+        for i in rng.integers(0, n_items, size=6)
+    ]
+    inter = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"]).drop_duplicates(
+        ["user_id", "item_id"]
+    )
+    itf = pd.DataFrame(
+        {"item_id": np.arange(n_items), **{f"f{j}": item_feats[:, j] for j in range(d)}}
+    )
+    extra = [
+        FeatureInfo(f"f{j}", FeatureType.NUMERICAL, feature_source=FeatureSource.ITEM_FEATURES)
+        for j in range(d)
+    ]
+    ds = Dataset(make_schema(extra), inter, item_features=itf)
+    model = ULinUCB(eps=0.1, alpha=0.5)
+    model.fit(ds)
+    before = model.predict(ds, k=3)
+    save(model, tmp_path / "m", overwrite=True)
+    restored = load(tmp_path / "m")
+    after = restored.predict(ds, k=3)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
