@@ -438,7 +438,9 @@ class DiscreteCQL(Recommender):
 
     Double-DQN TD loss plus the discrete CQL penalty
     α·(logsumexp_a Q(s,a) − Q(s, a_data)); state = mean embedding of the
-    last ``state_window`` items (d3rlpy's DiscreteCQL analog)."""
+    last ``state_window`` items where the item table is LEARNED jointly
+    with the Q-network (the analog of d3rlpy's DiscreteCQL training its
+    observation encoder end-to-end)."""
 
     def __init__(
         self,
@@ -494,17 +496,26 @@ class DiscreteCQL(Recommender):
         uniq, starts = np.unique(q, return_index=True)
         offsets = np.append(starts, len(q))
         w = self.state_window
+        pad = len(self.fit_items)
         st, ac, rw, st2, dn = [], [], [], [], []
         for u in range(len(uniq)):
             lo, hi = offsets[u], offsets[u + 1]
             seq, rew = items[lo:hi], rewards[lo:hi]
             for t in range(len(seq)):
-                st.append(seq[max(0, t - w) : t])
+                h = seq[max(0, t - w) : t]
+                h2 = seq[max(0, t + 1 - w) : t + 1]
+                st.append(np.pad(h, (w - len(h), 0), constant_values=pad))
                 ac.append(seq[t])
                 rw.append(rew[t])
-                st2.append(seq[max(0, t + 1 - w) : t + 1])
+                st2.append(np.pad(h2, (w - len(h2), 0), constant_values=pad))
                 dn.append(1.0 if t == len(seq) - 1 else 0.0)
-        return st, np.asarray(ac), np.asarray(rw, np.float32), st2, np.asarray(dn, np.float32)
+        return (
+            np.asarray(st, dtype=np.int32).reshape(-1, w),
+            np.asarray(ac),
+            np.asarray(rw, np.float32),
+            np.asarray(st2, dtype=np.int32).reshape(-1, w),
+            np.asarray(dn, np.float32),
+        )
 
     def _state_matrix(self, histories) -> np.ndarray:
         out = np.zeros((len(histories), self.embedding_dim), dtype=np.float32)
@@ -517,28 +528,41 @@ class DiscreteCQL(Recommender):
         rng = np.random.default_rng(self._seed)
         n_items = len(self.fit_items)
         dim = self.embedding_dim
-        self.item_embeddings = rng.normal(0, 1.0 / np.sqrt(dim), (n_items, dim)).astype(
-            np.float32
-        )
-        st_h, actions, rewards, st2_h, dones = self._mdp(dataset)
-        states = self._state_matrix(st_h)
-        next_states = self._state_matrix(st2_h)
+        hists, actions, rewards, next_hists, dones = self._mdp(dataset)
 
         qnet = _QNet(n_actions=n_items)
         self._qnet = qnet
         key = jax.random.PRNGKey(self._seed or 0)
         params = qnet.init(key, jnp.zeros((1, dim)))["params"]
-        target = params
+        # the state encoder (item table) trains jointly with the Q-net, the
+        # way d3rlpy's DiscreteCQL trains its observation encoder; last row
+        # is the zero padding vector
+        emb = jnp.asarray(
+            np.concatenate(
+                [
+                    rng.normal(0, 1.0 / np.sqrt(dim), (n_items, dim)).astype(np.float32),
+                    np.zeros((1, dim), dtype=np.float32),
+                ]
+            )
+        )
+        target, emb_target = params, emb
         tx = optax.adam(self.learning_rate)
-        opt_state = tx.init(params)
+        opt_state = tx.init((params, emb))
         gamma, alpha = jnp.float32(self.gamma), jnp.float32(self.alpha)
 
+        def state_of(e, hist):
+            vecs = jnp.take(e, hist, axis=0)  # padding row is zero
+            count = jnp.sum((hist < n_items).astype(jnp.float32), axis=1, keepdims=True)
+            return jnp.sum(vecs, axis=1) / jnp.maximum(count, 1.0)
+
         @jax.jit
-        def step(params, target, opt_state, s, a, r, s2, d):
-            def loss_fn(p):
-                q = qnet.apply({"params": p}, s)
+        def step(params, emb, target, emb_target, opt_state, hist, a, r, hist2, d):
+            def loss_fn(pe):
+                p, e = pe
+                q = qnet.apply({"params": p}, state_of(e, hist))
                 q_sa = jnp.take_along_axis(q, a[:, None], axis=1)[:, 0]
-                # double DQN target
+                # double DQN target from the target net + target table
+                s2 = state_of(emb_target, hist2)
                 next_q_online = qnet.apply({"params": p}, s2)
                 next_a = jnp.argmax(next_q_online, axis=1)
                 next_q = qnet.apply({"params": target}, s2)
@@ -549,11 +573,14 @@ class DiscreteCQL(Recommender):
                 cql = jnp.mean(jax.nn.logsumexp(q, axis=1) - q_sa)
                 return td + alpha * cql
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss, grads = jax.value_and_grad(loss_fn)((params, emb))
             updates, opt_state = tx.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
+            params, emb = optax.apply_updates((params, emb), updates)
+            # keep the padding row at zero
+            emb = emb.at[n_items].set(0.0)
+            return params, emb, opt_state, loss
 
-        n = len(states)
+        n = len(hists)
         bsz = min(self.batch_size, n)
         step_no = 0
         for epoch in range(self.epochs):
@@ -562,18 +589,19 @@ class DiscreteCQL(Recommender):
                 rows = order[start : start + bsz]
                 if len(rows) < bsz:
                     rows = np.resize(rows, bsz)
-                params, opt_state, _ = step(
-                    params, target, opt_state,
-                    jnp.asarray(states[rows]),
+                params, emb, opt_state, _ = step(
+                    params, emb, target, emb_target, opt_state,
+                    jnp.asarray(hists[rows]),
                     jnp.asarray(actions[rows]),
                     jnp.asarray(rewards[rows]),
-                    jnp.asarray(next_states[rows]),
+                    jnp.asarray(next_hists[rows]),
                     jnp.asarray(dones[rows]),
                 )
                 step_no += 1
                 if step_no % self.target_update_every == 0:
-                    target = params
+                    target, emb_target = params, emb
         self.params = params
+        self.item_embeddings = np.asarray(emb[:n_items])
 
     def _get_save_state(self):
         if not hasattr(self, "params") or self.params is None:

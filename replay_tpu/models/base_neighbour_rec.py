@@ -183,10 +183,13 @@ class NeighbourRec(Recommender, ABC):
         k_eff = min(k, sims.shape[1])
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :k_eff]
         vals = np.take_along_axis(sims, idx, axis=1)
+        # public contract: [item_column, neighbour_item_idx, similarity]
+        # (reference: replay/models/base_rec.py:662-663 renames the internal
+        # item_idx_one/item_idx_two pair on the way out)
         out = pd.DataFrame(
             {
-                "item_idx_one": np.repeat(items, k_eff),
-                "item_idx_two": self.fit_items[idx.ravel()],
+                self.item_column: np.repeat(items, k_eff),
+                "neighbour_item_idx": self.fit_items[idx.ravel()],
                 "similarity": vals.ravel().astype(np.float64),
             }
         )

@@ -534,7 +534,7 @@ class ItemVectorModel:
         out = pd.DataFrame(
             {
                 self.item_column: np.repeat(items, k_eff),
-                "neighbour_item_id": cand[idx.ravel()],
+                "neighbour_item_idx": cand[idx.ravel()],
                 "similarity": vals.ravel().astype(np.float64),
             }
         )

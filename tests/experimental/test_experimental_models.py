@@ -355,6 +355,24 @@ def test_discrete_cql_fits_and_predicts(sequential_dataset):
     assert np.isfinite(recs["rating"]).all()
 
 
+def test_discrete_cql_beats_random(block_dataset):
+    """With the jointly-learned state encoder DiscreteCQL must recover
+    block structure above chance (the frozen-random-embedding variant
+    scored below chance)."""
+    from replay_tpu.experimental.models import DiscreteCQL
+    from replay_tpu.models import RandomRec
+
+    model = DiscreteCQL(embedding_dim=16, epochs=60, batch_size=128, seed=0)
+    model.fit(block_dataset)
+    frac = in_group_fraction(model.predict(block_dataset, k=5))
+
+    rand = RandomRec(seed=0)
+    rand.fit(block_dataset)
+    rand_frac = in_group_fraction(rand.predict(block_dataset, k=5))
+    assert frac > rand_frac + 0.15, (frac, rand_frac)
+    assert frac > 0.4, frac
+
+
 def test_mdp_dataset_builder_semantics():
     """Reference MdpDatasetBuilder (cql.py:418): reward 1 for the user's
     top-k rows by (relevance desc, timestamp desc), terminal at the last

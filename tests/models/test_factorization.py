@@ -107,9 +107,9 @@ def test_als_nearest_items(block_dataset):
     model.fit(block_dataset)
     nn = model.get_nearest_items([0], k=5)
     # items nearest to item 0 should come from its block
-    assert (nn["neighbour_item_id"] < GROUP_SIZE).mean() >= 0.8
+    assert (nn["neighbour_item_idx"] < GROUP_SIZE).mean() >= 0.8
     # self never returned
-    assert (nn["neighbour_item_id"] != 0).all()
+    assert (nn["neighbour_item_idx"] != 0).all()
 
 
 def test_word2vec_requires_dataset_at_predict(block_dataset):

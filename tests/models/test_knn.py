@@ -100,7 +100,7 @@ class TestItemKNN:
         model = ItemKNN()
         model.fit(dataset)
         nearest = model.get_nearest_items([0], k=2)
-        assert set(nearest["item_idx_two"]) == {1, 2}
+        assert set(nearest["neighbour_item_idx"]) == {1, 2}
 
     def test_save_load(self, dataset, tmp_path):
         model = ItemKNN()
