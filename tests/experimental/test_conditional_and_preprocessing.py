@@ -28,15 +28,15 @@ class TestConditionalAccess:
             with pytest.raises(ImportError, match="lightfm"):
                 LightFMWrap()
 
-    def test_obp_wrapper_gated(self):
+    def test_obp_wrapper_works_without_obp(self):
+        """The wrapper's estimators are native; obp is never required
+        (reference delegates to obp, absent here by design)."""
         from replay_tpu.experimental.scenarios.obp_wrapper import (
-            OBP_AVAILABLE,
             OBPOfflinePolicyLearner,
         )
 
-        if not OBP_AVAILABLE:
-            with pytest.raises(ImportError, match="obp"):
-                OBPOfflinePolicyLearner(None, n_actions=5)
+        learner = OBPOfflinePolicyLearner(None, n_actions=5)
+        assert learner.len_list == 1
 
 
 def test_neural_ts_learns_preferences():

@@ -551,3 +551,99 @@ def test_ulinucb_save_load_roundtrip(tmp_path):
     pd.testing.assert_frame_equal(
         before.reset_index(drop=True), after.reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------------- OBP
+
+
+def _bandit_feedback(n_rounds=600, n_actions=6, d=3, seed=0):
+    """Logged feedback from a uniform behavior policy; expected reward of
+    action a for context x is sigmoid(x . theta_a)."""
+    rng = np.random.default_rng(seed)
+    theta = rng.normal(size=(n_actions, d))
+    context = rng.normal(size=(n_rounds, d))
+    action = rng.integers(0, n_actions, size=n_rounds)
+    p_reward = 1.0 / (1.0 + np.exp(-np.einsum("id,id->i", context, theta[action])))
+    reward = (rng.random(n_rounds) < p_reward).astype(np.float64)
+    return {
+        "n_rounds": n_rounds,
+        "n_actions": n_actions,
+        "action": action,
+        "reward": reward,
+        "context": context,
+        "action_context": np.eye(n_actions),
+        "position": np.zeros(n_rounds, dtype=np.int64),
+        "pscore": np.full(n_rounds, 1.0 / n_actions),
+    }, theta
+
+
+def test_obp_estimators_recover_known_policy_values():
+    """IPW/DM/DR on a uniform-logging synthetic: the always-best-arm policy
+    must score higher than the always-worst-arm policy under every
+    estimator, and IPW of the LOGGING policy must equal the empirical mean
+    reward (it is exactly that by algebra)."""
+    from replay_tpu.experimental.scenarios.obp_wrapper import (
+        _RidgeRewardModel,
+        estimate_policy_value,
+    )
+
+    fb, theta = _bandit_feedback()
+    n, a = fb["n_rounds"], fb["n_actions"]
+
+    # logging policy (uniform): IPW == mean reward exactly
+    uniform = np.full((n, a, 1), 1.0 / a)
+    np.testing.assert_allclose(
+        estimate_policy_value(fb, uniform, "ipw"), fb["reward"].mean(), rtol=1e-12
+    )
+
+    best = np.argmax(fb["context"] @ theta.T, axis=1)
+    worst = np.argmin(fb["context"] @ theta.T, axis=1)
+    good = np.zeros((n, a, 1)); good[np.arange(n), best, 0] = 1.0
+    bad = np.zeros((n, a, 1)); bad[np.arange(n), worst, 0] = 1.0
+
+    rm = _RidgeRewardModel(a, 1).fit(
+        fb["context"], fb["action"], fb["reward"], fb["position"]
+    )
+    for criterion in ("ipw", "dm", "dr"):
+        v_good = estimate_policy_value(fb, good, criterion, rm)
+        v_bad = estimate_policy_value(fb, bad, criterion, rm)
+        assert v_good > v_bad + 0.1, (criterion, v_good, v_bad)
+
+
+def test_obp_learner_fit_predict_optimize():
+    from replay_tpu.experimental.scenarios.obp_wrapper import (
+        OBPOfflinePolicyLearner,
+        split_bandit_feedback,
+    )
+    from replay_tpu.models import UCB
+
+    fb, _ = _bandit_feedback(n_rounds=400)
+    fb["reward"] = (fb["reward"] > 0).astype(np.float64)  # binary for UCB
+
+    train, val = split_bandit_feedback(fb, val_size=0.25)
+    assert train["n_rounds"] == 300 and val["n_rounds"] == 100
+    assert len(train["action"]) == 300 and len(val["action"]) == 100
+    assert train["n_actions"] == fb["n_actions"]
+
+    learner = OBPOfflinePolicyLearner(UCB(), n_actions=fb["n_actions"], len_list=2)
+    learner.fit(
+        action=train["action"], reward=train["reward"],
+        timestamp=np.arange(train["n_rounds"]),
+        context=train["context"], action_context=train["action_context"],
+    )
+    dist = learner.predict(val["n_rounds"], val["context"])
+    assert dist.shape == (val["n_rounds"], fb["n_actions"], 2)
+    # one recommended action per position
+    np.testing.assert_allclose(dist.sum(axis=1), 1.0)
+
+    # UCB has no tunable parameters (reference logs the same and returns
+    # None); a parametrized model optimizes over the off-policy value
+    assert learner.optimize(fb, val_size=0.25, criterion="ipw", budget=2) is None
+
+    from replay_tpu.models import ItemKNN
+
+    knn_learner = OBPOfflinePolicyLearner(
+        ItemKNN(num_neighbours=2), n_actions=fb["n_actions"]
+    )
+    best = knn_learner.optimize(fb, val_size=0.25, criterion="dr", budget=2)
+    assert set(best) <= set(ItemKNN._search_space)
