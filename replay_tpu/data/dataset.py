@@ -258,6 +258,15 @@ class Dataset:
             categorical_encoded=meta["categorical_encoded"],
         )
 
+    def __setstate__(self, state):
+        """Re-link the lazy-cardinality closures FeatureInfo.__getstate__
+        drops, so a pickled Dataset round-trips fully functional."""
+        self.__dict__.update(state)
+        for f in self._feature_schema.all_features:
+            if f.feature_type in (FeatureType.CATEGORICAL, FeatureType.CATEGORICAL_LIST):
+                src = f.feature_source or FeatureSource.INTERACTIONS
+                f._set_cardinality_callback(self._cardinality_callback(src))
+
     # -- schema completion ---------------------------------------------------------
     def _frame_for_source(self, source: FeatureSource) -> Optional[pd.DataFrame]:
         return {

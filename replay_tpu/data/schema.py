@@ -88,6 +88,13 @@ class FeatureInfo:
     def _set_cardinality_callback(self, callback: Callable[[str], int]) -> None:
         self._cardinality_callback = callback
 
+    def __getstate__(self):
+        # the lazy-cardinality callback is a Dataset-bound closure and not
+        # picklable; Dataset.__setstate__ re-links it on restore
+        state = dict(self.__dict__)
+        state["_cardinality_callback"] = None
+        return state
+
     def reset_cardinality(self) -> None:
         self._cardinality = None
 

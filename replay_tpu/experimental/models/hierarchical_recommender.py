@@ -57,6 +57,15 @@ class HierarchicalRecommender(HybridRecommender):
             "seed": self.seed,
         }
 
+    def _get_save_state(self):
+        # the whole cluster tree (centers + per-leaf fitted models) pickles:
+        # leaves hold classical recommenders whose state is dataframes/arrays
+        return {
+            "_root": self._root,
+            "_feature_cols": self._feature_cols,
+            "model_factory": self.model_factory,
+        }
+
     def _features_of(self, query_features: pd.DataFrame, queries: np.ndarray) -> np.ndarray:
         order = pd.DataFrame({self.query_column: queries})
         merged = order.merge(query_features, on=self.query_column, how="left").fillna(0.0)

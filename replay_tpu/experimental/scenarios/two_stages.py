@@ -166,6 +166,10 @@ class TwoStagesScenario(HybridRecommender):
         self.k_first_level = k_first_level
         self.seed = seed
         self._stats: Optional[dict] = None
+        self._user_num_feats: Optional[pd.DataFrame] = None
+        self._item_num_feats: Optional[pd.DataFrame] = None
+        self._feature_columns: Optional[list] = None
+        self._first_ds = None
 
     @property
     def _init_args(self):
@@ -176,6 +180,20 @@ class TwoStagesScenario(HybridRecommender):
             "k_first_level": self.k_first_level,
             "seed": self.seed,
         }
+
+    def _get_save_state(self):
+        """Composite state pickles whole: first-level models (dataframe/
+        array state), the sklearn GBM reranker, feature processors, and the
+        feature caches predict needs."""
+        state = {}
+        for attr in (
+            "first_level_models", "fallback_model", "second_stage_model",
+            "features_processor", "_stats", "_user_num_feats",
+            "_item_num_feats", "_feature_columns", "_first_ds",
+        ):
+            if hasattr(self, attr):
+                state[attr] = getattr(self, attr)
+        return state
 
     # ----------------------------------------------------------- features
     def _log_stats(self, interactions: pd.DataFrame) -> dict:

@@ -58,18 +58,44 @@ class Fallback(BaseRecommender):
 
     def __init__(
         self,
-        main_model: BaseRecommender,
+        main_model: Optional[BaseRecommender] = None,
         fallback_model: Optional[BaseRecommender] = None,
         threshold: int = 0,
     ):
         self.threshold = threshold
         self.hot_queries: Optional[np.ndarray] = None
-        self.main_model = main_model
+        # main_model is only None transiently while the registry restores a
+        # saved Fallback (_load_model replaces both sub-models)
+        self.main_model = main_model if main_model is not None else PopRec()
         self.fb_model = fallback_model if fallback_model is not None else PopRec()
 
     @property
     def _init_args(self):
         return {"threshold": self.threshold}
+
+    def _get_save_state(self):
+        return {"hot_queries": self.hot_queries}
+
+    def _save_model(self, path: str, additional_params=None):
+        from pathlib import Path as _Path
+
+        from replay_tpu.utils import model_handler
+
+        saved = super()._save_model(path, additional_params)
+        model_handler.save(self.main_model, _Path(path) / "main", overwrite=True)
+        model_handler.save(self.fb_model, _Path(path) / "fallback", overwrite=True)
+        return saved
+
+    def _load_model(self, path: str):
+        from pathlib import Path as _Path
+
+        from replay_tpu.utils import model_handler
+
+        super()._load_model(path)
+        main_dir = _Path(path) / "main"
+        if main_dir.exists():
+            self.main_model = model_handler.load(main_dir)
+            self.fb_model = model_handler.load(_Path(path) / "fallback")
 
     def __str__(self):
         return f"Fallback_{self.main_model!s}_{self.fb_model!s}"

@@ -75,6 +75,7 @@ def save(model, path, overwrite: bool = False) -> None:
 def load(path, model_type: Optional[type] = None):
     """Restore a model saved with :func:`save`."""
     import replay_tpu.experimental.models as experimental
+    import replay_tpu.experimental.scenarios as experimental_scenarios
     import replay_tpu.models as models
     import replay_tpu.scenarios as scenarios
 
@@ -83,12 +84,18 @@ def load(path, model_type: Optional[type] = None):
     name = args.pop("_model_name")
     if model_type is not None:
         model_class = model_type
+    elif name.startswith("Fallback_"):
+        # composite: str(Fallback) embeds sub-model names; the sub-models
+        # themselves are restored by Fallback._load_model
+        model_class = scenarios.Fallback
     elif hasattr(models, name):
         model_class = getattr(models, name)
     elif hasattr(scenarios, name):
         model_class = getattr(scenarios, name)
     elif name in getattr(experimental, "__all__", ()):
         model_class = getattr(experimental, name)
+    elif name in getattr(experimental_scenarios, "__all__", ()):
+        model_class = getattr(experimental_scenarios, name)
     else:
         msg = f"Unknown model class {name}"
         raise ValueError(msg)

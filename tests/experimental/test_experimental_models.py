@@ -647,3 +647,78 @@ def test_obp_learner_fit_predict_optimize():
     )
     best = knn_learner.optimize(fb, val_size=0.25, criterion="dr", budget=2)
     assert set(best) <= set(ItemKNN._search_space)
+
+
+# -------------------------------------------------------- composite save
+
+
+def test_fallback_save_load_roundtrip(tmp_path, block_dataset):
+    """Composite save/load is beyond the reference (its loader cannot
+    resolve the 'Fallback_X_Y' reflection name — model_handler.py FIXME)."""
+    from replay_tpu.models import ItemKNN, PopRec
+    from replay_tpu.scenarios import Fallback
+    from replay_tpu.utils.model_handler import load, save
+
+    model = Fallback(ItemKNN(num_neighbours=5), PopRec(), threshold=3)
+    model.fit(block_dataset)
+    before = model.predict(block_dataset, k=5)
+    save(model, tmp_path / "m", overwrite=True)
+    restored = load(tmp_path / "m")
+    assert type(restored.main_model).__name__ == "ItemKNN"
+    assert restored.threshold == 3
+    after = restored.predict(block_dataset, k=5)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+
+
+def test_hierarchical_save_load_roundtrip(tmp_path):
+    from replay_tpu.experimental.models import HierarchicalRecommender
+    from replay_tpu.models import PopRec
+    from replay_tpu.utils.model_handler import load, save
+
+    rng = np.random.default_rng(0)
+    rows, feats = [], []
+    for u in range(60):
+        g = u % 3
+        feats.append((u, float(g * 5) + rng.normal(0, 0.2)))
+        for _ in range(8):
+            rows.append((u, int(g * 10 + rng.integers(0, 10)), 1.0))
+    inter = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"]).drop_duplicates(
+        ["user_id", "item_id"]
+    )
+    qf = pd.DataFrame(feats, columns=["user_id", "taste"])
+    extra = [
+        FeatureInfo("taste", FeatureType.NUMERICAL, feature_source=FeatureSource.QUERY_FEATURES)
+    ]
+    ds = Dataset(make_schema(extra), inter, query_features=qf)
+    model = HierarchicalRecommender(model_factory=PopRec, branching=3, depth=1,
+                                    min_cluster_size=2)
+    model.fit(ds)
+    before = model.predict(ds, k=3)
+    save(model, tmp_path / "m", overwrite=True)
+    restored = load(tmp_path / "m")
+    after = restored.predict(ds, k=3)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+
+
+def test_two_stages_save_load_roundtrip(tmp_path, block_dataset):
+    from replay_tpu.experimental.scenarios import TwoStagesScenario
+    from replay_tpu.models import ItemKNN, PopRec
+    from replay_tpu.utils.model_handler import load, save
+
+    scenario = TwoStagesScenario(
+        first_level_models=[ItemKNN(num_neighbours=10), PopRec()],
+        k_first_level=20,
+        seed=1,
+    )
+    scenario.fit(block_dataset)
+    before = scenario.predict(block_dataset, k=5)
+    save(scenario, tmp_path / "m", overwrite=True)
+    restored = load(tmp_path / "m")
+    after = restored.predict(block_dataset, k=5)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
