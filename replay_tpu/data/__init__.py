@@ -1,6 +1,7 @@
 """Data layer: schema, Dataset (reference: replay/data/)."""
 
 from replay_tpu.data.dataset import Dataset, nunique, select
+from replay_tpu.data.utils import get_schema
 from replay_tpu.data.schema import (
     FeatureHint,
     FeatureInfo,
@@ -16,6 +17,7 @@ __all__ = [
     "FeatureSchema",
     "FeatureSource",
     "FeatureType",
+    "get_schema",
     "nunique",
     "select",
 ]

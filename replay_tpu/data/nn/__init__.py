@@ -1,3 +1,16 @@
+"""Neural data plane (reference: replay/data/nn/__init__.py).
+
+``TensorMap`` here maps feature names to ``numpy``/``jax`` arrays (the
+reference's maps hold torch tensors); ``PandasSequentialDataset`` is an alias
+of :class:`SequentialDataset` — pandas is this framework's single host data
+plane, so the reference's Pandas/Polars split collapses to one class.
+"""
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from replay_tpu.data.nn.parquet import ParquetDataset, ParquetModule
 from replay_tpu.data.nn.schema import (
     TensorFeatureInfo,
     TensorFeatureSource,
@@ -5,13 +18,29 @@ from replay_tpu.data.nn.schema import (
     TensorSchema,
 )
 from replay_tpu.data.nn.sequence_tokenizer import SequenceTokenizer
-from replay_tpu.data.nn.sequential_dataset import SequentialDataset
+from replay_tpu.data.nn.sequential_dataset import (
+    DEFAULT_GROUND_TRUTH_PADDING_VALUE,
+    DEFAULT_TRAIN_PADDING_VALUE,
+    SequentialDataset,
+)
+
+TensorMap = Mapping[str, np.ndarray]
+MutableTensorMap = Dict[str, np.ndarray]
+
+PandasSequentialDataset = SequentialDataset
 
 __all__ = [
+    "DEFAULT_GROUND_TRUTH_PADDING_VALUE",
+    "DEFAULT_TRAIN_PADDING_VALUE",
+    "MutableTensorMap",
+    "PandasSequentialDataset",
+    "ParquetDataset",
+    "ParquetModule",
     "SequenceTokenizer",
     "SequentialDataset",
     "TensorFeatureInfo",
     "TensorFeatureSource",
     "TensorFeatureType",
+    "TensorMap",
     "TensorSchema",
 ]

@@ -25,6 +25,12 @@ from replay_tpu.data.nn.schema import TensorSchema
 
 Batch = Dict[str, np.ndarray]
 
+# Reference padding sentinels (replay/data/nn/torch_sequential_dataset.py:179).
+# Train-side padding is distinguishable from ground-truth padding so masks can
+# be rebuilt from values alone if a pipeline drops its `padding_mask`.
+DEFAULT_GROUND_TRUTH_PADDING_VALUE = -1
+DEFAULT_TRAIN_PADDING_VALUE = -2
+
 
 class SequentialDataset:
     """Per-query sequences stored as a flat values array + offsets (CSR-style).

@@ -19,7 +19,7 @@ from replay_tpu.metrics.descriptors import (
 )
 from replay_tpu.metrics.experiment import Experiment
 from replay_tpu.metrics.builder import MetricsBuilder, metrics_to_df
-from replay_tpu.metrics.ncis_precision import NCISPrecision
+from replay_tpu.metrics.ncis_precision import NCISMetric, NCISPrecision
 from replay_tpu.metrics.novelty import Novelty
 from replay_tpu.metrics.offline_metrics import OfflineMetrics
 from replay_tpu.metrics.ranking import MAP, MRR, NDCG, HitRate, Precision, Recall, RocAuc
@@ -45,6 +45,7 @@ __all__ = [
     "MetricsReturnType",
     "NDCG",
     "MetricsBuilder",
+    "NCISMetric",
     "NCISPrecision",
     "metrics_to_df",
     "Novelty",

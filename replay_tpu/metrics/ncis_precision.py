@@ -31,8 +31,11 @@ def _activate(scores: np.ndarray, activation: Optional[str]) -> np.ndarray:
     raise ValueError(msg)
 
 
-class NCISPrecision(Metric):
-    """Precision@K with NCIS weighting against a logging policy."""
+class NCISMetric(Metric):
+    """Base for NCIS-weighted metrics (reference: base_metric.py:441
+    NCISMetric): holds the logging-policy weights, the activation, the
+    capped importance ratio, and the per-user evaluation loop.  Subclasses
+    implement :meth:`_metric_at_k` over (weights, hits) arrays."""
 
     def __init__(
         self,
@@ -62,6 +65,11 @@ class NCISPrecision(Metric):
     @staticmethod
     def _get_metric_value_by_user(ks, *args):  # pragma: no cover - bypassed
         """Unused: NCIS needs per-user weights, so __call__ is overridden."""
+        raise NotImplementedError
+
+    @staticmethod
+    def _metric_at_k(top_w: np.ndarray, top_hits: np.ndarray) -> float:
+        """Weighted metric value for one user's top-k slice."""
         raise NotImplementedError
 
     def _weights_for_user(self, query, items: List, scores: List[float]) -> np.ndarray:
@@ -103,13 +111,21 @@ class NCISPrecision(Metric):
             weights = self._weights_for_user(query, items, scores)
             hits = np.isin(np.asarray(items), list(truth))
             for k in self.topk:
-                top_w = weights[:k]
-                denom = top_w.sum()
-                value = float((top_w * hits[:k]).sum() / denom) if denom > 0 else 0.0
-                distributions[k].append(value)
+                distributions[k].append(self._metric_at_k(weights[:k], hits[:k]))
         result = {}
         for k in self.topk:
             result[f"{type(self).__name__}@{k}"] = self._mode.cpu(
                 np.asarray(distributions[k])
             )
         return result
+
+
+class NCISPrecision(NCISMetric):
+    """Precision@K with NCIS weighting (reference:
+    replay/experimental/metrics/ncis_precision.py:6): weighted hit mass over
+    total weight mass of the top-k slice."""
+
+    @staticmethod
+    def _metric_at_k(top_w: np.ndarray, top_hits: np.ndarray) -> float:
+        denom = top_w.sum()
+        return float((top_w * top_hits).sum() / denom) if denom > 0 else 0.0

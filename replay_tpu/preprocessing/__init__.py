@@ -4,6 +4,7 @@ from replay_tpu.preprocessing.converter import CSRConverter
 from replay_tpu.preprocessing.discretizer import (
     Discretizer,
     GreedyDiscretizingRule,
+    HandleInvalidStrategies,
     QuantileDiscretizingRule,
 )
 from replay_tpu.preprocessing.filters import (
@@ -20,6 +21,7 @@ from replay_tpu.preprocessing.filters import (
 )
 from replay_tpu.preprocessing.history_based_fp import (
     ConditionalPopularityProcessor,
+    EmptyFeatureProcessor,
     HistoryBasedFeaturesProcessor,
     LogStatFeaturesProcessor,
 )
@@ -40,6 +42,8 @@ __all__ = [
     "GreedyDiscretizingRule",
     "QuantileDiscretizingRule",
     "ConditionalPopularityProcessor",
+    "EmptyFeatureProcessor",
+    "HandleInvalidStrategies",
     "HistoryBasedFeaturesProcessor",
     "LogStatFeaturesProcessor",
     "Sessionizer",

@@ -20,6 +20,13 @@ import pandas as pd
 
 _HANDLE_INVALID_STRATEGIES = ("error", "skip", "keep")
 
+try:  # public strategy type (reference: replay/preprocessing/discretizer.py:25)
+    from typing import Literal
+
+    HandleInvalidStrategies = Literal["error", "skip", "keep"]
+except ImportError:  # pragma: no cover
+    HandleInvalidStrategies = str
+
 
 class BaseDiscretizingRule(abc.ABC):
     """One-column discretization rule."""

@@ -25,7 +25,19 @@ def _to_seconds(col: pd.Series) -> pd.Series:
     return pd.to_datetime(col).astype("datetime64[s]").astype("int64")
 
 
-class LogStatFeaturesProcessor:
+class EmptyFeatureProcessor:
+    """No-op feature processor: the default slot-filler when a scenario's
+    feature-enrichment stage is disabled (reference: history_based_fp.py:22)."""
+
+    def fit(self, log: pd.DataFrame, features: Optional[pd.DataFrame] = None) -> None:
+        """Nothing to fit."""
+
+    def transform(self, log: pd.DataFrame) -> pd.DataFrame:
+        """Return the log unchanged."""
+        return log
+
+
+class LogStatFeaturesProcessor(EmptyFeatureProcessor):
     """Per-user and per-item log statistics (reference: history_based_fp.py:39)."""
 
     def __init__(
@@ -99,7 +111,7 @@ class LogStatFeaturesProcessor:
         return out.fillna(0.0)
 
 
-class ConditionalPopularityProcessor:
+class ConditionalPopularityProcessor(EmptyFeatureProcessor):
     """Item popularity conditioned on user categorical features (and vice
     versa) — reference: history_based_fp.py:284."""
 

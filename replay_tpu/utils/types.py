@@ -14,6 +14,16 @@ import numpy as np
 import pandas as pd
 
 
+class FeatureUnavailableError(Exception):
+    """A requested feature's optional backend is unavailable
+    (reference: replay/utils/types.py:15)."""
+
+
+class FeatureUnavailableWarning(Warning):
+    """A requested feature silently degrades because its optional backend
+    is unavailable (reference: replay/utils/types.py:19)."""
+
+
 class MissingImport:
     """Placeholder class for a conditionally unavailable dependency.
 
@@ -39,6 +49,14 @@ OPTUNA_AVAILABLE = find_spec("optuna") is not None
 PYARROW_AVAILABLE = find_spec("pyarrow") is not None
 JAX_AVAILABLE = find_spec("jax") is not None
 
+# Reference-named flags (replay/utils/types.py:22-33) mapped onto the TPU
+# stack's equivalents so conditional user code ports unchanged:
+PYSPARK_AVAILABLE = False  # no Spark engine — mesh/jit is the data plane
+ANN_AVAILABLE = True  # in-tree C++ HNSW (replay_tpu/ann/native)
+OPENVINO_AVAILABLE = JAX_AVAILABLE  # compiled serving = StableHLO AOT export
+LIGHTFM_AVAILABLE = find_spec("lightfm") is not None
+OBP_AVAILABLE = find_spec("obp") is not None
+
 PandasDataFrame = pd.DataFrame
 
 if POLARS_AVAILABLE:  # pragma: no cover - polars absent in CI image
@@ -54,6 +72,7 @@ else:
     DataFrameLike = PandasDataFrame
 
 # Alias kept for API familiarity with the reference's SparkDataFrame users.
+SparkDataFrame = _missing("pyspark")
 IntOrList = Union[int, Iterable[int]]
 NumType = Union[int, float]
 
