@@ -259,6 +259,13 @@ class BaseRecommender(RecommenderCommons, IsSavable, OptimizeMixin, ABC):
         """Default prediction via blocked scoring; models may override."""
         return self._predict_by_scores(dataset, k, queries, items, filter_seen_items)
 
+    def _check_fitted(self) -> None:
+        """Clear failure mode for predict-before-fit (the reference surfaces
+        an AttributeError from missing fit state; here it is explicit)."""
+        if getattr(self, "fit_queries", None) is None:
+            msg = f"{self!s} is not fitted: call fit() before predict()"
+            raise ValueError(msg)
+
     def _predict_wrap(
         self,
         dataset: Optional[Dataset],
@@ -268,6 +275,7 @@ class BaseRecommender(RecommenderCommons, IsSavable, OptimizeMixin, ABC):
         filter_seen_items: bool = True,
         recs_file_path: Optional[str] = None,
     ) -> Optional[pd.DataFrame]:
+        self._check_fitted()
         queries, items = self._resolve_queries_items(dataset, queries, items)
         if len(items) < k:
             self.logger.debug("k = %s > number of items = %s", k, len(items))
@@ -320,6 +328,7 @@ class BaseRecommender(RecommenderCommons, IsSavable, OptimizeMixin, ABC):
         recs_file_path: Optional[str] = None,
         k: Optional[int] = None,
     ) -> Optional[pd.DataFrame]:
+        self._check_fitted()
         if set([self.query_column, self.item_column]) - set(pairs.columns):
             msg = "pairs must contain query and item id columns"
             raise ValueError(msg)

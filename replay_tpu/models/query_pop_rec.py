@@ -38,6 +38,20 @@ class QueryPopRec(Recommender):
             [self.query_column, self.item_column, self.rating_column]
         ]
 
+    def _predict_pairs(
+        self,
+        pairs: pd.DataFrame,
+        dataset: Optional[Dataset] = None,
+    ) -> pd.DataFrame:
+        """Join requested pairs with the per-query popularity table; pairs
+        outside a query's history are dropped (reference join-fallback
+        semantics, replay/models/base_rec.py:569-585)."""
+        return pairs.merge(
+            self.query_item_popularity,
+            on=[self.query_column, self.item_column],
+            how="inner",
+        )
+
     def _predict(
         self,
         dataset: Optional[Dataset],
