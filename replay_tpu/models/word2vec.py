@@ -199,7 +199,7 @@ class Word2VecRec(Recommender, ItemVectorModel):
 
     def _score_block(self, query_ids, item_ids, dataset=None) -> np.ndarray:
         if dataset is None:
-            msg = "Word2VecRec needs dataset interactions at predict time"
+            msg = "interactions are not provided, but required for prediction"
             raise ValueError(msg)
         qv = self._query_vectors(query_ids, dataset)
         iv = self.vectors[np.searchsorted(self.fit_items, item_ids)]

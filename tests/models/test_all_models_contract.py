@@ -232,3 +232,151 @@ def test_new_query_behavior(fitted, name, log, binary_log):
     else:
         assert 999 not in set(recs["user_id"]) or model.can_predict_cold_queries, name
     assert 0 in set(recs["user_id"]), name
+
+
+# ----------------------------------------------------- empty/None dataset
+
+HISTORY_FREE = ["PopRec", "RandomRec", "ALSWrap", "QueryPopRec", "UCB", "KLUCB",
+                "ThompsonSampling", "Wilson"]
+HISTORY_BOUND = ["ItemKNN", "SLIM", "Word2VecRec", "AssociationRulesItemRec"]
+
+
+@pytest.mark.parametrize("name", HISTORY_FREE)
+def test_predict_without_dataset(fitted, name):
+    """Models whose scores need no interaction history serve with
+    dataset=None (reference: test_all_models.py:206)."""
+    model, _ = fitted[name]
+    recs = model.predict(None, k=1)
+    assert len(recs) > 0
+
+
+@pytest.mark.parametrize("name", HISTORY_BOUND)
+def test_predict_without_dataset_raises(fitted, name):
+    """History-bound models must raise the reference's error text
+    (reference: test_all_models.py:233)."""
+    model, _ = fitted[name]
+    with pytest.raises(ValueError, match="interactions are not provided"):
+        model.predict(None, k=1)
+
+
+@pytest.mark.parametrize("name", ALL_IDS)
+def test_predict_with_empty_history(fitted, name, log, binary_log):
+    """Prediction over a dataset with an empty interaction frame still
+    succeeds (reference: test_all_models.py:168 cold-serving contract)."""
+    model, ds = fitted[name]
+    base = ds.interactions
+    empty = make_dataset(base.head(0))
+    recs = model.predict(empty, k=1, queries=[0], filter_seen_items=False)
+    assert recs is not None
+
+
+# ----------------------------------------------------------- nearest items
+
+
+@pytest.mark.parametrize(
+    ("name", "metric"),
+    [
+        ("ALSWrap", "cosine_similarity"),
+        ("ALSWrap", "dot_product"),
+        ("ALSWrap", "euclidean_distance_sim"),
+        ("Word2VecRec", "cosine_similarity"),
+        ("ItemKNN", None),
+        ("SLIM", None),
+        ("AssociationRulesItemRec", "lift"),
+        ("AssociationRulesItemRec", "confidence"),
+    ],
+)
+def test_get_nearest_items(fitted, name, metric):
+    """k neighbours per item, self excluded for vector models, candidates
+    filter respected (reference: test_all_models.py:296)."""
+    model, _ = fitted[name]
+    kwargs = {} if metric is None else {"metric": metric}
+    res = model.get_nearest_items(items=[0, 1], k=2, **kwargs)
+    assert set(res["item_id"]) <= {0, 1}
+    assert (res.groupby("item_id").size() <= 2).all()
+    res1 = model.get_nearest_items(items=[0, 1], k=1, **kwargs)
+    assert (res1.groupby("item_id").size() <= 1).all()
+
+
+@pytest.mark.parametrize("name", ["ALSWrap", "Word2VecRec"])
+def test_get_nearest_items_candidates(fitted, name):
+    model, _ = fitted[name]
+    res = model.get_nearest_items(items=[0, 1], k=4, candidates=[0, 3])
+    # self-similarity excluded: item 0 can only match 3; item 1 matches 0, 3
+    assert set(res["neighbour_item_idx"]) <= {0, 3}
+    got_0 = res[res["item_id"] == 0]["neighbour_item_idx"]
+    assert 0 not in set(got_0)
+
+
+@pytest.mark.parametrize(
+    ("name", "metric"),
+    [("ItemKNN", "cosine_similarity"), ("SLIM", "dot_product"),
+     ("ItemKNN", "lift"), ("SLIM", "confidence_gain")],
+)
+def test_get_nearest_items_metric_error(fitted, name, metric):
+    """Similarity-matrix models reject vector-space metric names
+    (reference: test_all_models.py:344)."""
+    model, _ = fitted[name]
+    with pytest.raises(ValueError):
+        model.get_nearest_items(items=[0, 1], k=2, metric=metric)
+
+
+# ------------------------------------------------------------ to-file
+
+
+@pytest.mark.parametrize("name", ["PopRec", "ItemKNN", "ALSWrap"])
+def test_predict_to_file_roundtrip(fitted, name, tmp_path):
+    """recs_file_path writes parquet and returns None
+    (reference: test_all_models.py:484-545)."""
+    model, ds = fitted[name]
+    direct = model.predict(ds, k=3, filter_seen_items=False)
+    out = model.predict(
+        ds, k=3, filter_seen_items=False, recs_file_path=str(tmp_path / "recs.parquet")
+    )
+    assert out is None
+    from_file = pd.read_parquet(tmp_path / "recs.parquet")
+    pd.testing.assert_frame_equal(
+        direct.reset_index(drop=True), from_file.reset_index(drop=True)
+    )
+    pairs = direct[["user_id", "item_id"]].head(10)
+    direct_pairs = model.predict_pairs(pairs, ds)
+    out = model.predict_pairs(
+        pairs, ds, recs_file_path=str(tmp_path / "pairs.parquet")
+    )
+    assert out is None
+    pd.testing.assert_frame_equal(
+        direct_pairs.reset_index(drop=True),
+        pd.read_parquet(tmp_path / "pairs.parquet").reset_index(drop=True),
+    )
+
+
+# ------------------------------------------------- cold items (nonpers)
+
+
+@pytest.mark.parametrize("add_cold_items", [True, False])
+@pytest.mark.parametrize("predict_cold_only", [True, False])
+def test_add_cold_items_for_nonpersonalized(log, add_cold_items, predict_cold_only):
+    """PopRec cold-item handling: add_cold_items=True ranks unseen items
+    with the uniform cold weight; False drops them
+    (reference: test_all_models.py:547)."""
+    num_warm, k = 5, 6
+    train = log[log["item_id"] < num_warm]
+    model = PopRec()
+    model.fit(make_dataset(train))
+    model.add_cold_items = add_cold_items
+    items = np.unique(log["item_id"])
+    if predict_cold_only:
+        items = items[items >= num_warm]
+    pred = model.predict(
+        make_dataset(train), k=k, queries=[1], items=items, filter_seen_items=False
+    )
+    if add_cold_items:
+        assert len(pred) == min(k, len(items))
+        if predict_cold_only:
+            assert pred["item_id"].min() >= num_warm
+            assert pred["rating"].nunique() == 1  # uniform cold score
+    else:
+        if predict_cold_only:
+            assert len(pred) == 0
+        else:
+            assert pred["item_id"].max() < num_warm
