@@ -56,9 +56,12 @@ class TimeSplitter(Splitter):
             threshold = datetime.strptime(threshold, self.time_column_format)
         res = interactions.copy()
         if isinstance(threshold, float):
-            ordered = res.sort_values(self.timestamp_column, kind="stable")
-            test_start_idx = int(len(ordered) * (1 - threshold))
-            test_start = ordered.iloc[test_start_idx][self.timestamp_column]
+            # reference sorts in place before the session recalculation
+            # (time_splitter.py:171), so session first/last = earliest/latest
+            # in TIME, not in input order
+            res = res.sort_values(self.timestamp_column, kind="stable")
+            test_start_idx = int(len(res) * (1 - threshold))
+            test_start = res.iloc[test_start_idx][self.timestamp_column]
             res["is_test"] = res[self.timestamp_column] >= test_start
         else:
             res["is_test"] = res[self.timestamp_column] >= threshold

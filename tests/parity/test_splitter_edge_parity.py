@@ -1,0 +1,185 @@
+"""Splitter edge-case parity vs the reference pandas backend: session
+columns, timedelta strategy, drop-cold variants, string time thresholds
+(reference test surface: tests/splitters/test_last_n_splitter.py:294-500,
+test_time_splitter.py:286-397)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.parity
+
+
+def _eq(mine, ref, msg=""):
+    mine = mine.sort_values(list(mine.columns)).reset_index(drop=True)
+    ref = ref.sort_values(list(ref.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False, obj=msg or "frame")
+
+
+@pytest.fixture()
+def session_log():
+    rng = np.random.default_rng(21)
+    n = 2000
+    frame = pd.DataFrame(
+        {
+            "query_id": rng.integers(0, 150, n),
+            "item_id": rng.integers(0, 300, n),
+            "timestamp": rng.integers(0, 5_000, n),
+            "session_id": rng.integers(0, 40, n),
+        }
+    ).drop_duplicates(["query_id", "item_id"])
+    return frame.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", ["train", "test"])
+@pytest.mark.parametrize("n", [2, 5])
+def test_last_n_with_sessions(reference, session_log, strategy, n):
+    from replay.splitters import LastNSplitter as Ref
+
+    from replay_tpu.splitters import LastNSplitter as Mine
+
+    kwargs = dict(
+        N=n, divide_column="query_id", query_column="query_id",
+        item_column="item_id", timestamp_column="timestamp",
+        strategy="interactions", session_id_column="session_id",
+        session_id_processing_strategy=strategy,
+    )
+    mtr, mte = Mine(**kwargs).split(session_log)
+    rtr, rte = Ref(**kwargs).split(session_log)
+    _eq(mtr, rtr, f"lastn sessions {strategy} train")
+    _eq(mte, rte, f"lastn sessions {strategy} test")
+
+
+@pytest.mark.parametrize("seconds", [500, 2000])
+def test_last_n_timedelta(reference, random_log, seconds):
+    from replay.splitters import LastNSplitter as Ref
+
+    from replay_tpu.splitters import LastNSplitter as Mine
+
+    kwargs = dict(
+        N=seconds, divide_column="query_id", query_column="query_id",
+        item_column="item_id", timestamp_column="timestamp",
+        strategy="timedelta",
+    )
+    mtr, mte = Mine(**kwargs).split(random_log)
+    rtr, rte = Ref(**kwargs).split(random_log)
+    _eq(mtr, rtr, "timedelta train")
+    _eq(mte, rte, "timedelta test")
+
+
+@pytest.mark.parametrize("drop_users,drop_items", [(True, False), (False, True), (True, True)])
+def test_last_n_drop_cold(reference, random_log, drop_users, drop_items):
+    from replay.splitters import LastNSplitter as Ref
+
+    from replay_tpu.splitters import LastNSplitter as Mine
+
+    kwargs = dict(
+        N=2, divide_column="query_id", query_column="query_id",
+        item_column="item_id", timestamp_column="timestamp",
+        strategy="interactions", drop_cold_users=drop_users,
+        drop_cold_items=drop_items,
+    )
+    mtr, mte = Mine(**kwargs).split(random_log)
+    rtr, rte = Ref(**kwargs).split(random_log)
+    _eq(mtr, rtr, "dropcold train")
+    _eq(mte, rte, "dropcold test")
+
+
+@pytest.mark.parametrize("strategy", ["train", "test"])
+def test_time_splitter_with_sessions(reference, session_log, strategy):
+    from replay.splitters import TimeSplitter as Ref
+
+    from replay_tpu.splitters import TimeSplitter as Mine
+
+    kwargs = dict(
+        time_threshold=0.4, query_column="query_id", item_column="item_id",
+        timestamp_column="timestamp", session_id_column="session_id",
+        session_id_processing_strategy=strategy,
+    )
+    mtr, mte = Mine(**kwargs).split(session_log)
+    rtr, rte = Ref(**kwargs).split(session_log)
+    _eq(mtr, rtr, f"time sessions {strategy} train")
+    _eq(mte, rte, f"time sessions {strategy} test")
+
+
+def test_time_splitter_string_threshold(reference):
+    from replay.splitters import TimeSplitter as Ref
+
+    from replay_tpu.splitters import TimeSplitter as Mine
+
+    rng = np.random.default_rng(5)
+    n = 600
+    frame = pd.DataFrame(
+        {
+            "query_id": rng.integers(0, 50, n),
+            "item_id": rng.integers(0, 80, n),
+            "timestamp": pd.to_datetime(
+                rng.integers(1577836800, 1609459200, n), unit="s"
+            ),
+        }
+    ).drop_duplicates(["query_id", "item_id"]).reset_index(drop=True)
+    kwargs = dict(
+        time_threshold="2020-07-01", time_column_format="%Y-%m-%d",
+        query_column="query_id", item_column="item_id",
+        timestamp_column="timestamp",
+    )
+    mtr, mte = Mine(**kwargs).split(frame)
+    rtr, rte = Ref(**kwargs).split(frame)
+    _eq(mtr, rtr, "string-threshold train")
+    _eq(mte, rte, "string-threshold test")
+
+
+@pytest.mark.parametrize("strategy", ["train", "test"])
+def test_ratio_splitter_with_sessions(reference, session_log, strategy):
+    from replay.splitters import RatioSplitter as Ref
+
+    from replay_tpu.splitters import RatioSplitter as Mine
+
+    kwargs = dict(
+        test_size=0.3, divide_column="query_id", query_column="query_id",
+        item_column="item_id", timestamp_column="timestamp",
+        session_id_column="session_id", session_id_processing_strategy=strategy,
+    )
+    mtr, mte = Mine(**kwargs).split(session_log)
+    rtr, rte = Ref(**kwargs).split(session_log)
+    _eq(mtr, rtr, f"ratio sessions {strategy} train")
+    _eq(mte, rte, f"ratio sessions {strategy} test")
+
+
+@pytest.mark.parametrize("split_by_fractions", [False, True])
+def test_ratio_min_interactions(reference, random_log, split_by_fractions):
+    """min_interactions_per_group: groups below the threshold go entirely to
+    train; groups at/above it split exactly like the reference.
+
+    The reference's own pandas path is broken on pandas 3.x — its inplace
+    ``train_size.where(..., inplace=True)`` (ratio_splitter.py:298-300)
+    no-ops under Copy-on-Write, silently ignoring the parameter — so the
+    comparison here runs the reference WITHOUT the parameter on the
+    at/above-threshold subset (where the two configurations are defined to
+    agree) and checks the below-threshold behavior directly."""
+    from replay.splitters import RatioSplitter as Ref
+
+    from replay_tpu.splitters import RatioSplitter as Mine
+
+    min_n = 12
+    kwargs = dict(
+        test_size=0.5, divide_column="query_id", query_column="query_id",
+        item_column="item_id", timestamp_column="timestamp",
+        split_by_fractions=split_by_fractions,
+    )
+    mtr, mte = Mine(min_interactions_per_group=min_n, **kwargs).split(random_log)
+
+    counts = random_log.groupby("query_id").size()
+    small = set(counts[counts < min_n].index)
+    big_log = random_log[~random_log["query_id"].isin(small)].reset_index(drop=True)
+
+    # below-threshold groups: every interaction lands in train
+    assert small, "fixture must contain below-threshold groups"
+    assert not set(mte["query_id"]) & small
+    small_rows = random_log[random_log["query_id"].isin(small)]
+    assert len(mtr[mtr["query_id"].isin(small)]) == len(small_rows)
+
+    # at/above-threshold groups: identical to the plain reference split
+    rtr, rte = Ref(**kwargs).split(big_log)
+    _eq(mtr[~mtr["query_id"].isin(small)], rtr, "min-interactions train")
+    _eq(mte, rte, "min-interactions test")
