@@ -170,3 +170,110 @@ def test_negative_sampling_rejects_short_classes():
     w[:2] = 1.0
     with pytest.raises(ValueError, match="positive-weight"):
         UniformNegativeSamplingTransform(3, 20, sample_distribution=w)
+
+
+# --------------------------------------------- immutability + validation
+# (reference surface: tests/nn/transform/test_transform.py:358-414
+# immutability sweep and the *_raises cases)
+
+
+def _snapshot(batch):
+    return {k: np.array(v) for k, v in batch.items()}
+
+
+def _assert_unchanged(batch, before):
+    assert set(batch.keys()) == set(before.keys())
+    for k, v in before.items():
+        np.testing.assert_array_equal(np.asarray(batch[k]), v, err_msg=k)
+
+
+@pytest.mark.parametrize(
+    "transform,needs_key",
+    [
+        (NextTokenTransform(), False),
+        (TokenMaskTransform(mask_prob=0.5), True),
+        (UniformNegativeSamplingTransform(n_negatives=3, n_items=10), True),
+        (TrimTransform(seq_len=2), False),
+        (SequenceRollTransform(shift=-1), False),
+        (RenameTransform({"item_id": "ids"}), False),
+        (CopyTransform({"item_id": "copy"}), False),
+        (SelectTransform(["item_id"]), False),
+        (EqualityMaskTransform("item_id", 9, mode="and", mask_name="padding_mask"), False),
+        (AdaptiveTrimTransform(), False),
+    ],
+    ids=lambda t: type(t).__name__ if not isinstance(t, bool) else str(t),
+)
+def test_transform_does_not_mutate_input(transform, needs_key):
+    batch = make_batch()
+    before = _snapshot(batch)
+    key = jax.random.PRNGKey(0) if needs_key else None
+    transform(batch, key=key)
+    _assert_unchanged(batch, before)
+
+
+def test_uniform_negative_sampling_distribution_size_mismatch():
+    with pytest.raises(ValueError, match="expected 10"):
+        UniformNegativeSamplingTransform(
+            n_negatives=2, n_items=10, sample_distribution=np.ones(5)
+        )
+
+
+def test_uniform_negative_sampling_insufficient_support():
+    dist = np.zeros(10)
+    dist[:2] = 1.0
+    with pytest.raises(ValueError, match="positive-weight"):
+        UniformNegativeSamplingTransform(
+            n_negatives=5, n_items=10, sample_distribution=dist
+        )
+
+
+def test_multiclass_sampling_validations():
+    with pytest.raises(ValueError, match="n_classes, n_items"):
+        MultiClassNegativeSamplingTransform(2, np.ones(6))
+    with pytest.raises(ValueError, match="less than"):
+        MultiClassNegativeSamplingTransform(6, np.ones((2, 6)))
+    short = np.ones((2, 6))
+    short[1, 2:] = 0.0
+    with pytest.raises(ValueError, match="class 1"):
+        MultiClassNegativeSamplingTransform(3, short)
+
+
+def test_equality_mask_bad_mode():
+    with pytest.raises(ValueError, match="Mode"):
+        EqualityMaskTransform("item_id", 1, mode="nand")
+
+
+def test_adaptive_trim_missing_mask_raises():
+    with pytest.raises(KeyError, match="padding_mask"):
+        AdaptiveTrimTransform()({"item_id": jnp.ones((2, 3))})
+
+
+def test_compose_splits_keys_deterministically():
+    t = Compose([
+        TokenMaskTransform(mask_prob=0.5),
+        UniformNegativeSamplingTransform(n_negatives=4, n_items=50),
+    ])
+    key = jax.random.PRNGKey(7)
+    a = t(make_batch(), key=key)
+    b = t(make_batch(), key=key)
+    np.testing.assert_array_equal(a["token_mask"], b["token_mask"])
+    np.testing.assert_array_equal(a["negatives"], b["negatives"])
+    # the two stages must not share a key stream
+    c = t(make_batch(), key=jax.random.PRNGKey(8))
+    assert not np.array_equal(np.asarray(a["negatives"]), np.asarray(c["negatives"]))
+
+
+def test_token_mask_every_row_trains():
+    """mask_prob→0 still yields ≥1 masked position per row (the forced
+    last-real-token rule, reference Bert4RecUniformMasker contract)."""
+    t = TokenMaskTransform(mask_prob=1e-9)
+    out = t(make_batch(), key=jax.random.PRNGKey(0))
+    tm = np.asarray(out["token_mask"])
+    assert (tm.sum(axis=1) >= 1).all()
+    np.testing.assert_array_equal(tm, [[0, 0, 0, 1], [0, 0, 0, 1]])
+
+
+def test_trim_keeps_most_recent():
+    out = TrimTransform(seq_len=2)(make_batch())
+    np.testing.assert_array_equal(out["item_id"], [[2, 3], [4, 5]])
+    np.testing.assert_array_equal(out["padding_mask"], [[1, 1], [1, 1]])
