@@ -153,3 +153,23 @@ def test_ncis_precision_still_computes():
     out = NCISPrecision(topk=2, prev_policy_weights=prev)(recs, gt)
     # weights are 0.9 and 0.1 (prev=1), hit only on item 10
     assert abs(out["NCISPrecision@2"] - 0.9) < 1e-9
+
+
+def test_indexer_save_load_roundtrip(tmp_path):
+    """reference: tests/experimental/utils/test_save_load_indexer.py +
+    replay/experimental/utils/model_handler.py:123,155."""
+    from replay_tpu.experimental.preprocessing import Indexer
+    from replay_tpu.experimental.utils import load_indexer, save_indexer
+
+    users = pd.DataFrame({"user_id": ["b", "a", "c"]})
+    items = pd.DataFrame({"item_id": [5, 3, 9]})
+    idx = Indexer()
+    idx.fit(users, items)
+    save_indexer(idx, tmp_path / "ind", overwrite=True)
+    with pytest.raises(FileExistsError):
+        save_indexer(idx, tmp_path / "ind")
+    restored = load_indexer(tmp_path / "ind")
+    log = pd.DataFrame({"user_id": ["a", "c"], "item_id": [9, 3]})
+    pd.testing.assert_frame_equal(idx.transform(log), restored.transform(log))
+    back = restored.inverse_transform(restored.transform(log))
+    pd.testing.assert_frame_equal(back[["user_id", "item_id"]], log)
