@@ -193,6 +193,9 @@ class GreedyDiscretizingRule(BaseDiscretizingRule):
             msg = f"Column {self._col} contains NaN values"
             raise ValueError(msg)
         vc = values.dropna().value_counts().sort_index()
+        if vc.empty:
+            msg = f"Cannot fit discretizer: column {self._col} has no valid values"
+            raise ValueError(msg)
         bins = self._greedy_bin_find(
             vc.index.to_numpy(dtype=float),
             vc.to_numpy(),
@@ -222,6 +225,9 @@ class QuantileDiscretizingRule(BaseDiscretizingRule):
             msg = f"Column {self._col} contains NaN values"
             raise ValueError(msg)
         clean = values.dropna().to_numpy(dtype=float)
+        if clean.size == 0:
+            msg = f"Cannot fit discretizer: column {self._col} has no valid values"
+            raise ValueError(msg)
         # the reference's rule wraps sklearn KBinsDiscretizer
         # (discretizer.py:429), whose quantile strategy is
         # np.percentile(col, linspace(0, 100, n+1), method="averaged_inverted_cdf")

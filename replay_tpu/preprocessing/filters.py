@@ -163,6 +163,15 @@ class NumInteractionsFilter(_BaseFilter):
         return interactions[rank < self.num_interactions]
 
 
+def _days_window(ts: pd.Series, days: int):
+    """A ``days``-wide window in the column's own time unit: Timedelta for
+    datetime columns, seconds for the framework's canonical int-seconds
+    timestamps (reference only documents the datetime case)."""
+    if pd.api.types.is_datetime64_any_dtype(ts):
+        return pd.Timedelta(days=days)
+    return days * 86400
+
+
 class EntityDaysFilter(_BaseFilter):
     """Keep the first/last ``days`` of interactions per entity."""
 
@@ -181,7 +190,7 @@ class EntityDaysFilter(_BaseFilter):
 
     def _filter(self, interactions: pd.DataFrame) -> pd.DataFrame:
         ts = interactions[self.timestamp_column]
-        window = pd.Timedelta(days=self.days)
+        window = _days_window(ts, self.days)
         if self.first:
             start = interactions.groupby(self.entity_column)[self.timestamp_column].transform("min")
             return interactions[ts < start + window]
@@ -200,7 +209,9 @@ class GlobalDaysFilter(_BaseFilter):
 
     def _filter(self, interactions: pd.DataFrame) -> pd.DataFrame:
         ts = interactions[self.timestamp_column]
-        window = pd.Timedelta(days=self.days)
+        if ts.empty:
+            return interactions
+        window = _days_window(ts, self.days)
         if self.first:
             return interactions[ts < ts.min() + window]
         return interactions[ts > ts.max() - window]

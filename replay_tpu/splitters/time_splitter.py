@@ -55,6 +55,8 @@ class TimeSplitter(Splitter):
         if isinstance(threshold, str):
             threshold = datetime.strptime(threshold, self.time_column_format)
         res = interactions.copy()
+        if res.empty:
+            return res, res.copy()
         if isinstance(threshold, float):
             # reference sorts in place before the session recalculation
             # (time_splitter.py:171), so session first/last = earliest/latest

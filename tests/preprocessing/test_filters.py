@@ -122,3 +122,58 @@ def test_filter_cold():
     assert len(out) == 1
     with pytest.raises(ValueError):
         filter_cold(target, ref, mode="bogus")
+
+
+# ------------------------------------------------- edge inputs (fuzz finds)
+
+
+class TestEdgeInputs:
+    def test_days_filters_accept_int_second_timestamps(self):
+        """The framework's canonical timestamps are unix seconds; a days
+        window must work in that unit too (reference only documents the
+        datetime case)."""
+        from replay_tpu.preprocessing import EntityDaysFilter, GlobalDaysFilter
+
+        log = pd.DataFrame(
+            {"user_id": [1, 1, 2], "item_id": [1, 2, 3],
+             "timestamp": [0, 86400 * 2, 86400 * 20]}
+        )
+        assert GlobalDaysFilter(3, True).transform(log)["timestamp"].tolist() == [0, 86400 * 2]
+        assert GlobalDaysFilter(3, False).transform(log)["timestamp"].tolist() == [86400 * 20]
+        assert len(EntityDaysFilter(3, True).transform(log)) == 3
+        dlog = log.assign(timestamp=pd.to_datetime(log["timestamp"], unit="s"))
+        assert len(GlobalDaysFilter(3, True).transform(dlog)) == 2
+        assert len(EntityDaysFilter(1, True).transform(dlog)) == 2
+
+    def test_days_filters_empty_frame(self):
+        from replay_tpu.preprocessing import EntityDaysFilter, GlobalDaysFilter
+
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "timestamp": pd.Series([], dtype="int64")}
+        )
+        assert GlobalDaysFilter(1).transform(empty).empty
+        assert EntityDaysFilter(1).transform(empty).empty
+
+    def test_time_splitter_empty_frame(self):
+        from replay_tpu.splitters import TimeSplitter
+
+        empty = pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "item_id": pd.Series([], dtype="int64"),
+             "timestamp": pd.Series([], dtype="int64")}
+        )
+        tr, te = TimeSplitter(0.5).split(empty)
+        assert tr.empty and te.empty
+
+    def test_discretizer_empty_fit_raises(self):
+        from replay_tpu.preprocessing import (
+            Discretizer,
+            GreedyDiscretizingRule,
+            QuantileDiscretizingRule,
+        )
+
+        empty = pd.DataFrame({"rating": pd.Series([], dtype="float64")})
+        for rule_cls in (QuantileDiscretizingRule, GreedyDiscretizingRule):
+            with pytest.raises(ValueError, match="no valid values"):
+                Discretizer([rule_cls("rating", n_bins=2)]).fit(empty)
