@@ -133,11 +133,21 @@ class Word2VecRec(Recommender, ItemVectorModel):
     def _fit(self, dataset: Dataset) -> None:
         n_items = len(self.fit_items)
         centers, contexts = self._build_pairs(dataset)
-        if len(centers) == 0:
-            msg = "No skip-gram pairs; sequences too short for window_size"
-            raise ValueError(msg)
-
         rng = np.random.default_rng(self._seed)
+        if len(centers) == 0:
+            # no trainable pairs (all sequences shorter than the window) —
+            # the reference's Spark Word2Vec still yields vectors without
+            # crashing; keep the untrained init and warn
+            self.logger.warning(
+                "No skip-gram pairs (sequences too short for window_size); "
+                "item vectors are untrained random init"
+            )
+            self.vectors = (
+                (rng.random((n_items, self.rank)).astype(np.float32) - 0.5) / self.rank
+            )
+            self._fit_idf(dataset)
+            return
+
         perm = rng.permutation(len(centers))
         centers, contexts = centers[perm], contexts[perm]
 
@@ -168,13 +178,15 @@ class Word2VecRec(Recommender, ItemVectorModel):
                 )
                 step_no += 1
         self.vectors = np.asarray(in_emb)
+        self._fit_idf(dataset)
 
-        # idf over queries containing the item (reference use_idf semantics)
+    def _fit_idf(self, dataset: Dataset) -> None:
+        """idf over queries containing the item (reference use_idf semantics)."""
         inter = dataset.interactions
         pairs = inter[[self.query_column, self.item_column]].drop_duplicates()
         df = np.bincount(
             np.searchsorted(self.fit_items, pairs[self.item_column].to_numpy()),
-            minlength=n_items,
+            minlength=len(self.fit_items),
         ).astype(np.float64)
         n_queries = len(self.fit_queries)
         self.idf = np.log((n_queries + 1) / (df + 1))

@@ -209,3 +209,31 @@ def test_slim_negative_ratings_fall_back(block_dataset):
     sim = np.asarray(model._sim_dense)
     assert np.allclose(np.diag(sim), 0.0)
     assert sim.max() > 0
+
+
+def test_word2vec_degenerate_sequences_dont_crash():
+    """All sequences shorter than the window: the reference's Spark
+    Word2Vec still yields vectors; ours keeps the untrained init and warns
+    instead of raising."""
+    import warnings
+
+    from replay_tpu.models import Word2VecRec
+
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+        ]
+    )
+    ds = Dataset(
+        schema,
+        pd.DataFrame({"user_id": [0, 1], "item_id": [0, 0], "rating": [1.0, 1.0]}),
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        model = Word2VecRec(rank=2, seed=1, min_count=0)
+        model.fit(ds)
+    recs = model.predict(ds, k=1, filter_seen_items=False)
+    assert len(recs) == 2
+    assert model.vectors.shape == (1, 2)
