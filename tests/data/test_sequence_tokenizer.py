@@ -305,3 +305,31 @@ class TestSaveLoad:
         np.testing.assert_allclose(
             seq.get_sequence_by_query_id(u1, "price"), [2.0, 1.0, 3.0]
         )
+
+
+def test_scalar_query_feature_rides_csr_storage(featured_dataset):
+    """is_seq=False query feature: constant per query, surfaces as a [B]
+    array at batch time (reference scalar user-feature handling,
+    test_sequence_tokenizer.py:408)."""
+    schema = TensorSchema(
+        [
+            TensorFeatureInfo(
+                "item_id", TensorFeatureType.CATEGORICAL, is_seq=True,
+                feature_hint=FeatureHint.ITEM_ID,
+                feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+                embedding_dim=8,
+            ),
+            TensorFeatureInfo(
+                "segment", TensorFeatureType.CATEGORICAL, is_seq=False,
+                feature_sources=[TensorFeatureSource(FeatureSource.QUERY_FEATURES, "segment")],
+                embedding_dim=4,
+            ),
+        ]
+    )
+    tok = SequenceTokenizer(schema)
+    seq = tok.fit_transform(featured_dataset)
+    batch = next(seq.batches(batch_size=2, max_sequence_length=4))
+    assert batch["item_id"].shape == (2, 4)
+    assert batch["segment"].shape == (2,)  # scalar per query
+    # u1 -> s1, u2 -> s2 (distinct encoded values)
+    assert batch["segment"][0] != batch["segment"][1]
