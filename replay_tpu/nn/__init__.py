@@ -13,6 +13,7 @@ from replay_tpu.nn.embedding import (
 from replay_tpu.nn.ffn import PointWiseFeedForward, SwiGLU
 from replay_tpu.nn.attention import MultiHeadSelfAttention
 from replay_tpu.nn.head import EmbeddingTyingHead
+from replay_tpu.nn.output import InferenceOutput, TrainOutput
 from replay_tpu.nn.tiled_ce import CELossTiled
 from replay_tpu.nn.losses import (
     BCELoss,
@@ -50,6 +51,8 @@ __all__ = [
     "SwiGLU",
     "MultiHeadSelfAttention",
     "EmbeddingTyingHead",
+    "InferenceOutput",
+    "TrainOutput",
     "BCELoss",
     "BPRLoss",
     "BCESampledLoss",
