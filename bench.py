@@ -28,22 +28,25 @@ import time
 import numpy as np
 
 
-def _ensure_live_backend(timeout_s: int = 150) -> str:
+def _ensure_live_backend(timeout_s: int = 420) -> str:
     """Return the usable backend, falling back to CPU if the accelerator
     runtime hangs.  The probe runs in a SUBPROCESS because a hung tunnel
-    blocks inside C code where in-process timeouts (SIGALRM) never fire."""
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.default_backend()); float(jax.numpy.ones(())+1)"],
-            capture_output=True,
-            timeout=timeout_s,
-            text=True,
-        )
-        if probe.returncode == 0:
-            return probe.stdout.strip().splitlines()[-1]
-    except subprocess.TimeoutExpired:
-        pass
+    blocks inside C code where in-process timeouts (SIGALRM) never fire.
+    Measured axon-tunnel client init is 2-60+ s (cold) so the probe gets a
+    generous budget and one retry before declaring the chip dead."""
+    for attempt_timeout in (timeout_s, timeout_s // 2):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend()); float(jax.numpy.ones(())+1)"],
+                capture_output=True,
+                timeout=attempt_timeout,
+                text=True,
+            )
+            if probe.returncode == 0:
+                return probe.stdout.strip().splitlines()[-1]
+        except subprocess.TimeoutExpired:
+            continue
     import jax
 
     jax.config.update("jax_platforms", "cpu")
