@@ -117,16 +117,20 @@ def bench_jax() -> float:
     key = jax.random.PRNGKey(0)
     state = trainer.state
 
-    # warmup + compile
+    # warmup + compile.  NOTE: under the axon remote-TPU tunnel,
+    # block_until_ready returns at enqueue time, NOT completion — timing
+    # loops MUST force a device→host transfer (float()) to measure real
+    # execution (verified: an 11-TFLOP chain "completed" in 6 ms via
+    # block_until_ready vs 100 ms via float()).
     for i in range(3):
         state, stats = step(state, device_batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(stats["loss"])
+    float(stats["loss"])
 
     n_steps = 20
     start = time.perf_counter()
     for i in range(n_steps):
         state, stats = step(state, device_batch, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(stats["loss"])
+    float(stats["loss"])
     elapsed = time.perf_counter() - start
     return BATCH * n_steps / elapsed
 

@@ -76,73 +76,49 @@ def _topk_tile_kernel(
     idx_ref[:] = idxs
 
 
-def _bitonic_sort_desc_segments(vals, idxs, seg: int):
-    """Bitonic-sort each contiguous ``seg``-wide segment of the last axis in
-    DESCENDING order, carrying ``idxs`` as payload.  Pure static-shape
-    reshapes/selects — lowers on Mosaic.  Direction bits come from the
-    index WITHIN a segment so every segment sorts descending (a global-index
-    network would alternate directions across segments)."""
-    n = vals.shape[-1]
-    s = 2
-    while s <= seg:
-        d = s >> 1
-        while d >= 1:
-            shape = vals.shape[:-1] + (n // (2 * d), 2, d)
-            v = vals.reshape(shape)
-            ix = idxs.reshape(shape)
-            a_v, b_v = v[..., 0, :], v[..., 1, :]
-            a_i, b_i = ix[..., 0, :], ix[..., 1, :]
-            blk = jax.lax.broadcasted_iota(jnp.int32, a_v.shape, a_v.ndim - 2)
-            desc = (((blk * 2 * d) % seg) // s) % 2 == 0
-            swap = jnp.where(desc, a_v < b_v, a_v > b_v)
-            hi_v = jnp.where(swap, b_v, a_v)
-            lo_v = jnp.where(swap, a_v, b_v)
-            hi_i = jnp.where(swap, b_i, a_i)
-            lo_i = jnp.where(swap, a_i, b_i)
-            vals = jnp.stack([hi_v, lo_v], axis=-2).reshape(vals.shape)
-            idxs = jnp.stack([hi_i, lo_i], axis=-2).reshape(idxs.shape)
-            d >>= 1
-        s <<= 1
-    return vals, idxs
+def _cmpex_roll(vals, idxs, d: int, desc_mask):
+    """One bitonic compare-exchange at lane distance ``d`` on flat
+    [b, width] arrays.  Partners are fetched with static lane rolls (the
+    only lane-permutation Mosaic lowers — no ``rev``, no >2-D reshapes);
+    pair (i, i^d) never crosses a roll wrap because wrap positions are
+    never selected (position i<d has bit d clear and reads i+d; position
+    i≥width-d has bit d set and reads i-d).
 
-
-def _bitonic_merge_pairs(vals, idxs, seg: int):
-    """[..., m, seg] descending-sorted segments → [..., m//2, seg]: each
-    output segment is the sorted top-``seg`` of a pair (reverse + max gives
-    the top multiset as a bitonic sequence; a descending clean sorts it)."""
-    m = vals.shape[-2]
-    v = vals.reshape(vals.shape[:-2] + (m // 2, 2, seg))
-    ix = idxs.reshape(idxs.shape[:-2] + (m // 2, 2, seg))
-    a_v, b_v = v[..., 0, :], v[..., 1, :][..., ::-1]
-    a_i, b_i = ix[..., 0, :], ix[..., 1, :][..., ::-1]
-    take = a_v >= b_v
-    mv = jnp.where(take, a_v, b_v)
-    mi = jnp.where(take, a_i, b_i)
-    # descending bitonic clean
-    d = seg >> 1
-    while d >= 1:
-        shape = mv.shape[:-1] + (seg // (2 * d), 2, d)
-        vv = mv.reshape(shape)
-        vi = mi.reshape(shape)
-        a2v, b2v = vv[..., 0, :], vv[..., 1, :]
-        a2i, b2i = vi[..., 0, :], vi[..., 1, :]
-        swap = a2v < b2v
-        hi_v = jnp.where(swap, b2v, a2v)
-        lo_v = jnp.where(swap, a2v, b2v)
-        hi_i = jnp.where(swap, b2i, a2i)
-        lo_i = jnp.where(swap, a2i, b2i)
-        mv = jnp.stack([hi_v, lo_v], axis=-2).reshape(mv.shape)
-        mi = jnp.stack([hi_i, lo_i], axis=-2).reshape(mi.shape)
-        d >>= 1
-    return mv, mi
+    ``desc_mask`` is an int32 0/1 array (or scalar) broadcastable to
+    [b, width]: 1 where the enclosing block sorts DESCENDING.  The element
+    at the bit-clear (lower) position of a pair keeps the max iff
+    descending.  All mask algebra stays int32 with one final comparison —
+    Mosaic cannot lower bool-on-bool selects/xors (i8→i1 truncation)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    upper01 = (lane & d) // d  # 1 at the upper position of each pair
+    upper = upper01 == 1
+    part_v = jnp.where(upper, jnp.roll(vals, d, axis=1), jnp.roll(vals, -d, axis=1))
+    part_i = jnp.where(upper, jnp.roll(idxs, d, axis=1), jnp.roll(idxs, -d, axis=1))
+    # xor: lower&desc → max, upper&desc → min
+    want01 = (upper01 + desc_mask) & 1
+    gt = (part_v > vals).astype(jnp.int32)
+    lt = (part_v < vals).astype(jnp.int32)
+    take = (want01 * gt + (1 - want01) * lt) == 1
+    return jnp.where(take, part_v, vals), jnp.where(take, part_i, idxs)
 
 
 def _topk_tile_kernel_bitonic(
-    q_ref, w_ref, vals_ref, idx_ref, *, block_n: int, n: int, seg: int = 128
+    q_ref, w_ref, vals_ref, idx_ref, idx_scratch, *, block_n: int, n: int,
+    seg: int = 128
 ):
-    """Per-tile top-``seg`` via a bitonic network: O(log² seg + log(block_n/seg)
-    · log seg) vector stages instead of the iterative kernel's O(k) argmax
-    passes — the k>32 regime where iterative selection loses to XLA."""
+    """Per-tile top-``seg`` via a bitonic tournament, O(log²·) vector stages
+    instead of the iterative kernel's O(k) argmax passes — the k>32 regime
+    where iterative selection loses to XLA.
+
+    Everything stays a flat [b, block_n] vector (Mosaic cannot shape-cast
+    the lane axis): (1) bitonic-sort every ``seg``-lane segment, direction
+    ALTERNATING by segment index so adjacent (desc, asc) pairs form bitonic
+    sequences; (2) tournament-merge segment pairs in place — the elementwise
+    pairwise max IS the first merge stage, the winners keep living in the
+    lower segment, losers' lanes compute garbage that is never read; after
+    level ℓ the live segments sit at indices ≡ 0 (mod 2^ℓ), cleaned toward
+    a direction alternating by live rank.  The final top-``seg`` lands
+    descending-sorted in lanes [0, seg)."""
     tile = pl.program_id(1)
     scores = jax.lax.dot_general(
         q_ref[:],
@@ -153,16 +129,45 @@ def _topk_tile_kernel_bitonic(
     base = tile * block_n
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
     scores = jnp.where(col_ids + base < n, scores, NEG_INF)
-    idxs = col_ids + base
+    # Mosaic crashes rolling lazy-layout iota-derived vectors at >8 sublane
+    # rows; a VMEM round-trip materializes the index payload in a native
+    # layout (the un-rolled mask iotas below are fine as lazy values).
+    idx_scratch[:] = col_ids + base
+    vals, idxs = scores, idx_scratch[:]
+    lane = col_ids  # lane position within the flat tile
 
-    b = scores.shape[0]
-    vals, idxs = _bitonic_sort_desc_segments(scores, idxs, seg)
-    vals = vals.reshape(b, block_n // seg, seg)
-    idxs = idxs.reshape(b, block_n // seg, seg)
-    while vals.shape[1] > 1:
-        vals, idxs = _bitonic_merge_pairs(vals, idxs, seg)
-    vals_ref[:] = vals.reshape(b, seg)
-    idx_ref[:] = idxs.reshape(b, seg)
+    # --- phase 1: sort each seg-lane segment, direction (seg_idx % 2 == 0)
+    q_in_seg = lane % seg
+    seg_idx = lane // seg
+    s = 2
+    while s <= seg:
+        # block direction at stage s, folded with the segment's target
+        # direction: desc ⇔ (in-segment stage block + segment index) even
+        desc01 = 1 - ((q_in_seg // s + seg_idx) & 1)
+        d = s >> 1
+        while d >= 1:
+            vals, idxs = _cmpex_roll(vals, idxs, d, desc01)
+            d >>= 1
+        s <<= 1
+
+    # --- phase 2: tournament merge, live segments at multiples of 2^level
+    n_seg = block_n // seg
+    level = 1
+    while (1 << level) <= n_seg:
+        # first merge stage: compare across the pair distance — winners
+        # (top-seg multiset of the bitonic desc|asc concatenation) collect
+        # in the lower segment as an elementwise max
+        vals, idxs = _cmpex_roll(vals, idxs, (1 << (level - 1)) * seg, 1)
+        # clean toward direction alternating by live rank (seg_idx >> level)
+        desc01 = 1 - ((seg_idx >> level) & 1)
+        d = seg >> 1
+        while d >= 1:
+            vals, idxs = _cmpex_roll(vals, idxs, d, desc01)
+            d >>= 1
+        level += 1
+
+    vals_ref[:] = vals[:, :seg]
+    idx_ref[:] = idxs[:, :seg]
 
 
 @partial(jax.jit, static_argnames=("k", "block_n", "block_b", "interpret", "method"))
@@ -221,11 +226,14 @@ def fused_topk(
 
     if method == "bitonic":
         kernel = partial(_topk_tile_kernel_bitonic, block_n=block_n, n=n, seg=kpad)
+        scratch = [pltpu.VMEM((block_b, block_n), jnp.int32)]
     else:
         kernel = partial(_topk_tile_kernel, k=k_eff, block_n=block_n, n=n)
+        scratch = []
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(grid_b, grid_n),
+        scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec((block_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),

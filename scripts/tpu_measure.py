@@ -18,16 +18,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def timed(fn, *args, warmup=2, iters=5, **kwargs):
+def _force(out):
+    """Force REAL completion: under the axon remote-TPU tunnel,
+    block_until_ready returns at enqueue time — only a device→host
+    transfer of a value observes execution."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def timed(fn, *args, warmup=2, iters=5, **kwargs):
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+        _force(out)
     return (time.perf_counter() - t0) / iters
 
 
