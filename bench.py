@@ -173,13 +173,18 @@ def bench_torch() -> float:
         loss.backward()
         opt.step()
 
+    import os
+
+    torch.set_num_threads(max(1, os.cpu_count() or 4))
     step()  # warmup
-    n_steps = 3
-    start = time.perf_counter()
-    for _ in range(n_steps):
+    # median-of-steps: single-shot timings on this shared host swing >10x
+    times = []
+    for _ in range(5):
+        start = time.perf_counter()
         step()
-    elapsed = time.perf_counter() - start
-    return TORCH_BATCH * n_steps / elapsed
+        times.append(time.perf_counter() - start)
+    times.sort()
+    return TORCH_BATCH / times[len(times) // 2]
 
 
 def main():

@@ -1,0 +1,251 @@
+"""Pallas fused flash-CE: exact full-softmax statistics without HBM logits.
+
+The XLA streaming formulation (replay_tpu/nn/tiled_ce.py) is bound by HBM:
+XLA materializes every [M, tile] logits buffer it scans (measured ~500 GB
+of traffic ≈ 500 ms at B=512, L=50, N=1M, D=64 — the GEMMs alone are
+~65 ms).  These kernels keep each [block_m, block_n] logit tile in VMEM,
+updating flash-softmax running (max, sum-exp) statistics in scratch, so
+HBM touches only the operands: O(M·D + N·D) per pass instead of O(M·N).
+
+Forward grid is (m-blocks, n-blocks) with n innermost: per m-block the
+item table streams through VMEM once while [block_m]-row statistics live
+in scratch.  The backward splits into two kernels so every accumulator
+lives in scratch for exactly one grid row — dh with n innermost, dW with
+m innermost.  Each recomputes the logits tile (one extra streaming GEMM,
+~25% more MXU work) in exchange for zero cross-step output aliasing,
+which Pallas TPU's write-only, prefetch-pipelined output buffers cannot
+express race-free.
+
+The positive-logit term (gather of label rows) and the masked mean stay in
+XLA — they are O(M·D) and gather/scatter do not belong in Mosaic.
+
+reference: replay/models/nn/loss/sce.py:27 (the approximation this exact
+kernel outperforms).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -3.0e38  # python float: kernels cannot capture traced constants
+LANES = 128
+
+
+def _masked_logits(h_ref, w_ref, ni, *, n, block_n, compute_dtype):
+    h = h_ref[:]
+    w = w_ref[:]
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    logits = jax.lax.dot_general(
+        h, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_m, block_n]
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ni * block_n
+    return jnp.where(col < n, logits, NEG_INF), h, w
+
+
+def _fwd_kernel(h_ref, w_ref, lse_ref, mx_s, s_s, *, n, block_n, n_steps,
+                compute_dtype):
+    ni = pl.program_id(1)
+
+    @pl.when(ni == 0)
+    def _init():
+        mx_s[:] = jnp.full_like(mx_s[:], NEG_INF)
+        s_s[:] = jnp.zeros_like(s_s[:])
+
+    logits, _, _ = _masked_logits(
+        h_ref, w_ref, ni, n=n, block_n=block_n, compute_dtype=compute_dtype
+    )
+    tile_max = jnp.max(logits, axis=1, keepdims=True)  # [block_m, 1]
+    mx_old = mx_s[:][:, :1]
+    mx_new = jnp.maximum(mx_old, tile_max)
+    p_sum = jnp.sum(jnp.exp(logits - mx_new), axis=1, keepdims=True)
+    s_new = s_s[:][:, :1] * jnp.exp(mx_old - mx_new) + p_sum
+    mx_s[:] = jnp.broadcast_to(mx_new, mx_s.shape)
+    s_s[:] = jnp.broadcast_to(s_new, s_s.shape)
+
+    @pl.when(ni == n_steps - 1)
+    def _fin():
+        lse_ref[:] = mx_s[:] + jnp.log(s_s[:])
+
+
+def _dh_kernel(h_ref, w_ref, lse_ref, g_ref, dh_ref, dh_s, *, n, block_n,
+               n_steps, compute_dtype):
+    """grid (m, n), n innermost: dh[block_m, D] accumulates in scratch."""
+    ni = pl.program_id(1)
+
+    @pl.when(ni == 0)
+    def _init():
+        dh_s[:] = jnp.zeros_like(dh_s[:])
+
+    logits, _, w = _masked_logits(
+        h_ref, w_ref, ni, n=n, block_n=block_n, compute_dtype=compute_dtype
+    )
+    # P = softmax * upstream row grad; masked cols exp to exactly 0
+    p = jnp.exp(logits - lse_ref[:][:, :1]) * g_ref[:][:, :1]
+    dh_s[:] = dh_s[:] + jax.lax.dot_general(
+        p.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ni == n_steps - 1)
+    def _fin():
+        dh_ref[:] = dh_s[:]
+
+
+def _dw_kernel(h_ref, w_ref, lse_ref, g_ref, dw_ref, dw_s, *, n, block_n,
+               m_steps, compute_dtype):
+    """grid (n, m), m innermost: dW[block_n, D] accumulates in scratch."""
+    ni = pl.program_id(0)
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _init():
+        dw_s[:] = jnp.zeros_like(dw_s[:])
+
+    logits, h, _ = _masked_logits(
+        h_ref, w_ref, ni, n=n, block_n=block_n, compute_dtype=compute_dtype
+    )
+    p = jnp.exp(logits - lse_ref[:][:, :1]) * g_ref[:][:, :1]
+    dw_s[:] = dw_s[:] + jax.lax.dot_general(
+        p.astype(h.dtype), h, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(mi == m_steps - 1)
+    def _fin():
+        dw_ref[:] = dw_s[:]
+
+
+def _pad_rows(x, multiple):
+    m = x.shape[0]
+    padded = -(-m // multiple) * multiple
+    if padded != m:
+        x = jnp.concatenate(
+            [x, jnp.zeros((padded - m,) + x.shape[1:], x.dtype)], axis=0
+        )
+    return x, padded
+
+
+def _blocks(m, n, block_m, block_n):
+    block_n = min(block_n, -(-n // LANES) * LANES)
+    block_m = min(block_m, -(-m // 8) * 8)
+    return block_m, block_n
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret",
+                                   "compute_dtype"))
+def flash_lse(flat_h, item_weights, block_m: int = 512, block_n: int = 2048,
+              interpret: bool = False, compute_dtype=None):
+    """logsumexp(h · Wᵀ) per row, exact, no [M, N] HBM buffer.
+
+    :returns: [M, LANES] float32, lane-replicated (callers slice ``[:, 0]``;
+        the backward kernels consume the panel directly).
+    """
+    m, d = flat_h.shape
+    n = item_weights.shape[0]
+    block_m, block_n = _blocks(m, n, block_m, block_n)
+    h_p, m_pad = _pad_rows(flat_h, block_m)
+    w_p, n_pad = _pad_rows(item_weights, block_n)
+    grid = (m_pad // block_m, n_pad // block_n)
+    lse = pl.pallas_call(
+        partial(_fwd_kernel, n=n, block_n=block_n, n_steps=grid[1],
+                compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda mi, ni: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda mi, ni: (ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, LANES), lambda mi, ni: (mi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, LANES), jnp.float32),
+            pltpu.VMEM((block_m, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * d,
+            bytes_accessed=(grid[0] * n_pad + m_pad) * d * 4,
+            transcendentals=m_pad * n_pad,
+        ),
+    )(h_p, w_p)
+    return lse[:m]
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret",
+                                   "compute_dtype"))
+def flash_softmax_grads(flat_h, item_weights, lse_panel, g, block_m: int = 512,
+                        block_n: int = 2048, interpret: bool = False,
+                        compute_dtype=None):
+    """Softmax-term gradients of Σ g·lse(h·Wᵀ): dh = P·W and dW = Pᵀ·h with
+    P = softmax(h·Wᵀ)·g, streamed tile-by-tile (no [M, N] buffer).
+
+    ``lse_panel`` is the [M, LANES] output of :func:`flash_lse`.  The caller
+    subtracts the positive-label terms.
+    :returns: (dh [M, D] float32, dW [N, D] float32).
+    """
+    m, d = flat_h.shape
+    n = item_weights.shape[0]
+    block_m, block_n = _blocks(m, n, block_m, block_n)
+    h_p, m_pad = _pad_rows(flat_h, block_m)
+    w_p, n_pad = _pad_rows(item_weights, block_n)
+    lse_p, _ = _pad_rows(lse_panel, block_m)
+    # padding rows: g = 0 ⇒ zero contribution to dW; dh rows sliced away
+    g_p, _ = _pad_rows(
+        jnp.broadcast_to(g.reshape(-1, 1).astype(jnp.float32), (m, LANES)),
+        block_m,
+    )
+    in_specs_mn = [
+        pl.BlockSpec((block_m, d), lambda a, b: (a, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, d), lambda a, b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, LANES), lambda a, b: (a, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, LANES), lambda a, b: (a, 0), memory_space=pltpu.VMEM),
+    ]
+    in_specs_nm = [
+        pl.BlockSpec((block_m, d), lambda a, b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, d), lambda a, b: (a, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, LANES), lambda a, b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, LANES), lambda a, b: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    n_steps = n_pad // block_n
+    m_steps = m_pad // block_m
+    dh = pl.pallas_call(
+        partial(_dh_kernel, n=n, block_n=block_n, n_steps=n_steps,
+                compute_dtype=compute_dtype),
+        grid=(m_steps, n_steps),
+        in_specs=in_specs_mn,
+        out_specs=pl.BlockSpec((block_m, d), lambda mi, ni: (mi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, d), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * n_pad * d,
+            bytes_accessed=(m_steps * n_pad + m_pad * 2) * d * 4,
+            transcendentals=m_pad * n_pad,
+        ),
+    )(h_p, w_p, lse_p, g_p)
+    dw = pl.pallas_call(
+        partial(_dw_kernel, n=n, block_n=block_n, m_steps=m_steps,
+                compute_dtype=compute_dtype),
+        grid=(n_pad // block_n, m_steps),
+        in_specs=in_specs_nm,
+        out_specs=pl.BlockSpec((block_n, d), lambda ni, mi: (ni, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_n, d), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * n_pad * d,
+            bytes_accessed=(n_steps * m_pad + n_pad * 2) * d * 4,
+            transcendentals=m_pad * n_pad,
+        ),
+    )(h_p, w_p, lse_p, g_p)
+    return dh[:m], dw[:n]

@@ -122,4 +122,7 @@ def test_batch_scale_speed():
     out = OfflineMetrics([NDCG([10]), MAP([10]), Recall([10]), MRR([10])])(recs, gt)
     took = time.time() - t0
     assert set(out) == {"NDCG@10", "MAP@10", "Recall@10", "MRR@10"}
-    assert took < 30, f"batch metrics too slow: {took:.1f}s"
+    # generous bound: catches a regression to the round-1 per-user python
+    # loops (10+ minutes at this scale) without flaking when the 4-core CI
+    # box is contended (measured 2.1s idle, up to ~2min under full load)
+    assert took < 180, f"batch metrics too slow: {took:.1f}s"

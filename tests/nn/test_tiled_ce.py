@@ -88,3 +88,55 @@ def test_bf16_compute_matches_bf16_dense():
     gd = jax.grad(dense_bf16, argnums=(0, 1))(hidden, weights)
     np.testing.assert_allclose(np.asarray(gt[0]), np.asarray(gd[0]).reshape(B, L, D), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gt[1]), np.asarray(gd[1]), atol=1e-3)
+
+
+class TestFlashCE:
+    """Pallas flash-CE (interpret mode on CPU) vs dense CE."""
+
+    def test_loss_matches_dense(self, inputs):
+        from replay_tpu.nn.tiled_ce import _masked_mean, _safe_labels, flash_ce_nll
+
+        hidden, labels, mask, weights = inputs
+        dense = CELoss()(hidden, labels, mask, weights)
+        nll = flash_ce_nll(
+            hidden, _safe_labels(labels, mask), weights, 8, 128, None, True
+        )
+        np.testing.assert_allclose(dense, _masked_mean(nll, mask), rtol=1e-5)
+
+    def test_gradients_match_dense(self, inputs):
+        from replay_tpu.nn.tiled_ce import _masked_mean, _safe_labels, flash_ce_nll
+
+        hidden, labels, mask, weights = inputs
+
+        def flash_loss(h, w):
+            nll = flash_ce_nll(
+                h, _safe_labels(labels, mask), w, 8, 128, None, True
+            )
+            return _masked_mean(nll, mask)
+
+        ref = jax.grad(
+            lambda h, w: CELoss()(h, labels, mask, w), argnums=(0, 1)
+        )(hidden, weights)
+        got = jax.grad(flash_loss, argnums=(0, 1))(hidden, weights)
+        np.testing.assert_allclose(ref[0], got[0], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(ref[1], got[1], rtol=1e-4, atol=1e-6)
+
+    def test_ragged_shapes_and_bf16(self, inputs):
+        """Non-multiple M and N exercise both padding paths; bf16 compute
+        stays within mixed-precision tolerance."""
+        from replay_tpu.nn.tiled_ce import _masked_mean, _safe_labels, flash_ce_nll
+
+        hidden, labels, mask, weights = inputs
+        h = hidden[:3, :5]
+        lab = _safe_labels(labels[:3, :5], mask[:3, :5])
+        w = weights[:77]
+        lab = jnp.minimum(lab, 76)
+        dense = CELoss()(h, lab, mask[:3, :5], w)
+        nll = flash_ce_nll(h, lab, w, 8, 128, None, True)
+        np.testing.assert_allclose(
+            dense, _masked_mean(nll, mask[:3, :5]), rtol=1e-5
+        )
+        nll_bf16 = flash_ce_nll(h, lab, w, 8, 128, jnp.bfloat16, True)
+        np.testing.assert_allclose(
+            dense, _masked_mean(nll_bf16, mask[:3, :5]), rtol=0.05
+        )
