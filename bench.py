@@ -61,7 +61,7 @@ BLOCKS = 2
 HEADS = 2
 
 
-def bench_jax() -> float:
+def bench_jax(loss=None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -96,7 +96,7 @@ def bench_jax() -> float:
     mesh = make_mesh()
     trainer = Trainer(
         model,
-        CELoss(),
+        loss if loss is not None else CELoss(),
         optimizer=OptimizerFactory(1e-3),
         transform=NextTokenTransform(),
         config=TrainerConfig(batch_size=BATCH, max_sequence_length=SEQ_LEN),

@@ -61,12 +61,44 @@ def bench_tiled_ce(quick=False):
     mask = jnp.ones((B, L))
     weights = jax.random.normal(key, (N, D)) * 0.05
 
-    for dtype in [None, "bfloat16"]:
-        loss = CELossTiled(tile=8192, compute_dtype=dtype)
-        grad_fn = jax.jit(jax.grad(lambda h, w: loss(h, labels, mask, w), argnums=(0, 1)))
-        dt = timed(grad_fn, hidden, weights, warmup=1, iters=3 if quick else 5)
-        flops = 4 * 2 * B * L * N * D  # 4 streaming GEMMs
-        print(f"| tiled CE fwd+bwd | {dtype or 'f32'} | {dt*1000:.0f} ms | {flops/dt/1e12:.1f} TFLOP/s |")
+    variants = [("scan", None), ("scan", "bfloat16"),
+                ("flash", None), ("flash", "bfloat16")]
+    for impl, dtype in variants:
+        loss = CELossTiled(tile=8192, compute_dtype=dtype, impl=impl)
+        grad_fn = jax.jit(jax.grad(lambda h, w, _l=loss: _l(h, labels, mask, w),
+                                   argnums=(0, 1)))
+        try:
+            dt = timed(grad_fn, hidden, weights, warmup=1, iters=3 if quick else 5)
+        except Exception as exc:
+            print(f"| tiled CE fwd+bwd | {impl} {dtype or 'f32'} | FAILED {type(exc).__name__} |")
+            continue
+        flops = 4 * 2 * B * L * N * D  # 4 streaming GEMMs (flash: 5)
+        print(f"| tiled CE fwd+bwd | {impl} {dtype or 'f32'} | {dt*1000:.0f} ms | {flops/dt/1e12:.1f} TFLOP/s |")
+
+
+def bench_train_step_losses(quick=False):
+    """The bench.py step with dense CE vs tiled-scan vs flash CE: the dense
+    [M, 3706] logits buffer is the honest step's dominant cost."""
+    import jax
+
+    import bench as bench_mod
+    from replay_tpu.nn.losses import CELoss
+    from replay_tpu.nn.tiled_ce import CELossTiled
+
+    losses = [
+        ("dense CELoss", CELoss()),
+        ("tiled scan bf16", CELossTiled(tile=2048, compute_dtype="bfloat16", impl="scan")),
+        ("flash bf16", CELossTiled(tile=2048, compute_dtype="bfloat16", impl="flash")),
+        ("flash f32", CELossTiled(tile=2048, impl="flash")),
+    ]
+    bench_mod.BATCH = 4096
+    for name, loss in losses:
+        try:
+            rate = bench_mod.bench_jax(loss=loss)
+        except Exception as exc:
+            print(f"| sasrec step b4096 | {name} | FAILED {type(exc).__name__}: {exc} |")
+            continue
+        print(f"| sasrec step b4096 | {name} | {rate/1e3:.0f}k ex/s |")
 
 
 def bench_topk(quick=False):
@@ -141,13 +173,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--only", default=None,
-                        choices=[None, "sasrec", "ce", "topk", "classical"])
+                        choices=[None, "sasrec", "step_losses", "ce", "topk",
+                                 "classical"])
     args = parser.parse_args()
     import jax
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     suites = {
         "sasrec": bench_sasrec,
+        "step_losses": bench_train_step_losses,
         "ce": bench_tiled_ce,
         "topk": bench_topk,
         "classical": bench_classical,
