@@ -111,6 +111,11 @@ class TrainerConfig:
     log_every: int = 100
     val_metrics: tuple = ("ndcg", "recall", "map")
     val_ks: tuple = (1, 5, 10)
+    # >1 runs that many optimizer steps per device dispatch (lax.scan over a
+    # host-stacked batch group): same math and RNG stream as dispatching one
+    # step at a time, but host dispatch overhead amortizes K-fold — the
+    # steps_per_loop idiom for TPU training loops
+    steps_per_dispatch: int = 1
 
 
 class Trainer:
@@ -176,7 +181,7 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------------ step
-    def _build_train_step(self):
+    def _make_step_fn(self):
         model = self.model
         loss_fn_outer = self.loss
         transform = self.transform
@@ -218,10 +223,52 @@ class Trainer:
             new_state = state.apply_gradients(grads=grads)
             return new_state, {"loss": loss_val}
 
-        data_shard = batch_sharding(self.mesh)
-        step = jax.jit(train_step, donate_argnums=(0,))
-        self._data_shard = data_shard
-        return step
+        return train_step
+
+    def _build_train_step(self):
+        self._data_shard = batch_sharding(self.mesh)
+        return jax.jit(self._make_step_fn(), donate_argnums=(0,))
+
+    def _build_train_multistep(self):
+        """K optimizer steps per dispatch: lax.scan over a [K, B, ...]
+        stacked batch group.  Keys are fold_in(root, base_step + i), the
+        SAME stream the one-step path consumes, so the two paths are
+        interchangeable mid-run (leftover batches at an epoch tail go
+        through the one-step jit)."""
+        train_step = self._make_step_fn()
+
+        def multi_step(state: TrainState, stacked, root_key, base_step):
+            k_steps = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+
+            def body(st, inp):
+                i, batch = inp
+                st, stats = train_step(
+                    st, batch, jax.random.fold_in(root_key, base_step + i)
+                )
+                return st, stats["loss"]
+
+            state, losses = jax.lax.scan(
+                body, state, (jnp.arange(k_steps), stacked)
+            )
+            return state, {"loss": losses}
+
+        self._data_shard = batch_sharding(self.mesh)
+        return jax.jit(multi_step, donate_argnums=(0,))
+
+    def _place_stacked(self, group):
+        """Host-stack a list of batches into [K, B, ...] arrays, sharding
+        the BATCH (second) axis over the data mesh axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked_shard = NamedSharding(self.mesh, P(None, "data"))
+        out = {}
+        for k in group[0]:
+            arr = jnp.asarray(np.stack([b[k] for b in group]))
+            if arr.ndim >= 2 and arr.shape[1] % self.mesh.shape["data"] == 0:
+                out[k] = jax.device_put(arr, stacked_shard)
+            else:
+                out[k] = arr
+        return out
 
     def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         out = {}
@@ -290,11 +337,14 @@ class Trainer:
         root_key = jax.random.PRNGKey(cfg.seed)
         if self._train_step is None:
             self._train_step = self._build_train_step()
+        k_disp = max(1, cfg.steps_per_dispatch)
+        multi_step = self._build_train_multistep() if k_disp > 1 else None
         step_no = int(self.state.step) if self.state is not None else 0
         ran_any = False
         for epoch in range(self.epoch, cfg.max_epochs):
             ran_any = True
             epoch_losses = []
+            group: List[Dict[str, np.ndarray]] = []
             # transforms that shorten sequences (NextTokenTransform's shift)
             # declare extra_length so model inputs stay max_sequence_length
             extra = getattr(self.transform, "extra_length", 0)
@@ -308,6 +358,24 @@ class Trainer:
                 if self.state is None:
                     self.init_state(batch)
                     self._train_step = self._build_train_step()
+                if k_disp > 1:
+                    group.append(batch)
+                    if len(group) == k_disp:
+                        self.state, stats = multi_step(
+                            self.state, self._place_stacked(group),
+                            root_key, step_no,
+                        )
+                        epoch_losses.extend(stats["loss"])
+                        step_no += k_disp
+                        group = []
+                    continue
+                device_batch = self._place_batch(batch)
+                key = jax.random.fold_in(root_key, step_no)
+                self.state, stats = self._train_step(self.state, device_batch, key)
+                epoch_losses.append(stats["loss"])
+                step_no += 1
+            # epoch-tail leftovers smaller than a dispatch group run one-step
+            for batch in group:
                 device_batch = self._place_batch(batch)
                 key = jax.random.fold_in(root_key, step_no)
                 self.state, stats = self._train_step(self.state, device_batch, key)

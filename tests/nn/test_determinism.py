@@ -52,3 +52,33 @@ def test_sce_learns(seq_dataset):
     losses = [h["loss"] for h in history]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_steps_per_dispatch_matches_one_step_path(seq_dataset):
+    """K scanned steps per dispatch reproduce the one-step path BITWISE
+    (same fold_in(root, step) key stream), including an odd epoch tail that
+    falls back to the one-step jit."""
+    import jax
+
+    def run(k_disp):
+        model = SasRec(schema=seq_dataset.schema, max_sequence_length=8,
+                       num_blocks=1, num_heads=2)
+        trainer = Trainer(
+            model,
+            CESampledLoss(8),
+            optimizer=OptimizerFactory(3e-3),
+            transform=NextTokenTransform(),
+            config=TrainerConfig(max_epochs=2, batch_size=8,
+                                 max_sequence_length=8, seed=5,
+                                 steps_per_dispatch=k_disp),
+        )
+        history = trainer.fit(seq_dataset)
+        return [h["loss"] for h in history], trainer.state.params
+
+    losses1, params1 = run(1)
+    losses2, params2 = run(2)
+    assert losses1 == losses2
+    flat1 = jax.tree_util.tree_leaves(params1)
+    flat2 = jax.tree_util.tree_leaves(params2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

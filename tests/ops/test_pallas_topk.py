@@ -89,3 +89,16 @@ def test_bitonic_falls_back_when_unsupported():
     v1, i1 = fused_topk(q, w, 150, block_n=256, interpret=True, method="bitonic")
     v2, i2 = topk_reference(q, w, 150)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+def test_bitonic_multirow_blocks_and_deep_merge_tree():
+    """block_b > 8 sublane rows (the Mosaic lazy-iota-roll crash shape) and
+    a 16-segment merge tree in one config."""
+    q = jnp.asarray(rng.normal(size=(48, 24)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5000, 24)).astype(np.float32))
+    v1, i1 = fused_topk(q, w, 100, block_n=2048, block_b=16, interpret=True,
+                        method="bitonic")
+    v2, i2 = topk_reference(q, w, 100)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    for r in range(48):
+        assert set(np.asarray(i1)[r].tolist()) == set(np.asarray(i2)[r].tolist())
