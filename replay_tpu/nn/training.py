@@ -435,10 +435,13 @@ class Trainer:
             msg = "fit_loader validation needs val_history (the query histories)"
             raise ValueError(msg)
         step_no = int(self.state.step) if self.state is not None else 0
+        k_disp = max(1, cfg.steps_per_dispatch)
+        multi_step = self._build_train_multistep() if k_disp > 1 else None
         ran_any = False
         for epoch in range(self.epoch, epochs):
             ran_any = True
             epoch_losses = []
+            group: List[Dict[str, np.ndarray]] = []
             pre = module.transform_for("train")
             for batch in module.loader("train", epoch):
                 if pre is not None:
@@ -446,6 +449,23 @@ class Trainer:
                 if self.state is None:
                     self.init_state(batch)
                     self._train_step = self._build_train_step()
+                if k_disp > 1:
+                    group.append(batch)
+                    if len(group) == k_disp:
+                        self.state, stats = multi_step(
+                            self.state, self._place_stacked(group),
+                            root_key, step_no,
+                        )
+                        epoch_losses.extend(stats["loss"])
+                        step_no += k_disp
+                        group = []
+                    continue
+                device_batch = self._place_batch(batch)
+                key = jax.random.fold_in(root_key, step_no)
+                self.state, stats = self._train_step(self.state, device_batch, key)
+                epoch_losses.append(stats["loss"])
+                step_no += 1
+            for batch in group:  # stream-tail leftovers: one-step path
                 device_batch = self._place_batch(batch)
                 key = jax.random.fold_in(root_key, step_no)
                 self.state, stats = self._train_step(self.state, device_batch, key)
