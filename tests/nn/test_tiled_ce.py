@@ -140,3 +140,17 @@ class TestFlashCE:
         np.testing.assert_allclose(
             dense, _masked_mean(nll_bf16, mask[:3, :5]), rtol=0.05
         )
+
+    def test_tiny_m_and_block_oversize(self, inputs):
+        """block_m larger than M and N smaller than one lane tile."""
+        from replay_tpu.nn.tiled_ce import _masked_mean, _safe_labels, flash_ce_nll
+
+        hidden, labels, mask, weights = inputs
+        h = hidden[:1, :2]          # M = 2 rows
+        lab = jnp.minimum(_safe_labels(labels[:1, :2], mask[:1, :2]), 49)
+        w = weights[:50]            # N = 50 < 128 lanes
+        dense = CELoss()(h, lab, mask[:1, :2], w)
+        nll = flash_ce_nll(h, lab, w, 512, 2048, None, True)
+        np.testing.assert_allclose(
+            dense, _masked_mean(nll, mask[:1, :2]), rtol=1e-5
+        )
