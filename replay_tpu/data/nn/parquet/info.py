@@ -182,3 +182,9 @@ def replica_indices(
     padded = partitioning_length(length, n_replicas)
     order = np.resize(order, padded)
     return order[replica::n_replicas]
+
+
+# Reference names (replay/data/nn/parquet/info/replicas.py): the replica =
+# worker × rank composition protocol and its process-default instance.
+ReplicasInfoProtocol = DistributedInfoProtocol
+DEFAULT_REPLICAS_INFO = DEFAULT_DISTRIBUTED_INFO

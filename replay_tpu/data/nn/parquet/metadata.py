@@ -110,3 +110,7 @@ def pad_column(
         if take:
             mask[row, length - take :] = 1
     return arr, mask
+
+
+# reference name (replay/data/nn/parquet/metadata.py ColumnMetadata)
+ColumnMetadata = ColumnMeta

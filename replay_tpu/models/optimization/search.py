@@ -237,3 +237,46 @@ class OptimizeMixin:
 
         self._study.optimize(objective, n_trials=budget)
         return self._study.best_params
+
+
+class ObjectiveWrapper:
+    """Standalone optuna objective (reference:
+    replay/models/optimization/optuna_objective.py:27 ObjectiveWrapper) —
+    the same trial→score callable ``OptimizeMixin.optimize`` builds
+    internally, exposed so callers can drive their own optuna study.
+
+    :param model: a fitted-or-not recommender with ``set_params``/``fit``/
+        ``predict`` and a ``_search_space``.
+    :param criterion: metric CLASS (e.g. NDCG), instantiated as criterion(k).
+    """
+
+    def __init__(self, model, train_dataset, test_dataset, criterion=None,
+                 k: int = 10, search_space: Optional[Dict[str, Dict]] = None):
+        self.model = model
+        self.train_dataset = train_dataset
+        self.test_dataset = test_dataset
+        self.criterion = criterion
+        self.k = k
+        self.search_space = (
+            search_space
+            if search_space is not None
+            else model._effective_search_space(None)
+        )
+
+    def __call__(self, trial) -> float:
+        params: Dict[str, Any] = {}
+        for name, spec in self.search_space.items():
+            kind, args = spec["type"], spec["args"]
+            if kind == "categorical":
+                params[name] = trial.suggest_categorical(name, args)
+            elif kind == "int":
+                params[name] = trial.suggest_int(name, args[0], args[1])
+            elif kind == "loguniform_int":
+                params[name] = trial.suggest_int(name, args[0], args[1], log=True)
+            elif kind == "loguniform":
+                params[name] = trial.suggest_float(name, args[0], args[1], log=True)
+            else:
+                params[name] = trial.suggest_float(name, args[0], args[1])
+        return self.model._eval_trial(
+            params, self.train_dataset, self.test_dataset, self.criterion, self.k
+        )

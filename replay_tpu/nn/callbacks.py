@@ -11,7 +11,7 @@ Postprocessors are pure functions logits → logits applied before top-k;
 callbacks accumulate per-batch top-k into host frames.
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Protocol, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -170,3 +170,79 @@ class QueryEmbeddingsCallback:
 
     def get_result(self):
         return np.concatenate(self._ids), np.concatenate(self._embs)
+
+
+def _format_preset(fmt):
+    class _Preset(TopKPredictionsCallback):
+        def __init__(self, k, query_column="query_id", item_column="item_id",
+                     rating_column="rating", postprocessors=(),
+                     item_id_decoder=None, output_path=None):
+            super().__init__(
+                k, query_column=query_column, item_column=item_column,
+                rating_column=rating_column, postprocessors=postprocessors,
+                item_id_decoder=item_id_decoder, output_format=fmt,
+                output_path=output_path,
+            )
+
+    return _Preset
+
+
+class PandasPredictionCallback(_format_preset("pandas")):
+    """TopKPredictionsCallback preset to a pandas result (reference:
+    replay/models/nn/sequential/callbacks/prediction_callbacks.py:130)."""
+
+
+class PolarsPredictionCallback(_format_preset("polars")):
+    """TopKPredictionsCallback preset to a polars result (reference:
+    prediction_callbacks.py:178)."""
+
+
+class TorchPredictionCallback(_format_preset("arrays")):
+    """TopKPredictionsCallback preset to raw arrays — the tensor-output
+    analog of the reference's torch variant (prediction_callbacks.py:130)."""
+
+
+class SparkPredictionCallback(_format_preset("parquet")):
+    """TopKPredictionsCallback streaming chunks to parquet — the
+    at-scale-output analog of the reference's Spark variant
+    (prediction_callbacks.py:226); ``get_result`` returns the path."""
+
+
+# the reference ships the same accumulators a second time as
+# nn/lightning/callback TopItems* classes — same objects here
+TopItemsCallbackBase = TopKPredictionsCallback
+PandasTopItemsCallback = PandasPredictionCallback
+PolarsTopItemsCallback = PolarsPredictionCallback
+TorchTopItemsCallback = TorchPredictionCallback
+SparkTopItemsCallback = SparkPredictionCallback
+BasePredictionCallback = TopKPredictionsCallback
+QueryEmbeddingsPredictionCallback = QueryEmbeddingsCallback
+HiddenStatesCallback = QueryEmbeddingsCallback
+
+
+class BasePostProcessor(Protocol):
+    """Postprocessor contract (reference: replay/nn/lightning/postprocessor
+    PostprocessorBase): mutate/filter a [B, N] logits block before top-k."""
+
+    def __call__(self, logits, batch): ...
+
+
+PostprocessorBase = BasePostProcessor
+
+
+class ValidationMetricsCallback:
+    """Per-epoch validation-metric recorder (reference:
+    replay/models/nn/sequential/callbacks/validation_callback.py) — attach
+    to ``Trainer(callbacks=[...])``; collects each epoch's record and
+    exposes the metric history."""
+
+    def __init__(self, metrics=("ndcg", "recall", "map"), ks=(1, 5, 10)):
+        self.metrics = tuple(metrics)
+        self.ks = tuple(ks)
+        self.history: List[Dict] = []
+
+    def __call__(self, trainer, record: Dict) -> None:
+        self.history.append(dict(record))
+
+    def get_result(self) -> List[Dict]:
+        return self.history

@@ -142,3 +142,13 @@ class CompiledSequentialModel:
             (name, tuple(shape), dtype) for name, shape, dtype in meta["field_specs"]
         ]
         return cls(exported, specs, int(meta["max_sequence_length"]), meta["mode"])
+
+
+class SasRecCompiled(CompiledSequentialModel):
+    """Reference name (replay/models/nn/sequential/compiled/sasrec_compiled.py)
+    — a CompiledSequentialModel built from a SasRec; the export machinery is
+    model-agnostic, so this is the same class under the upstream spelling."""
+
+
+class Bert4RecCompiled(CompiledSequentialModel):
+    """Reference name (compiled/bert4rec_compiled.py); see SasRecCompiled."""

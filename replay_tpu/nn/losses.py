@@ -21,7 +21,8 @@ sampled losses draw a *shared* negative set per step — one gather of
 GEMM dense on the MXU and is statistically equivalent for uniform sampling.
 """
 
-from typing import Optional
+from dataclasses import dataclass
+from typing import Optional, Protocol
 
 import jax
 import jax.numpy as jnp
@@ -361,3 +362,126 @@ class BPRLoss:
         denom = jnp.maximum(jnp.sum(~collide, axis=-1), 1)
         per_pos = -jnp.sum(pair, axis=-1) / denom
         return _masked_mean(per_pos, mask)
+
+
+class LogInCESampledLoss(LogInCELoss):
+    """In-batch contrastive CE extended with explicitly sampled negatives
+    (reference: replay/nn/loss/login_ce.py:241 LogInCESampled) — the
+    candidate pool per position is the other in-batch labels PLUS a shared
+    ``negatives`` array attached by a negative-sampling transform.  logQ
+    correction applies to the in-batch part only (sampled negatives are
+    uniform, so their correction is a constant)."""
+
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None,
+                 key=None):
+        if negatives is None:
+            return super().__call__(hidden, labels, mask, item_weights, key=key)
+        labels = _safe_labels(labels, mask)
+        batch, length, dim = hidden.shape
+        flat_h = hidden.reshape(-1, dim)
+        flat_labels = labels.reshape(-1)
+        flat_mask = mask.reshape(-1)
+
+        cand_w = jnp.take(item_weights, flat_labels, axis=0)
+        logits = (
+            jnp.einsum("md,nd->mn", flat_h, cand_w,
+                       preferred_element_type=jnp.float32) / self.temperature
+        )
+        m = flat_labels.shape[0]
+        same_item = flat_labels[:, None] == flat_labels[None, :]
+        diag = jnp.eye(m, dtype=bool)
+        logits = jnp.where(same_item & ~diag, NEG, logits)
+        logits = jnp.where((flat_mask[None, :] == 0) & ~diag, NEG, logits)
+        if self.log_q_correction:
+            freq = jnp.sum(
+                (flat_labels[None, :] == flat_labels[:, None])
+                & (flat_mask[None, :] == 1),
+                axis=1,
+            )
+            logq = jnp.log(jnp.maximum(freq.astype(jnp.float32), 1.0))
+            logits = logits - jnp.where(diag, 0.0, logq[None, :])
+        # sampled extension: shared negatives scored against every position
+        neg_w = jnp.take(item_weights, negatives, axis=0)  # [n, D]
+        neg_logits = (
+            jnp.einsum("md,nd->mn", flat_h, neg_w,
+                       preferred_element_type=jnp.float32) / self.temperature
+        )
+        neg_logits = jnp.where(
+            flat_labels[:, None] == negatives[None, :], NEG, neg_logits
+        )
+        all_logits = jnp.concatenate([logits, neg_logits], axis=1)
+        nll = -jax.nn.log_softmax(all_logits, axis=-1)[jnp.arange(m), jnp.arange(m)]
+        return _masked_mean(nll.reshape(batch, length), mask)
+
+
+class LogOutCEWeightedLoss(LogOutCELoss):
+    """LogOutCE with per-position sample weights (reference:
+    replay/nn/loss/logout_ce.py:148 LogOutCEWeighted)."""
+
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None,
+                 sample_weights=None, key=None):
+        if sample_weights is None:
+            return super().__call__(
+                hidden, labels, mask, item_weights, negatives=negatives, key=key
+            )
+        if negatives is None:
+            msg = "LogOutCEWeightedLoss requires a negatives array"
+            raise ValueError(msg)
+        labels = _safe_labels(labels, mask)
+        neg_w = jnp.take(item_weights, negatives, axis=0)
+        pos_w = jnp.take(item_weights, labels, axis=0)
+        pos_logit = jnp.einsum(
+            "bld,bld->bl", hidden, pos_w, preferred_element_type=jnp.float32
+        )
+        neg_logit = jnp.einsum(
+            "bld,nd->bln", hidden, neg_w, preferred_element_type=jnp.float32
+        )
+        collide = labels[..., None] == negatives[None, None, :]
+        neg_logit = jnp.where(collide, NEG, neg_logit)
+        all_logits = jnp.concatenate([pos_logit[..., None], neg_logit], axis=-1)
+        nll = -jax.nn.log_softmax(all_logits, axis=-1)[..., 0]
+        w = mask.astype(jnp.float32) * sample_weights.astype(jnp.float32)
+        return jnp.sum(jnp.where(w > 0, nll * w, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class LossProto(Protocol):
+    """The loss contract every class above satisfies (reference:
+    replay/nn/loss/base.py LossProto)."""
+
+    def __call__(self, hidden, labels, mask, item_weights, *, key=None): ...
+
+
+@dataclass
+class SCEParams:
+    """Hyperparameter bundle for :class:`ScalableCELoss` (reference:
+    replay/models/nn/loss SCEParams)."""
+
+    n_buckets: int = 64
+    bucket_size_x: int = 64
+    bucket_size_y: int = 64
+    mix_x: bool = False
+
+    def build(self) -> "ScalableCELoss":
+        return ScalableCELoss(
+            n_buckets=self.n_buckets,
+            bucket_size_x=self.bucket_size_x,
+            bucket_size_y=self.bucket_size_y,
+            mix_x=self.mix_x,
+        )
+
+
+# Reference import-surface aliases (reference: replay/nn/loss/__init__.py) —
+# same objects, the upstream names.
+BCE = BCELoss
+BCESampled = BCESampledLoss
+CE = CELoss
+CESampled = CESampledLoss
+CEWeighted = CEWeightedLoss
+CESampledWeighted = CESampledWeightedLoss
+LogInCE = LogInCELoss
+LogInCESampled = LogInCESampledLoss
+LogOutCE = LogOutCELoss
+LogOutCESampled = CESampledLoss  # the reference equates LogOutCESampled = CE
+LogOutCEWeighted = LogOutCEWeightedLoss
+ScalableCrossEntropyLoss = ScalableCELoss
+SCE = ScalableCELoss

@@ -231,3 +231,14 @@ class SasRec(nn.Module):
 
     def get_query_embeddings(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         return self.body(batch, deterministic=True)[:, -1, :]
+
+
+def DiffTransformerLayer(**kwargs):
+    """Reference name (replay/nn/sequential/sasrec/transformer.py
+    DiffTransformerLayer): a SasRecTransformerLayer with differential
+    attention preselected."""
+    kwargs.setdefault("attention", "diff")
+    return SasRecTransformerLayer(**kwargs)
+
+
+DiffTransformerBlock = DiffTransformerLayer

@@ -207,3 +207,10 @@ class TwoTower(nn.Module):
 
     def get_query_embeddings(self, batch):
         return self.body(batch, deterministic=True)[:, -1, :]
+
+
+# Reference name (replay/nn/sequential/twotower/model.py:53 QueryTower): the
+# TPU design fuses the query tower into the body — TwoTowerBody.__call__ IS
+# the query encoder (returns per-position query embeddings); the item side
+# lives behind get_item_weights/ItemTower.
+QueryTower = TwoTowerBody

@@ -633,3 +633,9 @@ def _mask_seen(
 def _gather_ground_truth(dataset: SequentialDataset, query_ids, item_name, max_gt):
     out, _ = dataset.padded_sequences(query_ids, item_name, length=max_gt, pad_value=-1)
     return jnp.asarray(out.astype(np.int64))
+
+
+# Reference names (replay/models/nn/optimizer_utils.py FatOptimizerFactory /
+# FatLRSchedulerFactory) — same factories, the upstream spelling.
+FatOptimizerFactory = OptimizerFactory
+FatLRSchedulerFactory = LRSchedulerFactory

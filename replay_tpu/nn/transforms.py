@@ -397,3 +397,8 @@ class SelectTransform:
 
     def __call__(self, batch: Batch, key=None) -> Batch:
         return {k: v for k, v in batch.items() if k in self.fields}
+
+
+# reference name for the uniform masked-LM masker
+# (replay/models/nn/sequential/bert4rec/dataset.py Bert4RecUniformMasker)
+Bert4RecUniformMasker = MaskedLMTransform
