@@ -246,3 +246,9 @@ class ValidationMetricsCallback:
 
     def get_result(self) -> List[Dict]:
         return self.history
+
+
+# reference names: RemoveSeenItems (nn/lightning postprocessor) and
+# ComputeMetricsCallback (nn/lightning/callback)
+RemoveSeenItems = SeenItemsFilter
+ComputeMetricsCallback = ValidationMetricsCallback

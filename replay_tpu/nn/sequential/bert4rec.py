@@ -147,3 +147,7 @@ class Bert4Rec(nn.Module):
         pad = jnp.roll(batch["padding_mask"], -1, axis=1)
         shifted["padding_mask"] = pad.at[:, -1].set(1)
         return self.body(shifted, deterministic=True)[:, -1, :]
+
+
+# reference name (replay/models/nn/sequential/bert4rec/model.py Bert4RecModel)
+Bert4RecModel = Bert4RecBody

@@ -242,3 +242,8 @@ def DiffTransformerLayer(**kwargs):
 
 
 DiffTransformerBlock = DiffTransformerLayer
+
+
+# reference name: the inner network behind the lightning wrapper
+# (replay/models/nn/sequential/sasrec/model.py SasRecModel)
+SasRecModel = SasRecBody

@@ -23,10 +23,11 @@ batched, dense, MXU-shaped; it is recomputed per step during training
 (cheap vs. the encoder) and cached by callers at inference.
 """
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, List, Optional, Protocol, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from replay_tpu.nn.dtypes import resolve_dtype
 
@@ -214,3 +215,88 @@ class TwoTower(nn.Module):
 # the query encoder (returns per-position query embeddings); the item side
 # lives behind get_item_weights/ItemTower.
 QueryTower = TwoTowerBody
+
+
+class FeaturesReaderProtocol(Protocol):
+    """reference: replay/nn/sequential/twotower/reader.py:11."""
+
+    def __getitem__(self, key: str): ...
+
+    @property
+    def feature_names(self) -> List[str]: ...
+
+
+class FeaturesReader:
+    """Item-feature table loader for the ItemTower (reference:
+    replay/nn/sequential/twotower/reader.py:18).
+
+    Reads an (already encoded) item-features parquet and produces one dense
+    array per schema item feature, row-indexed by item id, padded/truncated
+    to the ``metadata`` shape — the dict TwoTower consumes as
+    ``init_kwargs={"item_features": dict(reader)}``.
+
+    :param schema: the TwoTower item schema; every feature must carry an
+        ITEM_FEATURES source (or be the item-id feature).
+    :param metadata: ``{feature_name: {"shape": int, "padding_value": v}}``
+        for list features; scalar features may be omitted.
+    :param path: parquet path; extra kwargs go to ``pandas.read_parquet``.
+    """
+
+    def __init__(self, schema, metadata: Optional[Dict] = None, path: str = "",
+                 **kwargs):
+        import pandas as pd
+
+        from replay_tpu.data.schema import FeatureSource
+
+        if schema.item_id_feature_name is None:
+            msg = "FeaturesReader needs an item-id feature in the schema"
+            raise ValueError(msg)
+        metadata = metadata or {}
+        columns: Dict[str, str] = {}
+        for info in schema.all_features:
+            name = info.name
+            src = (info.feature_sources or [None])[0]
+            if name == schema.item_id_feature_name or (
+                src is not None and src.source == FeatureSource.ITEM_FEATURES
+            ):
+                columns[name] = src.column if src is not None else name
+        unknown = set(metadata) - set(columns)
+        if unknown:
+            msg = f"metadata names not in the item schema: {sorted(unknown)}"
+            raise ValueError(msg)
+        df = pd.read_parquet(path, columns=sorted(set(columns.values())),
+                             **kwargs)
+        id_col = columns[schema.item_id_feature_name]
+        ids = np.asarray(df[id_col], dtype=np.int64)
+        n_rows = int(ids.max()) + 1 if len(ids) else 0
+        self._arrays: Dict[str, np.ndarray] = {}
+        for name, col in columns.items():
+            if name == schema.item_id_feature_name:
+                continue
+            meta = metadata.get(name, {})
+            pad_value = meta.get("padding_value", 0)
+            values = df[col].to_numpy()
+            if len(values) and isinstance(values[0], (list, np.ndarray)):
+                width = meta.get("shape") or max(len(v) for v in values)
+                out = np.full((n_rows, width), pad_value, dtype=np.int64)
+                for i, v in zip(ids, values):
+                    v = np.asarray(v)[:width]
+                    out[i, : len(v)] = v
+            else:
+                out = np.full((n_rows,), pad_value,
+                              dtype=np.asarray(values).dtype)
+                out[ids] = values
+            self._arrays[name] = out
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return self._arrays[key]
+
+    def __iter__(self):
+        return iter(self._arrays.items())
+
+    def keys(self):
+        return self._arrays.keys()
+
+    @property
+    def feature_names(self) -> List[str]:
+        return list(self._arrays)

@@ -81,3 +81,61 @@ def test_twotower_training_with_inbatch_loss(seq_dataset):
     losses = [h["loss"] for h in history]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_features_reader_parquet_roundtrip(tmp_path, item_schema):
+    """FeaturesReader loads an item-feature parquet into the dict the
+    ItemTower consumes (reference reader.py:18 semantics: schema-validated
+    columns, dense rows by item id, list features padded)."""
+    import pandas as pd
+
+    from replay_tpu.data.nn.schema import TensorFeatureSource
+    from replay_tpu.data.schema import FeatureHint, FeatureSource
+    from replay_tpu.nn.sequential.twotower import FeaturesReader
+
+    rng = np.random.default_rng(0)
+    n = N_ITEMS
+    df = pd.DataFrame(
+        {
+            "item_id": np.arange(n),
+            "category": rng.integers(0, 5, n).astype(np.int64),
+            "tags": [list(rng.integers(0, 7, rng.integers(1, 4))) for _ in range(n)],
+        }
+    )
+    path = tmp_path / "items.parquet"
+    df.to_parquet(path)
+    reader_schema = TensorSchema(
+        [
+            TensorFeatureInfo(
+                "item_id", TensorFeatureType.CATEGORICAL, cardinality=n,
+                feature_hint=FeatureHint.ITEM_ID,
+                feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+            ),
+            TensorFeatureInfo(
+                "category", TensorFeatureType.CATEGORICAL, cardinality=5,
+                embedding_dim=16,
+                feature_sources=[TensorFeatureSource(FeatureSource.ITEM_FEATURES, "category")],
+            ),
+            TensorFeatureInfo(
+                "tags", TensorFeatureType.CATEGORICAL_LIST, cardinality=7,
+                embedding_dim=16,
+                feature_sources=[TensorFeatureSource(FeatureSource.ITEM_FEATURES, "tags")],
+            ),
+        ]
+    )
+    reader = FeaturesReader(
+        reader_schema, metadata={"tags": {"shape": 3, "padding_value": -1}},
+        path=str(path),
+    )
+    assert set(reader.feature_names) == {"category", "tags"}
+    np.testing.assert_array_equal(reader["category"], df["category"].to_numpy())
+    assert reader["tags"].shape == (n, 3)
+    # padded positions hold the pad value, real prefixes match
+    row0 = df["tags"].iloc[0]
+    np.testing.assert_array_equal(reader["tags"][0, : len(row0)], row0)
+    assert (reader["tags"][0, len(row0):] == -1).all()
+    # unknown metadata key → ValueError
+    import pytest
+
+    with pytest.raises(ValueError):
+        FeaturesReader(reader_schema, metadata={"nope": {}}, path=str(path))
