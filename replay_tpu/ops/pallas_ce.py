@@ -40,6 +40,12 @@ def _masked_logits(h_ref, w_ref, ni, *, n, block_n, compute_dtype):
     if compute_dtype is not None:
         h = h.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    elif h.dtype != w.dtype:
+        # the trainer's common case is bf16 activations × f32 weights; a
+        # mixed-input dot does not lower — promote to the wider dtype
+        wide = jnp.promote_types(h.dtype, w.dtype)
+        h = h.astype(wide)
+        w = w.astype(wide)
     logits = jax.lax.dot_general(
         h, w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -154,3 +154,22 @@ class TestFlashCE:
         np.testing.assert_allclose(
             dense, _masked_mean(nll, mask[:1, :2]), rtol=1e-5
         )
+
+    def test_mixed_dtype_hidden(self, inputs):
+        """bf16 activations x f32 weights — the trainer's standard mix."""
+        from replay_tpu.nn.tiled_ce import _masked_mean, _safe_labels, flash_ce_nll
+
+        hidden, labels, mask, weights = inputs
+        h16 = hidden.astype(jnp.bfloat16)
+        dense = CELoss()(h16, labels, mask, weights)
+        nll = flash_ce_nll(h16, _safe_labels(labels, mask), weights, 8, 128, None, True)
+        np.testing.assert_allclose(
+            dense, _masked_mean(nll, mask), rtol=2e-2
+        )
+        # grads flow and keep the input dtypes
+        import jax as _jax
+        g = _jax.grad(lambda h, w: _masked_mean(
+            flash_ce_nll(h, _safe_labels(labels, mask), w, 8, 128, None, True), mask
+        ), argnums=(0, 1))(h16, weights)
+        assert g[0].dtype == jnp.bfloat16 and g[1].dtype == jnp.float32
+        assert np.isfinite(np.asarray(g[1], dtype=np.float32)).all()
