@@ -28,14 +28,21 @@ def _build_library() -> Path:
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
     cmd = [
-        "g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC",
-        str(src), "-o", str(out),
+        "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
+        "-fopenmp", "-shared", "-fPIC", str(src), "-o", str(out),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except subprocess.CalledProcessError:
-        # toolchains without OpenMP: fall back to single-threaded search
-        cmd.remove("-fopenmp")
+        # older toolchains: drop -march=native first, then OpenMP
+        for flag in ("-march=native", "-fopenmp"):
+            if flag in cmd:
+                cmd.remove(flag)
+                try:
+                    subprocess.run(cmd, check=True, capture_output=True)
+                    return out
+                except subprocess.CalledProcessError:
+                    continue
         subprocess.run(cmd, check=True, capture_output=True)
     return out
 

@@ -34,9 +34,14 @@ struct Index {
     std::vector<float> data;           // n x dim
     std::vector<int64_t> labels;       // external ids
     std::vector<int> levels;           // level per node
-    // adjacency: per node, per level, fixed-capacity neighbor arrays
-    // layout: links[node] = vector over levels; each level: [count, n0, n1, ...]
-    std::vector<std::vector<std::vector<int>>> links;
+    // Level-0 adjacency is FLAT: per node one contiguous block of
+    // (M0 + 1) ints — [count, n0, n1, ...] — because level 0 is where
+    // ~100% of search hops happen and the former vector<vector<vector>>
+    // cost three dependent cache misses per neighbor-list access.
+    std::vector<int> nbr0;
+    // upper levels are rare (P(level ≥ 1) ≈ 1/M): nested vectors are fine;
+    // upper[node][l-1] = neighbors at level l
+    std::vector<std::vector<std::vector<int>>> upper;
     int entry_point = -1;
     int max_level = -1;
     std::mt19937_64 rng{42};
@@ -49,6 +54,17 @@ struct Index {
     inline int size() const { return (int)labels.size(); }
 
     inline const float* vec(int i) const { return data.data() + (size_t)i * dim; }
+
+    inline const int* nb(int node, int level, int& cnt) const {
+        if (level == 0) {
+            const int* p = nbr0.data() + (size_t)node * (M0 + 1);
+            cnt = p[0];
+            return p + 1;
+        }
+        const auto& v = upper[node][level - 1];
+        cnt = (int)v.size();
+        return v.data();
+    }
 
     inline float dist(const float* a, const float* b) const {
         if (space == L2) {
@@ -68,29 +84,50 @@ struct Index {
         return (int)(-std::log(std::max(r, 1e-12)) * level_mult);
     }
 
+    // Epoch-stamped per-thread visited marks: a fresh 50 KB vector + memset
+    // per query dominated small-k searches (~13k qps ceiling); bumping the
+    // epoch invalidates all marks in O(1).
+    struct VisitScratch {
+        std::vector<uint32_t> stamp;
+        uint32_t epoch = 0;
+    };
+    static VisitScratch& visit_scratch() {
+        thread_local VisitScratch vs;
+        return vs;
+    }
+
     // greedy ef-search at one level; returns max-heap of (dist, node) capped at ef
     void search_layer(const float* q, int entry, int level, int ef,
                       std::priority_queue<std::pair<float, int>>& top) const {
-        std::vector<uint8_t> visited(size(), 0);
+        VisitScratch& vs = visit_scratch();
+        if (vs.stamp.size() < (size_t)size()) vs.stamp.resize(size() * 2 + 64, 0);
+        if (++vs.epoch == 0) {  // wrapped: clear once every 2^32 queries
+            std::fill(vs.stamp.begin(), vs.stamp.end(), 0);
+            vs.epoch = 1;
+        }
+        const uint32_t ep = vs.epoch;
+        uint32_t* visited = vs.stamp.data();
         // candidates: min-heap by distance
         std::priority_queue<std::pair<float, int>, std::vector<std::pair<float, int>>,
                             std::greater<>> cand;
         float d0 = dist(q, vec(entry));
         cand.push({d0, entry});
         top.push({d0, entry});
-        visited[entry] = 1;
+        visited[entry] = ep;
         while (!cand.empty()) {
             auto [dc, c] = cand.top();
             if (dc > top.top().first && (int)top.size() >= ef) break;
             cand.pop();
-            const auto& nbrs = links[c][level];
-            for (int nb : nbrs) {
-                if (visited[nb]) continue;
-                visited[nb] = 1;
-                float d = dist(q, vec(nb));
+            int cnt;
+            const int* nbrs = nb(c, level, cnt);
+            for (int j = 0; j < cnt; ++j) {
+                int n_id = nbrs[j];
+                if (visited[n_id] == ep) continue;
+                visited[n_id] = ep;
+                float d = dist(q, vec(n_id));
                 if ((int)top.size() < ef || d < top.top().first) {
-                    cand.push({d, nb});
-                    top.push({d, nb});
+                    cand.push({d, n_id});
+                    top.push({d, n_id});
                     if ((int)top.size() > ef) top.pop();
                 }
             }
@@ -110,15 +147,33 @@ struct Index {
         return out;
     }
 
-    void prune(int node, int level) {
-        auto& nbrs = links[node][level];
-        int cap = level == 0 ? M0 : M;
-        if ((int)nbrs.size() <= cap) return;
+    // append nb_id to node's level-0 block; on overflow keep the cap
+    // closest (the prune step, done in place on the flat block)
+    void add_link0(int node, int nb_id) {
+        int* p = nbr0.data() + (size_t)node * (M0 + 1);
+        if (p[0] < M0) {
+            p[1 + p[0]] = nb_id;
+            ++p[0];
+            return;
+        }
         std::vector<std::pair<float, int>> scored;
-        for (int nb : nbrs) scored.push_back({dist(vec(node), vec(nb)), nb});
+        scored.reserve(p[0] + 1);
+        for (int j = 0; j < p[0]; ++j)
+            scored.push_back({dist(vec(node), vec(p[1 + j])), p[1 + j]});
+        scored.push_back({dist(vec(node), vec(nb_id)), nb_id});
+        std::sort(scored.begin(), scored.end());
+        p[0] = M0;
+        for (int j = 0; j < M0; ++j) p[1 + j] = scored[j].second;
+    }
+
+    void prune_upper(int node, int level) {
+        auto& nbrs = upper[node][level - 1];
+        if ((int)nbrs.size() <= M) return;
+        std::vector<std::pair<float, int>> scored;
+        for (int nb_id : nbrs) scored.push_back({dist(vec(node), vec(nb_id)), nb_id});
         std::sort(scored.begin(), scored.end());
         nbrs.clear();
-        for (int i = 0; i < cap; ++i) nbrs.push_back(scored[i].second);
+        for (int i = 0; i < M; ++i) nbrs.push_back(scored[i].second);
     }
 
     void add(const float* v_in, int64_t label) {
@@ -137,7 +192,8 @@ struct Index {
         labels.push_back(label);
         int level = random_level();
         levels.push_back(level);
-        links.emplace_back(level + 1);
+        nbr0.insert(nbr0.end(), M0 + 1, 0);
+        upper.emplace_back(level);  // empty neighbor lists for levels 1..level
 
         if (entry_point < 0) {
             entry_point = id;
@@ -151,9 +207,11 @@ struct Index {
             float best = dist(v, vec(ep));
             while (improved) {
                 improved = false;
-                for (int nb : links[ep][l]) {
-                    float d = dist(v, vec(nb));
-                    if (d < best) { best = d; ep = nb; improved = true; }
+                int cnt;
+                const int* nbrs = nb(ep, l, cnt);
+                for (int j = 0; j < cnt; ++j) {
+                    float d = dist(v, vec(nbrs[j]));
+                    if (d < best) { best = d; ep = nbrs[j]; improved = true; }
                 }
             }
         }
@@ -161,13 +219,19 @@ struct Index {
         for (int l = std::min(level, max_level); l >= 0; --l) {
             std::priority_queue<std::pair<float, int>> top;
             search_layer(v, ep, l, ef_construction, top);
-            ep = top.top().second;  // nearest as next entry (heap top is farthest; fix below)
             auto sel = select_neighbors(top, l == 0 ? M0 : M);
             if (!sel.empty()) ep = sel[0];
-            links[id][l] = sel;
-            for (int nb : sel) {
-                links[nb][l].push_back(id);
-                prune(nb, l);
+            if (l == 0) {
+                int* p = nbr0.data() + (size_t)id * (M0 + 1);
+                p[0] = (int)sel.size();
+                for (int j = 0; j < p[0]; ++j) p[1 + j] = sel[j];
+                for (int nb_id : sel) add_link0(nb_id, id);
+            } else {
+                upper[id][l - 1] = sel;
+                for (int nb_id : sel) {
+                    upper[nb_id][l - 1].push_back(id);
+                    prune_upper(nb_id, l);
+                }
             }
         }
         if (level > max_level) {
@@ -198,9 +262,11 @@ struct Index {
             float best = dist(q, vec(ep));
             while (improved) {
                 improved = false;
-                for (int nb : links[ep][l]) {
-                    float d = dist(q, vec(nb));
-                    if (d < best) { best = d; ep = nb; improved = true; }
+                int cnt;
+                const int* nbrs = nb(ep, l, cnt);
+                for (int j = 0; j < cnt; ++j) {
+                    float d = dist(q, vec(nbrs[j]));
+                    if (d < best) { best = d; ep = nbrs[j]; improved = true; }
                 }
             }
         }
@@ -241,9 +307,11 @@ struct Index {
             float best = dist(q, vec(ep));
             while (improved) {
                 improved = false;
-                for (int nb : links[ep][l]) {
-                    float d = dist(q, vec(nb));
-                    if (d < best) { best = d; ep = nb; improved = true; }
+                int cnt;
+                const int* nbrs = nb(ep, l, cnt);
+                for (int j = 0; j < cnt; ++j) {
+                    float d = dist(q, vec(nbrs[j]));
+                    if (d < best) { best = d; ep = nbrs[j]; improved = true; }
                 }
             }
         }
@@ -278,12 +346,13 @@ struct Index {
         std::fwrite(labels.data(), sizeof(int64_t), labels.size(), f);
         std::fwrite(levels.data(), sizeof(int), levels.size(), f);
         for (int i = 0; i < n; ++i) {
-            int nl = (int)links[i].size();
+            int nl = levels[i] + 1;
             std::fwrite(&nl, sizeof(int), 1, f);
-            for (auto& lv : links[i]) {
-                int c = (int)lv.size();
+            for (int l = 0; l < nl; ++l) {
+                int c;
+                const int* p = nb(i, l, c);
                 std::fwrite(&c, sizeof(int), 1, f);
-                std::fwrite(lv.data(), sizeof(int), c, f);
+                std::fwrite(p, sizeof(int), c, f);
             }
         }
         std::fclose(f);
@@ -310,16 +379,24 @@ struct Index {
         std::fread(idx->data.data(), sizeof(float), idx->data.size(), f);
         std::fread(idx->labels.data(), sizeof(int64_t), n, f);
         std::fread(idx->levels.data(), sizeof(int), n, f);
-        idx->links.resize(n);
+        idx->nbr0.assign((size_t)n * (idx->M0 + 1), 0);
+        idx->upper.resize(n);
         for (int i = 0; i < n; ++i) {
             int nl;
             std::fread(&nl, sizeof(int), 1, f);
-            idx->links[i].resize(nl);
-            for (auto& lv : idx->links[i]) {
+            idx->upper[i].resize(nl > 0 ? nl - 1 : 0);
+            for (int l = 0; l < nl; ++l) {
                 int c;
                 std::fread(&c, sizeof(int), 1, f);
-                lv.resize(c);
-                std::fread(lv.data(), sizeof(int), c, f);
+                if (l == 0) {
+                    int* p = idx->nbr0.data() + (size_t)i * (idx->M0 + 1);
+                    p[0] = c;
+                    std::fread(p + 1, sizeof(int), c, f);
+                } else {
+                    auto& lv = idx->upper[i][l - 1];
+                    lv.resize(c);
+                    std::fread(lv.data(), sizeof(int), c, f);
+                }
             }
         }
         std::fclose(f);
