@@ -114,3 +114,38 @@ def pad_column(
 
 # reference name (replay/data/nn/parquet/metadata.py ColumnMetadata)
 ColumnMetadata = ColumnMeta
+
+
+# Functional helpers under the reference's names
+# (reference: replay/data/nn/parquet/metadata/metadata.py:85-112).
+def get_1d_array_columns(metadata: Metadata) -> Sequence[str]:
+    return sorted(n for n, m in metadata.items() if len(m.shape) == 1)
+
+
+def get_2d_array_columns(metadata: Metadata) -> Sequence[str]:
+    return sorted(n for n, m in metadata.items() if len(m.shape) == 2)
+
+
+def get_numeric_columns(metadata: Metadata) -> Sequence[str]:
+    return sorted(n for n, m in metadata.items() if len(m.shape) == 0)
+
+
+def get_padding(metadata: Metadata, column_name: str):
+    if column_name not in metadata:
+        msg = f"Column {column_name} not found in metadata."
+        raise KeyError(msg)
+    return metadata[column_name].padding
+
+
+def get_shape(metadata: Metadata, column_name: str) -> Sequence[int]:
+    if column_name not in metadata:
+        msg = f"Column {column_name} not found in metadata."
+        raise KeyError(msg)
+    shape = metadata[column_name].shape
+    if not shape:
+        msg = f"Column {column_name} is not an array."
+        raise ValueError(msg)
+    if any(s < 1 for s in shape):
+        msg = f"Shape for column {column_name} must be positive."
+        raise ValueError(msg)
+    return list(shape)
