@@ -1,0 +1,141 @@
+"""Import trained reference (torch) checkpoints into replay_tpu models.
+
+A migrating user's most valuable artifact is a trained model.  This module
+maps the reference's new-tier SasRec state_dict
+(reference: replay/nn/sequential/sasrec/model.py:43 SasRecBody — embedder /
+PositionAwareAggregator / SasRecTransformerLayer / output LayerNorm) onto
+the flax parameter tree of :class:`replay_tpu.nn.sequential.sasrec.SasRec`
+constructed in its reference-exact configuration
+(``variant="kang"``, ``layer_norm_eps=1e-8``, sqrt(D) input scaling,
+FFN hidden = D).  Equivalence is verified to ~1e-5 on hidden states in
+tests/parity/test_torch_import.py against the reference's own torch model.
+
+Tensors may be torch tensors or numpy arrays (``.detach().cpu().numpy()``
+is applied when available), so torch itself is not required at call time.
+"""
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _strip_prefix(state_dict: Dict, prefix: str = "body.") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state_dict.items():
+        key = k[len(prefix):] if k.startswith(prefix) else k
+        out[key] = _np(v)
+    return out
+
+
+def sasrec_params_from_torch(state_dict: Dict, params, num_heads: int,
+                             item_feature: str = "item_id"):
+    """Map a reference SasRec(Body) state_dict onto an existing flax params
+    tree (as produced by ``model.init`` on a kang-variant SasRec).
+
+    :param state_dict: reference ``SasRec``/``SasRecBody`` state_dict
+        (``body.``-prefixed keys accepted).
+    :param params: the template params pytree; returned copy has every
+        mapped weight replaced.
+    :param num_heads: attention heads of the checkpoint.
+    :returns: new params pytree.
+    """
+    import flax
+
+    sd = _strip_prefix(dict(state_dict))
+    params = flax.core.unfreeze(flax.core.freeze(params))  # deep copy
+    body = params["body"]
+
+    # --- embeddings: torch [N+1, D] rows land in the head of our padded table
+    table = body["embedder"][f"emb_{item_feature}"]["table"]["embedding"]
+    src = sd[f"embedder.feature_embedders.{item_feature}.emb.weight"]
+    new_table = np.zeros(np.shape(table), dtype=np.float32)
+    new_table[: src.shape[0]] = src
+    body["embedder"][f"emb_{item_feature}"]["table"]["embedding"] = new_table
+    d = src.shape[1]
+    dh = d // num_heads
+
+    body["pos"]["pos_table"]["embedding"] = sd["embedding_aggregator.pe.weight"]
+
+    i = 0
+    while f"encoder.attention_layers.{i}.in_proj_weight" in sd:
+        layer = body[f"layer_{i}"]
+        in_w = sd[f"encoder.attention_layers.{i}.in_proj_weight"]  # [3D, D]
+        in_b = sd[f"encoder.attention_layers.{i}.in_proj_bias"]  # [3D]
+        for j, name in enumerate(("query", "key", "value")):
+            w = in_w[j * d:(j + 1) * d]  # [D(out), D(in)]
+            layer["attn"][name]["kernel"] = (
+                w.T.reshape(d, num_heads, dh)  # [in, H, Dh]
+            )
+            layer["attn"][name]["bias"] = (
+                in_b[j * d:(j + 1) * d].reshape(num_heads, dh)
+            )
+        out_w = sd[f"encoder.attention_layers.{i}.out_proj.weight"]  # [D, D]
+        layer["attn"]["out"]["kernel"] = out_w.T.reshape(num_heads, dh, d)
+        layer["attn"]["out"]["bias"] = sd[f"encoder.attention_layers.{i}.out_proj.bias"]
+
+        layer["ln_attn"]["scale"] = sd[f"encoder.attention_layernorms.{i}.weight"]
+        layer["ln_attn"]["bias"] = sd[f"encoder.attention_layernorms.{i}.bias"]
+        layer["ln_ffn"]["scale"] = sd[f"encoder.forward_layernorms.{i}.weight"]
+        layer["ln_ffn"]["bias"] = sd[f"encoder.forward_layernorms.{i}.bias"]
+
+        # conv1x1 [out, in, 1] → dense kernel [in, out]
+        layer["ffn"]["fc1"]["kernel"] = sd[f"encoder.forward_layers.{i}.conv1.weight"][:, :, 0].T
+        layer["ffn"]["fc1"]["bias"] = sd[f"encoder.forward_layers.{i}.conv1.bias"]
+        layer["ffn"]["fc2"]["kernel"] = sd[f"encoder.forward_layers.{i}.conv2.weight"][:, :, 0].T
+        layer["ffn"]["fc2"]["bias"] = sd[f"encoder.forward_layers.{i}.conv2.bias"]
+        i += 1
+
+    body["final_norm"]["scale"] = sd["output_normalization.weight"]
+    body["final_norm"]["bias"] = sd["output_normalization.bias"]
+    return params
+
+
+def sasrec_from_torch(schema, state_dict: Dict, max_sequence_length: int,
+                      num_blocks: int, num_heads: int,
+                      activation: str = "relu",
+                      dtype: Optional[str] = "float32"):
+    """Build the reference-exact flax SasRec and load a torch checkpoint.
+
+    :returns: (model, variables) — use
+        ``model.apply(variables, batch, method=SasRec.forward_inference)``.
+    """
+    import jax
+
+    from replay_tpu.nn.sequential.sasrec import SasRec
+
+    item_name = schema.item_id_feature_name
+    dim = schema[item_name].embedding_dim
+    model = SasRec(
+        schema=schema,
+        max_sequence_length=max_sequence_length,
+        num_blocks=num_blocks,
+        num_heads=num_heads,
+        hidden_dim=dim,           # reference FFN is D → D
+        dropout_rate=0.0,
+        variant="kang",
+        layer_norm_eps=1e-8,
+        activation=activation,
+        # PositionAwareAggregator multiplies embeddings by sqrt(D) before
+        # adding positions (reference agg.py:50) — same as our default
+        scale_embeddings=True,
+        dtype=dtype,
+    )
+    batch = {
+        "item_id": np.zeros((1, max_sequence_length), np.int32),
+        "padding_mask": np.ones((1, max_sequence_length), np.int8),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+    variables = dict(variables)
+    variables["params"] = sasrec_params_from_torch(
+        state_dict, variables["params"], num_heads, item_feature=item_name
+    )
+    return model, variables

@@ -58,7 +58,11 @@ class MultiHeadSelfAttention(nn.Module):
         x: jnp.ndarray,
         attn_bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        kv: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """``kv`` lets queries and keys/values come from different streams —
+        the Kang SASRec block normalizes only the query
+        (reference: replay/nn/sequential/sasrec/transformer.py:98)."""
         batch, length, dim = x.shape
         head_dim = dim // self.num_heads
         dense = lambda name: nn.DenseGeneral(  # noqa: E731
@@ -67,9 +71,10 @@ class MultiHeadSelfAttention(nn.Module):
             param_dtype=jnp.float32,
             name=name,
         )
+        src = x if kv is None else kv
         q = dense("query")(x)
-        k = dense("key")(x)
-        v = dense("value")(x)
+        k = dense("key")(src)
+        v = dense("value")(src)
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(head_dim))

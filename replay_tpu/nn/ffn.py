@@ -17,13 +17,20 @@ class PointWiseFeedForward(nn.Module):
 
     hidden_dim: int
     dropout_rate: float = 0.0
+    activation: str = "relu"  # "relu" | "gelu" (reference transformer default)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         dim = x.shape[-1]
+        # exact (erf) gelu — torch's default, so imported checkpoints match
+        act = (
+            (lambda v: nn.gelu(v, approximate=False))
+            if self.activation == "gelu"
+            else nn.relu
+        )
         h = nn.Dense(self.hidden_dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="fc1")(x)
-        h = nn.relu(h)
+        h = act(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = nn.Dense(dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="fc2")(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)

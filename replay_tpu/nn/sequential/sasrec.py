@@ -38,8 +38,15 @@ from replay_tpu.nn.head import tying_logits
 
 
 class SasRecTransformerLayer(nn.Module):
-    """Pre-LN causal transformer block (reference:
-    replay/nn/sequential/sasrec/transformer.py:10)."""
+    """Transformer block (reference: replay/nn/sequential/sasrec/transformer.py:10).
+
+    ``variant="preln"`` (default) is the standard pre-LN residual block.
+    ``variant="kang"`` reproduces the reference/original-SASRec wiring
+    exactly (transformer.py:98): the query alone is normalized, keys/values
+    come from the raw stream, the attention residual is taken from the
+    NORMALIZED query, and the FFN residual from the normalized input —
+    needed for bit-compatible torch-checkpoint import (interop.torch_import).
+    """
 
     num_heads: int
     hidden_dim: int
@@ -47,11 +54,18 @@ class SasRecTransformerLayer(nn.Module):
     attention: str = "default"  # "default" | "diff"
     ffn: str = "pointwise"  # "pointwise" | "swiglu"
     depth: int = 1
+    variant: str = "preln"  # "preln" | "kang"
+    layer_norm_eps: float = 1e-6
+    activation: str = "relu"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="ln_attn")(x)
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=self.layer_norm_eps, dtype=resolve_dtype(self.dtype),
+            param_dtype=jnp.float32, name=name,
+        )
+        h = ln("ln_attn")(x)
         if self.attention == "diff":
             attn = MultiHeadDifferentialAttention(
                 num_heads=self.num_heads,
@@ -67,15 +81,25 @@ class SasRecTransformerLayer(nn.Module):
                 dtype=resolve_dtype(self.dtype),
                 name="attn",
             )
-        x = x + nn.Dropout(self.dropout_rate)(
-            attn(h, attn_bias, deterministic=deterministic), deterministic=deterministic
-        )
-        h = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="ln_ffn")(x)
+        if self.variant == "kang":
+            a = attn(h, attn_bias, deterministic=deterministic, kv=x)
+            x = h + nn.Dropout(self.dropout_rate)(a, deterministic=deterministic)
+        else:
+            x = x + nn.Dropout(self.dropout_rate)(
+                attn(h, attn_bias, deterministic=deterministic),
+                deterministic=deterministic,
+            )
+        h = ln("ln_ffn")(x)
         if self.ffn == "swiglu":
             ff = SwiGLU(self.hidden_dim, self.dropout_rate, dtype=resolve_dtype(self.dtype), name="ffn")
         else:
-            ff = PointWiseFeedForward(self.hidden_dim, self.dropout_rate, dtype=resolve_dtype(self.dtype), name="ffn")
-        return x + ff(h, deterministic=deterministic)
+            ff = PointWiseFeedForward(
+                self.hidden_dim, self.dropout_rate,
+                activation=self.activation, dtype=resolve_dtype(self.dtype),
+                name="ffn",
+            )
+        base = h if self.variant == "kang" else x
+        return base + ff(h, deterministic=deterministic)
 
 
 class SasRecBody(nn.Module):
@@ -91,6 +115,12 @@ class SasRecBody(nn.Module):
     attention: str = "default"
     ffn: str = "pointwise"
     excluded_features: tuple = ()
+    variant: str = "preln"  # "preln" | "kang" (see SasRecTransformerLayer)
+    layer_norm_eps: float = 1e-6
+    activation: str = "relu"
+    # the sqrt(D) input scaling is this framework's default; the reference's
+    # new-tier SasRec omits it (PositionAwareAggregator adds raw embeddings)
+    scale_embeddings: bool = True
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -116,12 +146,18 @@ class SasRecBody(nn.Module):
                 attention=self.attention,
                 ffn=self.ffn,
                 depth=i + 1,
+                variant=self.variant,
+                layer_norm_eps=self.layer_norm_eps,
+                activation=self.activation,
                 dtype=resolve_dtype(self.dtype),
                 name=f"layer_{i}",
             )
             for i in range(self.num_blocks)
         ]
-        self.final_norm = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="final_norm")
+        self.final_norm = nn.LayerNorm(
+            epsilon=self.layer_norm_eps, dtype=resolve_dtype(self.dtype),
+            param_dtype=jnp.float32, name="final_norm",
+        )
 
     def __call__(
         self,
@@ -131,7 +167,8 @@ class SasRecBody(nn.Module):
         pad = batch["padding_mask"]
         length = pad.shape[1]
         x = self.embedder(batch)
-        x = x * jnp.sqrt(jnp.asarray(x.shape[-1], dtype=x.dtype))
+        if self.scale_embeddings:
+            x = x * jnp.sqrt(jnp.asarray(x.shape[-1], dtype=x.dtype))
         x = x + self.pos_embedding(length)[None]
         x = self.input_dropout(x, deterministic=deterministic)
         # zero out padding embeddings so they contribute nothing downstream
@@ -157,6 +194,10 @@ class SasRec(nn.Module):
     dropout_rate: float = 0.2
     attention: str = "default"
     ffn: str = "pointwise"
+    variant: str = "preln"
+    layer_norm_eps: float = 1e-6
+    activation: str = "relu"
+    scale_embeddings: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @classmethod
@@ -202,6 +243,10 @@ class SasRec(nn.Module):
             dropout_rate=self.dropout_rate,
             attention=self.attention,
             ffn=self.ffn,
+            variant=self.variant,
+            layer_norm_eps=self.layer_norm_eps,
+            activation=self.activation,
+            scale_embeddings=self.scale_embeddings,
             dtype=resolve_dtype(self.dtype),
             name="body",
         )

@@ -1,0 +1,121 @@
+"""Torch-checkpoint import: the reference's own SasRec forward must match
+the imported flax model numerically (the migration-path guarantee)."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.parity
+
+N_ITEMS, DIM, SEQ_LEN, HEADS, BLOCKS = 40, 16, 8, 2, 2
+
+
+def _build_reference_torch(reference, activation):
+    import torch
+    from replay.data import FeatureHint, FeatureSource, FeatureType
+    from replay.data.nn.schema import (
+        TensorFeatureInfo,
+        TensorFeatureSource,
+        TensorSchema,
+    )
+    from replay.nn.agg import SumAggregator
+    from replay.nn.embedding import SequenceEmbedding
+    from replay.nn.mask import DefaultAttentionMask
+    from replay.nn.sequential import (
+        PositionAwareAggregator,
+        SasRecBody,
+        SasRecTransformerLayer,
+    )
+
+    schema = TensorSchema(
+        TensorFeatureInfo(
+            "item_id", FeatureType.CATEGORICAL, is_seq=True,
+            feature_hint=FeatureHint.ITEM_ID,
+            feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+            cardinality=N_ITEMS, padding_value=N_ITEMS, embedding_dim=DIM,
+        )
+    )
+    torch.manual_seed(7)
+    body = SasRecBody(
+        embedder=SequenceEmbedding(schema=schema),
+        embedding_aggregator=PositionAwareAggregator(
+            embedding_aggregator=SumAggregator(embedding_dim=DIM),
+            max_sequence_length=SEQ_LEN, dropout=0.0,
+        ),
+        attn_mask_builder=DefaultAttentionMask(
+            reference_feature_name="item_id", num_heads=HEADS
+        ),
+        encoder=SasRecTransformerLayer(
+            embedding_dim=DIM, num_heads=HEADS, num_blocks=BLOCKS,
+            dropout=0.0, activation=activation,
+        ),
+        output_normalization=torch.nn.LayerNorm(DIM, eps=1e-8),
+    )
+    body.eval()
+    return body
+
+
+@pytest.mark.parametrize("activation", ["relu", "gelu"])
+def test_sasrec_torch_import_matches_reference_forward(reference, activation):
+    import torch
+
+    from replay_tpu.data.nn.schema import (
+        TensorFeatureInfo,
+        TensorFeatureSource,
+        TensorFeatureType,
+        TensorSchema,
+    )
+    from replay_tpu.data.schema import FeatureHint, FeatureSource
+    from replay_tpu.interop import sasrec_from_torch
+    from replay_tpu.nn.sequential.sasrec import SasRec
+
+    body = _build_reference_torch(reference, activation)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, N_ITEMS, (4, SEQ_LEN)).astype(np.int64)
+    # left-padded rows with real padding
+    pad = np.ones((4, SEQ_LEN), dtype=bool)
+    pad[0, :3] = False
+    pad[2, :5] = False
+    ids[~pad] = N_ITEMS
+
+    with torch.no_grad():
+        t_ids = torch.tensor(ids)
+        t_pad = torch.tensor(pad)
+        hidden_ref = body({"item_id": t_ids}, t_pad).numpy()
+
+    schema = TensorSchema(
+        TensorFeatureInfo(
+            "item_id", TensorFeatureType.CATEGORICAL, is_seq=True,
+            feature_hint=FeatureHint.ITEM_ID,
+            feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+            cardinality=N_ITEMS, embedding_dim=DIM, padding_value=N_ITEMS,
+        )
+    )
+    model, variables = sasrec_from_torch(
+        schema, body.state_dict(), max_sequence_length=SEQ_LEN,
+        num_blocks=BLOCKS, num_heads=HEADS, activation=activation,
+    )
+    batch = {
+        "item_id": ids.astype(np.int32),
+        "padding_mask": pad.astype(np.int8),
+    }
+    hidden_ours = np.asarray(
+        model.apply(variables, batch, deterministic=True,
+                    method=SasRec.forward_train)
+    )
+    # padded positions are free to differ (both mask them out of attention);
+    # every REAL position must match
+    np.testing.assert_allclose(
+        hidden_ours[pad], hidden_ref[pad], atol=2e-5, rtol=1e-4
+    )
+
+    # and the tying-head logits agree wherever positions are real
+    item_w = np.asarray(
+        model.apply(variables, method=lambda m: m.body.get_item_weights(None))
+    )
+    emb_t = body.embedder.feature_embedders["item_id"].emb.weight.detach().numpy()
+    logits_ref = hidden_ref @ emb_t[:N_ITEMS].T
+    logits_ours = hidden_ours @ item_w[:N_ITEMS].T
+    np.testing.assert_allclose(
+        logits_ours[pad], logits_ref[pad], atol=5e-5, rtol=1e-4
+    )
