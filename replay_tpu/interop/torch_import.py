@@ -139,3 +139,108 @@ def sasrec_from_torch(schema, state_dict: Dict, max_sequence_length: int,
         state_dict, variables["params"], num_heads, item_feature=item_name
     )
     return model, variables
+
+
+def bert4rec_params_from_torch(state_dict: Dict, params, num_heads: int,
+                               cardinality: int, item_feature: str = "item_id"):
+    """Map a reference Bert4RecModel state_dict
+    (reference: replay/models/nn/sequential/bert4rec/model.py:10) onto a
+    flax Bert4Rec params tree built in the import configuration."""
+    import flax
+
+    sd = {k: _np(v) for k, v in dict(state_dict).items()}
+    params = flax.core.unfreeze(flax.core.freeze(params))  # deep copy
+    body = params["body"]
+
+    table = body["embedder"][f"emb_{item_feature}"]["table"]["embedding"]
+    src = sd[f"item_embedder.cat_embeddings.{item_feature}.weight"]  # [N, D]
+    new_table = np.zeros(np.shape(table), dtype=np.float32)
+    new_table[: src.shape[0]] = src
+    # our mask token is row cardinality + 1; the reference keeps a separate
+    # 1-row mask_embedding table substituted by token_mask (model.py:284)
+    new_table[cardinality + 1] = sd["item_embedder.mask_embedding.weight"][0]
+    body["embedder"][f"emb_{item_feature}"]["table"]["embedding"] = new_table
+    d = src.shape[1]
+    dh = d // num_heads
+
+    if "item_embedder.position.pe.weight" in sd:
+        body["pos"]["pos_table"]["embedding"] = sd["item_embedder.position.pe.weight"]
+
+    i = 0
+    while f"transformer_blocks.{i}.attention.in_proj_weight" in sd:
+        layer = body[f"layer_{i}"]
+        in_w = sd[f"transformer_blocks.{i}.attention.in_proj_weight"]
+        in_b = sd[f"transformer_blocks.{i}.attention.in_proj_bias"]
+        for j, name in enumerate(("query", "key", "value")):
+            layer["attn"][name]["kernel"] = in_w[j * d:(j + 1) * d].T.reshape(d, num_heads, dh)
+            layer["attn"][name]["bias"] = in_b[j * d:(j + 1) * d].reshape(num_heads, dh)
+        out_w = sd[f"transformer_blocks.{i}.attention.out_proj.weight"]
+        layer["attn"]["out"]["kernel"] = out_w.T.reshape(num_heads, dh, d)
+        layer["attn"]["out"]["bias"] = sd[f"transformer_blocks.{i}.attention.out_proj.bias"]
+        layer["ln_attn"]["scale"] = sd[f"transformer_blocks.{i}.attention_norm.weight"]
+        layer["ln_attn"]["bias"] = sd[f"transformer_blocks.{i}.attention_norm.bias"]
+        layer["ln_ffn"]["scale"] = sd[f"transformer_blocks.{i}.pff_norm.weight"]
+        layer["ln_ffn"]["bias"] = sd[f"transformer_blocks.{i}.pff_norm.bias"]
+        layer["ffn"]["fc1"]["kernel"] = sd[f"transformer_blocks.{i}.pff.w_1.weight"].T
+        layer["ffn"]["fc1"]["bias"] = sd[f"transformer_blocks.{i}.pff.w_1.bias"]
+        layer["ffn"]["fc2"]["kernel"] = sd[f"transformer_blocks.{i}.pff.w_2.weight"].T
+        layer["ffn"]["fc2"]["bias"] = sd[f"transformer_blocks.{i}.pff.w_2.bias"]
+        i += 1
+
+    if "_head.linear.weight" in sd:  # untied ClassificationHead (default)
+        params["head_kernel"] = sd["_head.linear.weight"]
+        params["out_bias"] = sd["_head.linear.bias"]
+    elif "_head.out_bias" in sd:  # EmbeddingTyingHead
+        params["out_bias"] = sd["_head.out_bias"]
+    return params
+
+
+def bert4rec_from_torch(schema, state_dict: Dict, max_sequence_length: int,
+                        num_blocks: int, num_heads: int,
+                        dtype: Optional[str] = "float32"):
+    """Build the reference-exact flax Bert4Rec and load a torch checkpoint.
+
+    The reference applies no input/final LayerNorm (torch LN eps 1e-5 inside
+    blocks), gelu FFN, and by default an UNTIED ClassificationHead with a
+    per-item bias; all reproduced here.
+    :returns: (model, variables).
+    """
+    import jax
+
+    from replay_tpu.nn.sequential.bert4rec import Bert4Rec
+
+    item_name = schema.item_id_feature_name
+    info = schema[item_name]
+    sd_keys = set(state_dict)
+    untied = any(k.startswith("_head.linear.") for k in sd_keys)
+    w1 = next(v for k, v in state_dict.items() if k.endswith("pff.w_1.weight"))
+    hidden_dim = int(np.shape(_np(w1))[0])
+    model = Bert4Rec(
+        schema=schema,
+        max_sequence_length=max_sequence_length,
+        num_blocks=num_blocks,
+        num_heads=num_heads,
+        hidden_dim=hidden_dim,
+        dropout_rate=0.0,
+        use_input_norm=False,
+        use_final_norm=False,
+        layer_norm_eps=1e-5,
+        activation="gelu",
+        use_out_bias=True,
+        tie_weights=not untied,
+        dtype=dtype,
+    )
+    batch = {
+        "item_id": np.zeros((1, max_sequence_length), np.int32),
+        "padding_mask": np.ones((1, max_sequence_length), np.int8),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+    variables = dict(variables)
+    variables["params"] = bert4rec_params_from_torch(
+        state_dict, variables["params"], num_heads, info.cardinality,
+        item_feature=item_name,
+    )
+    return model, variables

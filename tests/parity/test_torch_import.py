@@ -119,3 +119,82 @@ def test_sasrec_torch_import_matches_reference_forward(reference, activation):
     np.testing.assert_allclose(
         logits_ours[pad], logits_ref[pad], atol=5e-5, rtol=1e-4
     )
+
+
+def test_bert4rec_torch_import_matches_reference_forward(reference):
+    import torch
+    from replay.data import FeatureHint, FeatureSource, FeatureType
+    from replay.data.nn.schema import (
+        TensorFeatureInfo,
+        TensorFeatureSource,
+        TensorSchema,
+    )
+    from replay.models.nn.sequential.bert4rec.model import Bert4RecModel
+
+    from replay_tpu.data.nn.schema import (
+        TensorFeatureInfo as MyInfo,
+        TensorFeatureSource as MySource,
+        TensorFeatureType as MyType,
+        TensorSchema as MySchema,
+    )
+    from replay_tpu.data.schema import FeatureHint as MyHint, FeatureSource as MyFS
+    from replay_tpu.interop import bert4rec_from_torch
+    from replay_tpu.nn.sequential.bert4rec import Bert4Rec
+
+    ref_schema = TensorSchema(
+        TensorFeatureInfo(
+            "item_id", FeatureType.CATEGORICAL, is_seq=True,
+            feature_hint=FeatureHint.ITEM_ID,
+            feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+            cardinality=N_ITEMS, padding_value=0, embedding_dim=DIM,
+        )
+    )
+    torch.manual_seed(3)
+    ref = Bert4RecModel(schema=ref_schema, max_len=SEQ_LEN, hidden_size=DIM,
+                        num_blocks=BLOCKS, num_heads=HEADS)
+    ref.eval()
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, N_ITEMS, (4, SEQ_LEN)).astype(np.int64)
+    pad = np.ones((4, SEQ_LEN), dtype=bool)
+    pad[1, :4] = False
+    ids[~pad] = 0
+    token_mask = pad.copy()  # no [MASK] substitutions: raw scoring pass
+
+    with torch.no_grad():
+        hidden_ref = ref.forward_step(
+            {"item_id": torch.tensor(ids)}, torch.tensor(pad),
+            torch.tensor(token_mask),
+        ).numpy()
+        # the reference ClassificationHead is linear + bias over hidden
+        logits_ref = (
+            hidden_ref @ ref._head.linear.weight.detach().numpy().T
+            + ref._head.linear.bias.detach().numpy()
+        )
+
+    my_schema = MySchema(
+        MyInfo(
+            "item_id", MyType.CATEGORICAL, is_seq=True,
+            feature_hint=MyHint.ITEM_ID,
+            feature_sources=[MySource(MyFS.INTERACTIONS, "item_id")],
+            cardinality=N_ITEMS, embedding_dim=DIM, padding_value=N_ITEMS,
+        )
+    )
+    model, variables = bert4rec_from_torch(
+        my_schema, ref.state_dict(), max_sequence_length=SEQ_LEN,
+        num_blocks=BLOCKS, num_heads=HEADS,
+    )
+    batch = {"item_id": ids.astype(np.int32), "padding_mask": pad.astype(np.int8)}
+    hidden_ours = np.asarray(
+        model.apply(variables, batch, deterministic=True,
+                    method=Bert4Rec.forward_train)
+    )
+    np.testing.assert_allclose(
+        hidden_ours[pad], hidden_ref[pad], atol=2e-5, rtol=1e-4
+    )
+    logits_ours = np.asarray(
+        model.apply(variables, hidden_ours, method=Bert4Rec.get_logits)
+    )
+    np.testing.assert_allclose(
+        logits_ours[pad], logits_ref[pad], atol=5e-5, rtol=1e-4
+    )
