@@ -13,6 +13,15 @@ Implicit mode follows Hu-Koren-Volinsky: confidence c = 1 + alpha·r,
 A_u = YᵀY + Σ_j alpha·r_uj·y_j y_jᵀ + reg·I (the YᵀY trick — only observed
 items contribute the correction term).  Explicit mode solves only over
 observed items with per-user reg·nnz damping (Spark ML semantics).
+
+Two implicit solvers: ``solver="cg"`` (default) applies A_u by matvec and
+runs 3 warm-started conjugate-gradient steps — O(nnz·r) per step, the
+``implicit`` library's method; ``solver="cholesky"`` forms every A_u with
+one masked einsum and batch-solves — O(nnz·r²) but all-MXU, the better
+shape for TPU at small rank.  Factors stay in the blocks' nnz-sorted
+permuted order across sweeps (block solutions concatenate directly into
+the next sweep's factor array; the inverse permutation is applied once at
+the end).
 """
 
 from functools import partial
@@ -58,6 +67,54 @@ def _solve_block(
         a = a + (reg * jnp.maximum(nnz, 1.0))[:, None, None] * jnp.eye(rank)[None]
         b = jnp.einsum("bm,bmr->br", rating * mask, y)
     return jnp.linalg.solve(a, b[..., None])[..., 0]
+
+
+@partial(jax.jit, static_argnames=("cg_steps",))
+def _cg_block(
+    factors_other: jnp.ndarray,  # [N_other, r]
+    gram: jnp.ndarray,  # [r, r] YᵀY
+    x0: jnp.ndarray,  # [B, r] warm start (current factors)
+    idx: jnp.ndarray,  # [B, M] observed other-side indices (padded 0)
+    rating: jnp.ndarray,  # [B, M] ratings (padded 0)
+    mask: jnp.ndarray,  # [B, M] validity
+    reg: jnp.ndarray,
+    alpha: jnp.ndarray,
+    cg_steps: int,
+) -> jnp.ndarray:
+    """Implicit-mode half-sweep solve by conjugate gradients.
+
+    The approach of the ``implicit`` library (Takács-Pilászy-Tikk, "Fast
+    ALS-based matrix factorization for ...", and implicit's als.py
+    least_squares_cg, cg_steps=3): never form the per-user [r, r] normal
+    matrix — apply A_u p = (YᵀY)p + Yᵀ(c'⊙(Y p)) + reg·p directly, which
+    is O(nnz·r) per step instead of O(nnz·r²), warm-started from the
+    previous sweep's factors.  3 steps match the Cholesky solution to
+    ~1e-2 per sweep and to recommendation-level equivalence over a full
+    fit (tests/models/test_als.py::test_cg_matches_cholesky).
+    """
+    y = jnp.take(factors_other, idx, axis=0) * mask[..., None]  # [B, M, r]
+    conf_minus_1 = alpha * rating * mask  # c' = c-1, 0 at padding
+
+    def apply_a(p):  # [B, r] -> [B, r]
+        yp = jnp.einsum("bmr,br->bm", y, p)
+        out = jnp.einsum("bm,bmr->br", conf_minus_1 * yp, y)
+        return out + p @ gram + reg * p
+
+    b = jnp.einsum("bm,bmr->br", (1.0 + conf_minus_1) * mask, y)
+    eps = jnp.float32(1e-20)
+    x = x0
+    res = b - apply_a(x)
+    p = res
+    rs = jnp.sum(res * res, axis=1)
+    for _ in range(cg_steps):
+        ap = apply_a(p)
+        a_step = rs / jnp.maximum(jnp.sum(p * ap, axis=1), eps)
+        x = x + a_step[:, None] * p
+        res = res - a_step[:, None] * ap
+        rs_new = jnp.sum(res * res, axis=1)
+        p = res + (rs_new / jnp.maximum(rs, eps))[:, None] * p
+        rs = rs_new
+    return x
 
 
 def _padded_rows(mat: csr_matrix, block: int, pad_multiple: int = 32):
@@ -122,8 +179,13 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         regularization: float = 0.1,
         alpha: float = 1.0,
         block_size: int = 4096,
+        solver: str = "cg",
+        cg_steps: int = 3,
         index_builder=None,
     ):
+        if solver not in ("cg", "cholesky"):
+            msg = f"solver must be 'cg' or 'cholesky', got {solver!r}"
+            raise ValueError(msg)
         self.index_builder = index_builder
         self.rank = rank
         self.implicit_prefs = implicit_prefs
@@ -132,6 +194,8 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         self.regularization = regularization
         self.alpha = alpha
         self.block_size = block_size
+        self.solver = solver
+        self.cg_steps = cg_steps
         self.query_factors: Optional[np.ndarray] = None
         self.item_factors: Optional[np.ndarray] = None
 
@@ -145,6 +209,8 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
             "regularization": self.regularization,
             "alpha": self.alpha,
             "block_size": self.block_size,
+            "solver": self.solver,
+            "cg_steps": self.cg_steps,
             "index_builder": None,
         }
 
@@ -176,35 +242,64 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         reg = jnp.float32(self.regularization)
         alpha = jnp.float32(self.alpha)
 
-        # padded observation blocks are sparsity-pattern-only → build once
-        # and upload once (reused by every sweep)
-        to_dev = lambda blocks: [  # noqa: E731
-            (rows, jnp.asarray(idx), jnp.asarray(val), jnp.asarray(msk))
-            for rows, idx, val, msk in blocks
-        ]
-        q_blocks = to_dev(_padded_rows(mat, self.block_size))
-        i_blocks = to_dev(_padded_rows(mat_t, self.block_size))
-        u = jnp.asarray(u)
-        v = jnp.asarray(v)
+        # Padded observation blocks are sparsity-pattern-only → build once
+        # and upload once (reused by every sweep).  Factors live in the
+        # blocks' nnz-sorted PERMUTED order for the whole fit: block
+        # solutions concatenate into the next sweep's factor array with no
+        # per-sweep scatter/gather, because each side's blocks tile its
+        # permutation contiguously.  The other side's indices are remapped
+        # into permuted positions once, at block-build time.
+        q_blocks = _padded_rows(mat, self.block_size)
+        i_blocks = _padded_rows(mat_t, self.block_size)
+        q_order = np.concatenate([rows for rows, _, _, _ in q_blocks])
+        i_order = np.concatenate([rows for rows, _, _, _ in i_blocks])
+        inv_q = np.empty(n_q, dtype=np.int32)
+        inv_q[q_order] = np.arange(n_q, dtype=np.int32)
+        inv_i = np.empty(n_i, dtype=np.int32)
+        inv_i[i_order] = np.arange(n_i, dtype=np.int32)
+
+        def to_dev(blocks, remap):
+            out, start = [], 0
+            for rows, idx, val, msk in blocks:
+                out.append(
+                    (start, jnp.asarray(remap[idx]), jnp.asarray(val), jnp.asarray(msk))
+                )
+                start += len(rows)
+            return out
+
+        q_blocks = to_dev(q_blocks, inv_i)
+        i_blocks = to_dev(i_blocks, inv_q)
+        u = jnp.asarray(u[q_order])
+        v = jnp.asarray(v[i_order])
         for _ in range(self.num_iterations):
-            u = self._half_sweep(q_blocks, mat.shape[0], v, reg, alpha)
-            v = self._half_sweep(i_blocks, mat_t.shape[0], u, reg, alpha)
-        self.query_factors, self.item_factors = np.asarray(u), np.asarray(v)
+            u = self._half_sweep(q_blocks, v, u, reg, alpha)
+            v = self._half_sweep(i_blocks, u, v, reg, alpha)
+        self.query_factors = np.asarray(u)[inv_q]
+        self.item_factors = np.asarray(v)[inv_i]
         if self.ann_enabled:
             self._build_ann_index()
 
-    def _half_sweep(self, blocks, n_rows: int, other_dev, reg, alpha):
+    def _half_sweep(self, blocks, other_dev, prev_dev, reg, alpha):
+        use_cg = self.solver == "cg" and self.implicit_prefs
         if self.implicit_prefs:
             gram = jnp.dot(other_dev.T, other_dev, preferred_element_type=jnp.float32)
         else:
             gram = jnp.zeros((self.rank, self.rank), dtype=jnp.float32)
-        out = jnp.zeros((n_rows, self.rank), dtype=jnp.float32)
-        for rows, idx, val, msk in blocks:
-            sol = _solve_block(
-                other_dev, gram, idx, val, msk, reg, alpha, self.implicit_prefs
-            )
-            out = out.at[jnp.asarray(rows)].set(sol)
-        return out
+        sols = []
+        for start, idx, val, msk in blocks:
+            if use_cg:
+                x0 = jax.lax.dynamic_slice_in_dim(prev_dev, start, idx.shape[0])
+                sols.append(
+                    _cg_block(other_dev, gram, x0, idx, val, msk, reg, alpha,
+                              cg_steps=self.cg_steps)
+                )
+            else:
+                sols.append(
+                    _solve_block(
+                        other_dev, gram, idx, val, msk, reg, alpha, self.implicit_prefs
+                    )
+                )
+        return jnp.concatenate(sols, axis=0)
 
     def _predict(self, dataset, k, queries, items, filter_seen_items=True):
         # ANN path (reference ANNMixin._predict_wrap contract) only when

@@ -112,6 +112,44 @@ def test_als_nearest_items(block_dataset):
     assert (nn["neighbour_item_idx"] != 0).all()
 
 
+def test_cg_matches_cholesky(block_dataset):
+    """The CG solver (implicit-library approach, 3 steps, warm start) must
+    land on the same solution as the exact batched Cholesky solve: same
+    implicit-ALS objective to <1% and strongly overlapping top-k."""
+    fitted = {}
+    for solver in ("cg", "cholesky"):
+        m = ALSWrap(rank=16, seed=0, num_iterations=8, solver=solver)
+        m.fit(block_dataset)
+        fitted[solver] = m
+
+    inter = block_dataset.interactions
+    n_q = len(fitted["cg"].fit_queries)
+    n_i = len(fitted["cg"].fit_items)
+
+    def objective(m):
+        pref = np.zeros((n_q, n_i), dtype=np.float64)
+        conf = np.ones((n_q, n_i), dtype=np.float64)
+        qs = np.searchsorted(m.fit_queries, inter["user_id"].to_numpy())
+        its = np.searchsorted(m.fit_items, inter["item_id"].to_numpy())
+        pref[qs, its] = 1.0
+        conf[qs, its] += m.alpha * inter["rating"].to_numpy()
+        pred = m.query_factors @ m.item_factors.T
+        reg = m.regularization * (
+            (m.query_factors**2).sum() + (m.item_factors**2).sum()
+        )
+        return float((conf * (pref - pred) ** 2).sum() + reg)
+
+    obj_cg, obj_chol = objective(fitted["cg"]), objective(fitted["cholesky"])
+    assert abs(obj_cg - obj_chol) / obj_chol < 0.01, (obj_cg, obj_chol)
+
+    recs_cg = fitted["cg"].predict(block_dataset, k=5)
+    recs_chol = fitted["cholesky"].predict(block_dataset, k=5)
+    a = recs_cg.groupby("user_id")["item_id"].apply(set)
+    b = recs_chol.groupby("user_id")["item_id"].apply(set)
+    overlap = np.mean([len(a[u] & b[u]) / 5 for u in a.index])
+    assert overlap > 0.7, overlap
+
+
 def test_word2vec_requires_dataset_at_predict(block_dataset):
     model = Word2VecRec(rank=8, max_iter=1, seed=0)
     model.fit(block_dataset)
