@@ -120,7 +120,10 @@ class ItemKNN(NeighbourRec):
             keep_gt = sim > kth
             tied = sim == kth
             need = k - keep_gt.sum(axis=1, keepdims=True)
-            rank_from_right = np.cumsum(tied[:, ::-1], axis=1)[:, ::-1]
+            # rank-from-right without a reversed-view cumsum (negative
+            # strides hit numpy's slow path: 1.5 s of a 3 s warm fit)
+            cnt = np.cumsum(tied, axis=1)
+            rank_from_right = cnt[:, -1:] - cnt + tied
             keep = keep_gt | (tied & (rank_from_right <= need))
             sim = np.where(keep, sim, 0.0)
         self._set_similarity_dense(sim.astype(np.float32))
