@@ -325,11 +325,20 @@ class TrimTransform:
 
 
 class SequenceRollTransform:
-    """Roll sequences by ``shift`` (reference: replay/nn/transform/roll.py)."""
+    """Roll sequences by ``shift`` along the time axis, filling the vacated
+    positions with ``padding_value`` (reference:
+    replay/nn/transform/sequence_roll.py — torch.roll wraps around, so the
+    reference overwrites the wrapped slots; matching that here)."""
 
-    def __init__(self, shift: int = -1, apply_to: Optional[Sequence[str]] = None):
+    def __init__(
+        self,
+        shift: int = -1,
+        apply_to: Optional[Sequence[str]] = None,
+        padding_value: int = 0,
+    ):
         self.shift = shift
         self.apply_to = apply_to
+        self.padding_value = padding_value
 
     def __call__(self, batch: Batch, key=None) -> Batch:
         out = dict(batch)
@@ -337,7 +346,21 @@ class SequenceRollTransform:
             if self.apply_to is not None and k not in self.apply_to:
                 continue
             if hasattr(v, "ndim") and v.ndim >= 2 and k != "batch_mask":
-                out[k] = jnp.roll(v, self.shift, axis=1)
+                rolled = jnp.roll(v, self.shift, axis=1)
+                pos = jnp.arange(v.shape[1])
+                if self.shift > 0:
+                    vacated = pos < self.shift
+                elif self.shift < 0:
+                    vacated = pos >= v.shape[1] + self.shift
+                else:
+                    out[k] = rolled
+                    continue
+                shape = (1, v.shape[1]) + (1,) * (v.ndim - 2)
+                out[k] = jnp.where(
+                    vacated.reshape(shape),
+                    jnp.asarray(self.padding_value, dtype=rolled.dtype),
+                    rolled,
+                )
         return out
 
 

@@ -64,8 +64,14 @@ def test_negative_sampling_range():
 def test_trim_and_roll():
     out = TrimTransform(2)(make_batch())
     np.testing.assert_array_equal(out["item_id"], [[2, 3], [4, 5]])
+    # vacated positions take padding_value, not the wrapped element
+    # (reference: replay/nn/transform/sequence_roll.py overwrites them)
     rolled = SequenceRollTransform(-1, apply_to=["item_id"])(make_batch())
-    np.testing.assert_array_equal(rolled["item_id"][0], [1, 2, 3, 9])
+    np.testing.assert_array_equal(rolled["item_id"][0], [1, 2, 3, 0])
+    rolled = SequenceRollTransform(-1, apply_to=["item_id"], padding_value=7)(make_batch())
+    np.testing.assert_array_equal(rolled["item_id"][0], [1, 2, 3, 7])
+    rolled = SequenceRollTransform(2, apply_to=["item_id"], padding_value=7)(make_batch())
+    np.testing.assert_array_equal(rolled["item_id"][0], [7, 7, 9, 1])
 
 
 def test_rename_copy_select_compose():
