@@ -139,10 +139,12 @@ class UniformNegativeSamplingTransform:
     """Attach a shared negative-id set (reference:
     replay/nn/transform/negative_sampling.py).
 
-    With ``sample_distribution`` (weights of length ``n_items``), negatives
-    are drawn without replacement proportionally to the weights via
-    Gumbel-top-k, matching torch.multinomial(replacement=False); otherwise
-    uniform with replacement (cheaper; equivalent for n_negatives ≪ n_items).
+    Negatives are drawn WITHOUT replacement via Gumbel-top-k — the
+    XLA-friendly exact equivalent of the reference's
+    torch.multinomial(replacement=False) — proportionally to
+    ``sample_distribution`` when given, else uniformly.  Pass
+    ``replacement=True`` for the cheaper O(k) uniform draw (distribution
+    indistinguishable when n_negatives ≪ n_items).
     """
 
     def __init__(
@@ -151,6 +153,7 @@ class UniformNegativeSamplingTransform:
         n_items: int,
         field: str = "negatives",
         sample_distribution=None,
+        replacement: bool = False,
     ):
         if sample_distribution is not None:
             sample_distribution = jnp.asarray(sample_distribution, dtype=jnp.float32)
@@ -167,17 +170,28 @@ class UniformNegativeSamplingTransform:
                     f"but n_negatives={n_negatives} (sampling is without replacement)"
                 )
                 raise ValueError(msg)
+        if not replacement and n_negatives >= n_items:
+            msg = (
+                "The `n_negatives` parameter has an incorrect value. "
+                f"Got {n_negatives}, expected less than cardinality of items "
+                f"catalog ({n_items})."
+            )
+            raise ValueError(msg)
         self.n_negatives = n_negatives
         self.n_items = n_items
         self.field = field
         self.sample_distribution = sample_distribution
+        self.replacement = replacement
 
     def __call__(self, batch: Batch, key=None) -> Batch:
         out = dict(batch)
-        if self.sample_distribution is None:
+        if self.replacement and self.sample_distribution is None:
             out[self.field] = jax.random.randint(key, (self.n_negatives,), 0, self.n_items)
         else:
-            logw = jnp.log(jnp.maximum(self.sample_distribution, 0.0))
+            if self.sample_distribution is None:
+                logw = jnp.zeros((self.n_items,))
+            else:
+                logw = jnp.log(jnp.maximum(self.sample_distribution, 0.0))
             gumbel = jax.random.gumbel(key, (self.n_items,))
             _, idx = jax.lax.top_k(logw + gumbel, self.n_negatives)
             out[self.field] = idx

@@ -55,10 +55,19 @@ def test_token_mask_only_on_real_tokens():
 
 
 def test_negative_sampling_range():
-    out = UniformNegativeSamplingTransform(16, n_items=7)(make_batch(), key=jax.random.PRNGKey(1))
+    out = UniformNegativeSamplingTransform(5, n_items=7)(make_batch(), key=jax.random.PRNGKey(1))
     negs = np.asarray(out["negatives"])
-    assert negs.shape == (16,)
+    assert negs.shape == (5,)
     assert negs.min() >= 0 and negs.max() < 7
+    assert len(set(negs.tolist())) == 5  # without replacement by default
+    # reference rejects n_negatives >= cardinality (negative_sampling.py:52)
+    with pytest.raises(ValueError):
+        UniformNegativeSamplingTransform(16, n_items=7)
+    # with-replacement mode allows over-catalog draws
+    out = UniformNegativeSamplingTransform(16, n_items=7, replacement=True)(
+        make_batch(), key=jax.random.PRNGKey(1)
+    )
+    assert np.asarray(out["negatives"]).shape == (16,)
 
 
 def test_trim_and_roll():

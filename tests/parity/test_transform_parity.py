@@ -135,6 +135,35 @@ def test_equality_mask_parity(reference, seq_batch, mode):
     )
 
 
+def test_uniform_negative_sampling_invariants(reference):
+    """Reference draws one shared negatives vector per batch WITHOUT
+    replacement (torch.multinomial(ones, replacement=False)); ours must be
+    distinct too, respect zero weights, and cover the catalog uniformly."""
+    import jax
+
+    from replay_tpu.nn.transforms import UniformNegativeSamplingTransform
+
+    t = UniformNegativeSamplingTransform(n_negatives=20, n_items=40)
+    counts = np.zeros(40)
+    for i in range(200):
+        out = t({}, key=jax.random.PRNGKey(i))
+        negs = np.asarray(out["negatives"])
+        assert len(set(negs.tolist())) == 20  # without replacement
+        counts[negs] += 1
+    # uniform coverage: every item drawn, frequencies within 4 sigma
+    p = 0.5
+    sigma = np.sqrt(200 * p * (1 - p))
+    assert (np.abs(counts - 100) < 4 * sigma).all(), counts
+
+    weights = np.zeros(40)
+    weights[:25] = 1.0
+    t = UniformNegativeSamplingTransform(
+        n_negatives=20, n_items=40, sample_distribution=weights
+    )
+    out = t({}, key=jax.random.PRNGKey(0))
+    assert np.asarray(out["negatives"]).max() < 25  # zero-weight never drawn
+
+
 def test_token_mask_statistics(reference, seq_batch):
     """Randomized masking: both implementations must (a) mask only real
     tokens, (b) select ~mask_prob of them, (c) leave no row unmasked."""
