@@ -61,16 +61,21 @@ class CESampledLoss:
 
     Scores the positive against ``n_negatives`` uniform catalog samples.
     Accidental hits (negative == label) are masked to -inf, matching the
-    reference's collision handling.
+    reference's collision handling.  Pass ``negatives`` (a shared [n] id
+    vector, e.g. from UniformNegativeSamplingTransform) to use
+    batch-provided negatives as the reference does.
     """
 
     def __init__(self, n_negatives: int = 256):
         self.n_negatives = n_negatives
 
-    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
         labels = _safe_labels(labels, mask)
         n_items = item_weights.shape[0]
-        negs = jax.random.randint(key, (self.n_negatives,), 0, n_items)
+        if negatives is None:
+            negs = jax.random.randint(key, (self.n_negatives,), 0, n_items)
+        else:
+            negs = jnp.asarray(negatives)
         neg_w = jnp.take(item_weights, negs, axis=0)  # [n, D]
         pos_w = jnp.take(item_weights, labels, axis=0)  # [B, L, D]
 
@@ -91,7 +96,11 @@ class CESampledLoss:
 
 class BCELoss:
     """Full binary cross-entropy: label item positive, all others negative
-    (reference: replay/nn/loss/bce.py:10)."""
+    (reference: replay/nn/loss/bce.py:10).
+
+    Reference normalization: BCEWithLogitsLoss(reduction="sum") over the
+    valid positions' [*, N] rows divided by the number of valid positions —
+    i.e. per-position SUM over the catalog, masked-meaned (bce.py:97)."""
 
     def __call__(self, hidden, labels, mask, item_weights, *, key=None):
         labels = _safe_labels(labels, mask)
@@ -102,23 +111,36 @@ class BCELoss:
             targets * jax.nn.log_sigmoid(logits)
             + (1.0 - targets) * jax.nn.log_sigmoid(-logits)
         )
-        per_pos = jnp.mean(per_item, axis=-1)
+        per_pos = jnp.sum(per_item, axis=-1)
         return _masked_mean(per_pos, mask)
 
 
 class BCESampledLoss:
     """BCE with sampled negatives — the classic SasRec objective
-    (reference: replay/nn/loss/bce.py:98)."""
+    (reference: replay/nn/loss/bce.py:98).
+
+    Accidental hits (negative == positive label at that position) are
+    masked to -1e9 so they contribute ~0, mirroring the reference's
+    ``mask_negative_logits`` (loss/base.py:157).  Pass ``negatives``
+    ([n] shared or [B, L, n] per-position) to use batch-provided
+    negatives (the reference wires ``negative_labels`` from the
+    negative-sampling transform); otherwise ``n_negatives`` are drawn
+    per position from ``key``."""
 
     def __init__(self, n_negatives: int = 1):
         self.n_negatives = n_negatives
 
-    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
         labels = _safe_labels(labels, mask)
         n_items = item_weights.shape[0]
-        negs = jax.random.randint(
-            key, labels.shape + (self.n_negatives,), 0, n_items
-        )  # per-position negatives, as the reference samples
+        if negatives is None:
+            negs = jax.random.randint(
+                key, labels.shape + (self.n_negatives,), 0, n_items
+            )  # per-position negatives, as the reference samples
+        else:
+            negs = jnp.asarray(negatives)
+            if negs.ndim == 1:
+                negs = jnp.broadcast_to(negs, labels.shape + negs.shape)
         pos_w = jnp.take(item_weights, labels, axis=0)
         neg_w = jnp.take(item_weights, negs, axis=0)  # [B, L, n, D]
 
@@ -128,6 +150,8 @@ class BCESampledLoss:
         neg_logit = jnp.einsum(
             "bld,blnd->bln", hidden, neg_w, preferred_element_type=jnp.float32
         )
+        collide = negs == labels[..., None]
+        neg_logit = jnp.where(collide, NEG, neg_logit)
         loss_pos = -jax.nn.log_sigmoid(pos_logit)
         loss_neg = -jnp.sum(jax.nn.log_sigmoid(-neg_logit), axis=-1)
         return _masked_mean(loss_pos + loss_neg, mask)

@@ -1,0 +1,115 @@
+"""Differential parity: replay_tpu losses vs the reference's torch losses
+(replay/nn/loss/) on identical inputs.
+
+Each reference loss gets a ``logits_callback`` that reproduces our tying
+head (hidden @ item_weightsᵀ); both sides then see the same hidden states,
+item table, labels, masks and (for sampled losses) the same negative ids,
+so the scalars must match to float tolerance — including normalization
+(CE: mean over valid positions; BCE: catalog-sum per valid position) and
+collision masking.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.parity
+
+torch = pytest.importorskip("torch")
+
+B, L, D, N = 4, 6, 16, 30
+
+
+@pytest.fixture()
+def loss_inputs():
+    rng = np.random.default_rng(21)
+    hidden = rng.normal(size=(B, L, D)).astype(np.float32)
+    weights = rng.normal(size=(N, D)).astype(np.float32) * 0.3
+    labels = rng.integers(0, N, (B, L))
+    lens = rng.integers(1, L + 1, B)
+    mask = (np.arange(L)[None, :] >= (L - lens[:, None])).astype(np.int8)
+    return hidden, weights, labels, mask
+
+
+def _ref_args(hidden, labels, mask, negatives=None):
+    t = torch.from_numpy
+    return dict(
+        model_embeddings=t(hidden),
+        feature_tensors={},
+        positive_labels=t(labels).long().unsqueeze(-1),
+        negative_labels=None if negatives is None else t(negatives).long(),
+        padding_mask=t(mask).bool(),
+        target_padding_mask=t(mask).bool().unsqueeze(-1),
+    )
+
+
+def _with_head(ref_loss, weights):
+    """Tying head matching the reference SasRec.get_logits contract: full
+    catalog without ids; gathered per-id logits when ids are given
+    (shared [n] or per-row [M, k])."""
+    w = torch.from_numpy(weights)
+
+    def callback(h, ids=None):
+        if ids is None:
+            return h @ w.T
+        if ids.dim() == 1:
+            return h @ w[ids].T
+        return torch.einsum("md,mkd->mk", h, w[ids])
+
+    ref_loss.logits_callback = callback
+    return ref_loss
+
+
+def test_ce_parity(reference, loss_inputs):
+    from replay.nn.loss import CE
+
+    from replay_tpu.nn.losses import CELoss
+
+    hidden, weights, labels, mask = loss_inputs
+    ref = _with_head(CE(), weights)(**_ref_args(hidden, labels, mask))
+    ours = CELoss()(hidden, labels, mask, weights)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_bce_full_parity(reference, loss_inputs):
+    from replay.nn.loss import BCE
+
+    from replay_tpu.nn.losses import BCELoss
+
+    hidden, weights, labels, mask = loss_inputs
+    ref = _with_head(BCE(), weights)(**_ref_args(hidden, labels, mask))
+    ours = BCELoss()(hidden, labels, mask, weights)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_ce_sampled_parity(reference, loss_inputs):
+    """Same shared negative vector on both sides (collisions included)."""
+    from replay.nn.loss import CESampled
+
+    from replay_tpu.nn.losses import CESampledLoss
+
+    hidden, weights, labels, mask = loss_inputs
+    rng = np.random.default_rng(3)
+    negatives = rng.integers(0, N, 8)  # shared [n]; collides with labels
+    assert np.isin(negatives, labels).any()
+
+    ref = _with_head(CESampled(), weights)(
+        **_ref_args(hidden, labels, mask, negatives=negatives)
+    )
+    ours = CESampledLoss()(hidden, labels, mask, weights, negatives=negatives)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_bce_sampled_parity(reference, loss_inputs):
+    from replay.nn.loss import BCESampled
+
+    from replay_tpu.nn.losses import BCESampledLoss
+
+    hidden, weights, labels, mask = loss_inputs
+    rng = np.random.default_rng(4)
+    negatives = rng.integers(0, N, (B, L, 5))  # per-position negatives
+
+    ref = _with_head(BCESampled(), weights)(
+        **_ref_args(hidden, labels, mask, negatives=negatives)
+    )
+    ours = BCESampledLoss()(hidden, labels, mask, weights, negatives=negatives)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4, atol=1e-5)
