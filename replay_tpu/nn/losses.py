@@ -494,18 +494,56 @@ class SCEParams:
         )
 
 
-# Reference import-surface aliases (reference: replay/nn/loss/__init__.py) —
-# same objects, the upstream names.
+# Reference import-surface aliases (reference: replay/nn/loss/__init__.py).
+#
+# The reference's LogInCE and LogOutCE both score the positive against the
+# ENTIRE catalog with the positive masked out of the negatives
+# (login_ce.py:191 arange(cardinality) + mask_negative_logits;
+# logout_ce.py:105 likewise) — for single-positive batches both equal CE
+# exactly (differentially tested in tests/parity/test_loss_parity.py).
+# LogInCESampled scores positive vs PROVIDED negatives in probability form,
+# which for one positive is softmax-CE over [pos | negatives] — our
+# LogOutCELoss.  replay_tpu's own in-batch contrastive losses
+# (LogInCELoss / LogInCESampledLoss) are a beyond-reference extension and
+# keep their replay_tpu names only.
 BCE = BCELoss
 BCESampled = BCESampledLoss
 CE = CELoss
 CESampled = CESampledLoss
 CEWeighted = CEWeightedLoss
 CESampledWeighted = CESampledWeightedLoss
-LogInCE = LogInCELoss
-LogInCESampled = LogInCESampledLoss
-LogOutCE = LogOutCELoss
-LogOutCESampled = CESampledLoss  # the reference equates LogOutCESampled = CE
+
+
+class LogInCE(CELoss):
+    """Reference LogInCE (replay/nn/loss/login_ce.py:102): full-catalog
+    probability form == CE for single positives.  Accepts the reference's
+    constructor args (the catalog size comes from ``item_weights``)."""
+
+    def __init__(self, cardinality=None, log_epsilon=1e-6, clamp_border=100.0,
+                 negative_labels_ignore_index=-100):
+        self.cardinality = cardinality
+
+
+class LogOutCE(CELoss):
+    """Reference LogOutCE (replay/nn/loss/logout_ce.py:10): CE over
+    [positive | catalog-with-positive-masked] == CE for single positives."""
+
+    def __init__(self, cardinality=None, negative_labels_ignore_index=-100,
+                 **kwargs):
+        self.cardinality = cardinality
+
+
+class LogInCESampled(LogOutCELoss):
+    """Reference LogInCESampled (replay/nn/loss/login_ce.py:241): positive
+    vs provided negatives in probability form — softmax-CE over
+    [pos | negatives] for single positives, i.e. our LogOutCELoss."""
+
+    def __init__(self, log_epsilon=1e-6, clamp_border=100.0,
+                 negative_labels_ignore_index=-100):
+        pass
+
+
+LogOutCESampled = CELoss  # the reference equates LogOutCESampled = CE
 LogOutCEWeighted = LogOutCEWeightedLoss
 ScalableCrossEntropyLoss = ScalableCELoss
 SCE = ScalableCELoss

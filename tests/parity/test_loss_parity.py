@@ -99,6 +99,43 @@ def test_ce_sampled_parity(reference, loss_inputs):
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
 
 
+def test_logince_full_catalog_parity(reference, loss_inputs):
+    """Reference LogInCE/LogOutCE score against the full catalog with the
+    positive masked out of the negatives — for single positives both equal
+    CE; our aliases must match the reference modules."""
+    from replay.nn.loss import LogInCE as RefLogInCE
+    from replay.nn.loss import LogOutCE as RefLogOutCE
+
+    from replay_tpu.nn.losses import LogInCE, LogOutCE
+
+    hidden, weights, labels, mask = loss_inputs
+    args = _ref_args(hidden, labels, mask)
+    ref_in = _with_head(RefLogInCE(cardinality=N), weights)(**args)
+    ref_out = _with_head(RefLogOutCE(cardinality=N), weights)(**args)
+    ours_in = LogInCE(cardinality=N)(hidden, labels, mask, weights)
+    ours_out = LogOutCE(cardinality=N)(hidden, labels, mask, weights)
+    np.testing.assert_allclose(float(ours_in), float(ref_in), rtol=1e-4)
+    np.testing.assert_allclose(float(ours_out), float(ref_out), rtol=1e-4)
+
+
+def test_logince_sampled_parity(reference, loss_inputs):
+    """Reference LogInCESampled with provided negatives == softmax-CE over
+    [pos | negatives] for single positives (our LogOutCELoss)."""
+    from replay.nn.loss import LogInCESampled as RefLogInCESampled
+
+    from replay_tpu.nn.losses import LogInCESampled
+
+    hidden, weights, labels, mask = loss_inputs
+    rng = np.random.default_rng(9)
+    negatives = rng.integers(0, N, 12)
+
+    ref = _with_head(RefLogInCESampled(), weights)(
+        **_ref_args(hidden, labels, mask, negatives=negatives)
+    )
+    ours = LogInCESampled()(hidden, labels, mask, weights, negatives=negatives)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
 def test_bce_sampled_parity(reference, loss_inputs):
     from replay.nn.loss import BCESampled
 
