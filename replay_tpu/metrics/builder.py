@@ -118,6 +118,7 @@ class MetricsBuilder:
         self._sums: Dict[str, float] = {}
         self._count = 0.0
         self._rec_items: List[np.ndarray] = []
+        self._train_items: List[np.ndarray] = []
 
     def add_prediction(
         self,
@@ -150,6 +151,8 @@ class MetricsBuilder:
             np_preds = np.asarray(preds)
             np_mask = np.asarray(row_mask).astype(bool)
             self._rec_items.append(np_preds[np_mask])
+            np_train = np.asarray(train)[np_mask].ravel()
+            self._train_items.append(np.unique(np_train[np_train >= 0]))
 
     def get_metrics(self) -> Dict[str, float]:
         """Final metric values (means over accumulated users)."""
@@ -160,11 +163,27 @@ class MetricsBuilder:
                 continue
             for k in self.ks:
                 result[f"{metric}@{k}"] = self._sums.get(f"{metric}@{k}", 0.0) / denom
-        if "coverage" in self.metrics and self.item_count:
+        if "coverage" in self.metrics:
+            # reference definition (torch_metrics_builder.py:147-156 and the
+            # offline Coverage metric): |recommended ∩ train items| / |train
+            # items| at each k.  Falls back to the full catalog (item_count)
+            # as the denominator when no train batches were supplied.
+            if self._train_items:
+                train_items = np.unique(np.concatenate(self._train_items))
+            else:
+                train_items = None
             for k in self.ks:
-                if self._rec_items:
-                    items = np.concatenate([p[:, :k].ravel() for p in self._rec_items])
-                    result[f"coverage@{k}"] = len(np.unique(items)) / self.item_count
+                if not self._rec_items:
+                    result[f"coverage@{k}"] = 0.0
+                    continue
+                items = np.unique(
+                    np.concatenate([p[:, :k].ravel() for p in self._rec_items])
+                )
+                if train_items is not None and len(train_items):
+                    inter = np.intersect1d(items, train_items, assume_unique=True)
+                    result[f"coverage@{k}"] = len(inter) / len(train_items)
+                elif self.item_count:
+                    result[f"coverage@{k}"] = len(items) / self.item_count
                 else:
                     result[f"coverage@{k}"] = 0.0
         return result

@@ -94,7 +94,14 @@ def test_novelty_and_coverage():
     builder.add_prediction(preds, np.array([[1, -1], [4, -1]]), train=train)
     got = builder.get_metrics()
     np.testing.assert_allclose(got["novelty@3"], (2 / 3 + 1.0) / 2)
-    np.testing.assert_allclose(got["coverage@3"], 6 / 10)
+    # reference coverage: |recs ∩ train items| / |train items| — recs cover
+    # {0..5}, train items are {0, 9} → 1/2 (torch_metrics_builder.py:147)
+    np.testing.assert_allclose(got["coverage@3"], 1 / 2)
+
+    # without train batches, falls back to catalog share: 6 unique / 10
+    builder = MetricsBuilder(metrics=("coverage",), ks=(3,), item_count=10)
+    builder.add_prediction(preds, np.array([[1, -1], [4, -1]]))
+    np.testing.assert_allclose(builder.get_metrics()["coverage@3"], 6 / 10)
 
 
 def test_metrics_to_df():
