@@ -152,7 +152,13 @@ class MetricsBuilder:
             np_mask = np.asarray(row_mask).astype(bool)
             self._rec_items.append(np_preds[np_mask])
             np_train = np.asarray(train)[np_mask].ravel()
-            self._train_items.append(np.unique(np_train[np_train >= 0]))
+            # drop padding on BOTH sides like the reference _CoverageHelper
+            # (torch_metrics_builder.py:143): ids < 0 AND ids >= item_count
+            # (this repo pads sequences with padding id = cardinality)
+            valid = np_train >= 0
+            if self.item_count:
+                valid &= np_train < self.item_count
+            self._train_items.append(np.unique(np_train[valid]))
 
     def get_metrics(self) -> Dict[str, float]:
         """Final metric values (means over accumulated users)."""

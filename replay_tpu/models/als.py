@@ -90,7 +90,7 @@ def _cg_block(
     is O(nnz·r) per step instead of O(nnz·r²), warm-started from the
     previous sweep's factors.  3 steps match the Cholesky solution to
     ~1e-2 per sweep and to recommendation-level equivalence over a full
-    fit (tests/models/test_als.py::test_cg_matches_cholesky).
+    fit (tests/models/test_factorization.py::test_cg_matches_cholesky).
     """
     y = jnp.take(factors_other, idx, axis=0) * mask[..., None]  # [B, M, r]
     conf_minus_1 = alpha * rating * mask  # c' = c-1, 0 at padding

@@ -48,7 +48,10 @@ def _safe_labels(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 class CELoss:
     """Full-softmax cross-entropy over the catalog (reference: replay/nn/loss/ce.py:10)."""
 
-    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
+        # ``negatives`` is accepted and ignored, as the reference CE.forward
+        # accepts negative_labels (ce.py:54, ARG002) — pipelines that attach
+        # a negative-sampling transform can still use full-softmax losses
         labels = _safe_labels(labels, mask)
         logits = tying_logits(hidden, item_weights)  # [B, L, N] f32
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -102,7 +105,7 @@ class BCELoss:
     valid positions' [*, N] rows divided by the number of valid positions —
     i.e. per-position SUM over the catalog, masked-meaned (bce.py:97)."""
 
-    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
         labels = _safe_labels(labels, mask)
         logits = tying_logits(hidden, item_weights)  # [B, L, N]
         n_items = item_weights.shape[0]
@@ -169,7 +172,7 @@ class LogInCELoss:
         self.temperature = temperature
         self.log_q_correction = log_q_correction
 
-    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
         labels = _safe_labels(labels, mask)
         batch, length, dim = hidden.shape
         flat_h = hidden.reshape(-1, dim)
@@ -247,7 +250,7 @@ class ScalableCELoss:
         self.bucket_size_y = bucket_size_y
         self.mix_x = mix_x
 
-    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
         labels = _safe_labels(labels, mask)
         batch, length, dim = hidden.shape
         flat_h = hidden.reshape(-1, dim).astype(jnp.float32)
@@ -320,7 +323,8 @@ class CEWeightedLoss(CELoss):
     (e.g. time-decay from replay_tpu.utils.time) and scale each position's
     contribution inside the masked mean."""
 
-    def __call__(self, hidden, labels, mask, item_weights, *, sample_weights=None, key=None):
+    def __call__(self, hidden, labels, mask, item_weights, *, sample_weights=None,
+                 negatives=None, key=None):
         if sample_weights is None:
             return super().__call__(hidden, labels, mask, item_weights, key=key)
         labels = _safe_labels(labels, mask)
@@ -334,12 +338,18 @@ class CEWeightedLoss(CELoss):
 class CESampledWeightedLoss(CESampledLoss):
     """Sampled CE with per-position weights (reference: ce.py:252)."""
 
-    def __call__(self, hidden, labels, mask, item_weights, *, sample_weights=None, key=None):
+    def __call__(self, hidden, labels, mask, item_weights, *, sample_weights=None,
+                 negatives=None, key=None):
         if sample_weights is None:
-            return super().__call__(hidden, labels, mask, item_weights, key=key)
+            return super().__call__(
+                hidden, labels, mask, item_weights, negatives=negatives, key=key
+            )
         labels = _safe_labels(labels, mask)
         n_items = item_weights.shape[0]
-        negs = jax.random.randint(key, (self.n_negatives,), 0, n_items)
+        if negatives is None:
+            negs = jax.random.randint(key, (self.n_negatives,), 0, n_items)
+        else:
+            negs = jnp.asarray(negatives)
         neg_w = jnp.take(item_weights, negs, axis=0)
         pos_w = jnp.take(item_weights, labels, axis=0)
         pos_logit = jnp.einsum("bld,bld->bl", hidden, pos_w, preferred_element_type=jnp.float32)
@@ -365,12 +375,17 @@ class BPRLoss:
     def __init__(self, n_negatives: int = 1):
         self.n_negatives = n_negatives
 
-    def __call__(self, hidden, labels, mask, item_weights, *, key=None):
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
         labels = _safe_labels(labels, mask)
         n_items = item_weights.shape[0]
-        negs = jax.random.randint(
-            key, labels.shape + (self.n_negatives,), 0, n_items
-        )
+        if negatives is None:
+            negs = jax.random.randint(
+                key, labels.shape + (self.n_negatives,), 0, n_items
+            )
+        else:
+            negs = jnp.asarray(negatives)
+            if negs.ndim == 1:
+                negs = jnp.broadcast_to(negs, labels.shape + negs.shape)
         pos_w = jnp.take(item_weights, labels, axis=0)  # [B, L, D]
         neg_w = jnp.take(item_weights, negs, axis=0)  # [B, L, n, D]
         pos_logit = jnp.einsum(
@@ -514,19 +529,45 @@ CEWeighted = CEWeightedLoss
 CESampledWeighted = CESampledWeightedLoss
 
 
+def _eps_clamped_nll(nll, log_epsilon, clamp_border):
+    """Reference probability-form loss -clamp(log(p + eps), -B, B) from a
+    plain nll = -log p (login_ce.py:233-237): p below eps saturates to
+    ~-log(eps) with a vanishing gradient, bounding early-training loss at
+    huge catalogs."""
+    p = jnp.exp(-nll)
+    return -jnp.clip(
+        jnp.log(p + jnp.float32(log_epsilon)),
+        -jnp.float32(clamp_border),
+        jnp.float32(clamp_border),
+    )
+
+
 class LogInCE(CELoss):
     """Reference LogInCE (replay/nn/loss/login_ce.py:102): full-catalog
-    probability form == CE for single positives.  Accepts the reference's
-    constructor args (the catalog size comes from ``item_weights``)."""
+    probability form — CE for single positives, with the reference's
+    log_epsilon floor and clamp_border applied per position (the catalog
+    size comes from ``item_weights``)."""
 
     def __init__(self, cardinality=None, log_epsilon=1e-6, clamp_border=100.0,
                  negative_labels_ignore_index=-100):
         self.cardinality = cardinality
+        self.log_epsilon = log_epsilon
+        self.clamp_border = clamp_border
+
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
+        labels = _safe_labels(labels, mask)
+        logits = tying_logits(hidden, item_weights)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return _masked_mean(
+            _eps_clamped_nll(nll, self.log_epsilon, self.clamp_border), mask
+        )
 
 
 class LogOutCE(CELoss):
-    """Reference LogOutCE (replay/nn/loss/logout_ce.py:10): CE over
-    [positive | catalog-with-positive-masked] == CE for single positives."""
+    """Reference LogOutCE (replay/nn/loss/logout_ce.py:10): plain
+    CrossEntropyLoss over [positive | catalog-with-positive-masked]
+    == CE for single positives (no epsilon/clamp in the reference)."""
 
     def __init__(self, cardinality=None, negative_labels_ignore_index=-100,
                  **kwargs):
@@ -535,12 +576,36 @@ class LogOutCE(CELoss):
 
 class LogInCESampled(LogOutCELoss):
     """Reference LogInCESampled (replay/nn/loss/login_ce.py:241): positive
-    vs provided negatives in probability form — softmax-CE over
-    [pos | negatives] for single positives, i.e. our LogOutCELoss."""
+    vs provided negatives in probability form with the reference's
+    log_epsilon floor and clamp_border — softmax-CE over [pos | negatives]
+    for single positives."""
 
     def __init__(self, log_epsilon=1e-6, clamp_border=100.0,
                  negative_labels_ignore_index=-100):
-        pass
+        self.log_epsilon = log_epsilon
+        self.clamp_border = clamp_border
+
+    def __call__(self, hidden, labels, mask, item_weights, *, negatives=None, key=None):
+        if negatives is None:
+            msg = "LogInCESampled requires a negatives array (use UniformNegativeSamplingTransform)"
+            raise ValueError(msg)
+        labels = _safe_labels(labels, mask)
+        negatives = jnp.asarray(negatives)
+        neg_w = jnp.take(item_weights, negatives, axis=0)
+        pos_w = jnp.take(item_weights, labels, axis=0)
+        pos_logit = jnp.einsum(
+            "bld,bld->bl", hidden, pos_w, preferred_element_type=jnp.float32
+        )
+        neg_logit = jnp.einsum(
+            "bld,nd->bln", hidden, neg_w, preferred_element_type=jnp.float32
+        )
+        collide = labels[..., None] == negatives[None, None, :]
+        neg_logit = jnp.where(collide, NEG, neg_logit)
+        all_logits = jnp.concatenate([pos_logit[..., None], neg_logit], axis=-1)
+        nll = -jax.nn.log_softmax(all_logits, axis=-1)[..., 0]
+        return _masked_mean(
+            _eps_clamped_nll(nll, self.log_epsilon, self.clamp_border), mask
+        )
 
 
 LogOutCESampled = CELoss  # the reference equates LogOutCESampled = CE

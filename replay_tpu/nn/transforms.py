@@ -142,9 +142,11 @@ class UniformNegativeSamplingTransform:
     Negatives are drawn WITHOUT replacement via Gumbel-top-k — the
     XLA-friendly exact equivalent of the reference's
     torch.multinomial(replacement=False) — proportionally to
-    ``sample_distribution`` when given, else uniformly.  Pass
-    ``replacement=True`` for the cheaper O(k) uniform draw (distribution
-    indistinguishable when n_negatives ≪ n_items).
+    ``sample_distribution`` when given, else uniformly.  Without-replacement
+    costs one [n_items] gumbel draw + top-k per batch (cheap relative to a
+    train step even at 1M+ items, but not free); pass ``replacement=True``
+    for the O(k) i.i.d. draw, statistically indistinguishable when
+    n_negatives ≪ n_items.
     """
 
     def __init__(
@@ -163,7 +165,7 @@ class UniformNegativeSamplingTransform:
                     f"expected {n_items}"
                 )
                 raise ValueError(msg)
-            if int((sample_distribution > 0).sum()) < n_negatives:
+            if not replacement and int((sample_distribution > 0).sum()) < n_negatives:
                 msg = (
                     f"sample_distribution has only "
                     f"{int((sample_distribution > 0).sum())} positive-weight items "
@@ -185,8 +187,16 @@ class UniformNegativeSamplingTransform:
 
     def __call__(self, batch: Batch, key=None) -> Batch:
         out = dict(batch)
-        if self.replacement and self.sample_distribution is None:
-            out[self.field] = jax.random.randint(key, (self.n_negatives,), 0, self.n_items)
+        if self.replacement:
+            if self.sample_distribution is None:
+                out[self.field] = jax.random.randint(
+                    key, (self.n_negatives,), 0, self.n_items
+                )
+            else:
+                logw = jnp.log(jnp.maximum(self.sample_distribution, 0.0))
+                out[self.field] = jax.random.categorical(
+                    key, logw, shape=(self.n_negatives,)
+                )
         else:
             if self.sample_distribution is None:
                 logw = jnp.zeros((self.n_items,))

@@ -68,6 +68,15 @@ def test_negative_sampling_range():
         make_batch(), key=jax.random.PRNGKey(1)
     )
     assert np.asarray(out["negatives"]).shape == (16,)
+    # replacement=True honors the distribution (categorical draw), including
+    # fewer positive-weight items than samples
+    w = np.zeros(7)
+    w[:3] = 1.0
+    out = UniformNegativeSamplingTransform(
+        16, n_items=7, sample_distribution=w, replacement=True
+    )(make_batch(), key=jax.random.PRNGKey(2))
+    negs = np.asarray(out["negatives"])
+    assert negs.shape == (16,) and negs.max() < 3
 
 
 def test_trim_and_roll():

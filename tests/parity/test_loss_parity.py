@@ -150,3 +150,46 @@ def test_bce_sampled_parity(reference, loss_inputs):
     )
     ours = BCESampledLoss()(hidden, labels, mask, weights, negatives=negatives)
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_all_losses_accept_batch_negatives(reference, loss_inputs):
+    """A reference-shaped pipeline attaches 'negatives' to every batch; the
+    trainer forwards them to whatever loss is configured, so every loss must
+    accept the kwarg (the reference's forward signatures all take
+    negative_labels, ignored where unused)."""
+    import jax
+
+    from replay_tpu.nn import losses as L
+
+    hidden, weights, labels, mask = loss_inputs
+    negatives = np.arange(8)
+    for loss in (
+        L.CELoss(), L.CEWeightedLoss(), L.CESampledLoss(4),
+        L.CESampledWeightedLoss(4), L.BCELoss(), L.BCESampledLoss(2),
+        L.BPRLoss(2), L.LogInCELoss(), L.ScalableCELoss(),
+        L.LogInCE(), L.LogOutCE(), L.LogInCESampled(), L.LogOutCESampled(),
+        L.LogOutCELoss(),
+    ):
+        val = loss(hidden, labels, mask, weights, negatives=negatives,
+                   key=jax.random.PRNGKey(0))
+        assert np.isfinite(float(val)), type(loss).__name__
+
+
+def test_ce_sampled_weighted_uses_batch_negatives(reference, loss_inputs):
+    """CESampledWeighted must consume batch-provided negatives on both the
+    weighted and unweighted code paths (not silently redraw its own)."""
+    import jax
+
+    from replay_tpu.nn.losses import CESampledLoss, CESampledWeightedLoss
+
+    hidden, weights, labels, mask = loss_inputs
+    negatives = np.arange(8)
+    sw = np.ones_like(mask, dtype=np.float32)
+    base = CESampledLoss(4)(hidden, labels, mask, weights, negatives=negatives)
+    weighted = CESampledWeightedLoss(4)(
+        hidden, labels, mask, weights, negatives=negatives, sample_weights=sw,
+        key=jax.random.PRNGKey(0),
+    )
+    # unit weights + same negatives -> identical value, proving the negatives
+    # flow through the weighted path
+    np.testing.assert_allclose(float(weighted), float(base), rtol=1e-6)
