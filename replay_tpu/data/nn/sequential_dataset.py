@@ -205,9 +205,10 @@ class SequentialDataset:
 
         :param crop_offset: drop this many of the *most recent* events before
             taking the last ``max_sequence_length`` (used to build label
-            shifts host-side).
+            shifts host-side and sliding windows); scalar or [B] array.
         """
         indices = np.asarray(indices)
+        crop_offset = np.asarray(crop_offset)
         length = max_sequence_length
         out: Batch = {}
 
@@ -242,6 +243,36 @@ class SequentialDataset:
         out["seq_len"] = seq_len
         return out
 
+    def window_index(
+        self, max_sequence_length: int, sliding_window_step: Optional[int]
+    ):
+        """(row, crop_offset) pairs for every training sample.
+
+        ``sliding_window_step=None``: one sample per query — the most recent
+        ``max_sequence_length`` events (crop 0).  With a step, each query
+        yields windows anchored at offsets-from-start
+        ``left, left-step, …, >0`` then 0 (``left = len - max_len``) —
+        the reference's iteration order
+        (reference: replay/data/nn/torch_sequential_dataset.py:148-163) —
+        expressed as most-recent-crop offsets ``0, step, 2·step, …, left``.
+        """
+        n = len(self)
+        lens = np.diff(self._offsets)
+        if sliding_window_step is None:
+            return np.arange(n), np.zeros(n, dtype=np.int64)
+        rows, crops = [], []
+        step = int(sliding_window_step)
+        for i in range(n):
+            left = int(lens[i]) - max_sequence_length
+            k = 0
+            while left - k * step > 0:
+                rows.append(i)
+                crops.append(k * step)
+                k += 1
+            rows.append(i)
+            crops.append(max(left, 0))
+        return np.asarray(rows), np.asarray(crops, dtype=np.int64)
+
     def batches(
         self,
         batch_size: int,
@@ -253,6 +284,7 @@ class SequentialDataset:
         replica_id: int = 0,
         num_replicas: int = 1,
         transform: Optional[Callable[[Batch], Batch]] = None,
+        sliding_window_step: Optional[int] = None,
     ) -> Iterator[Batch]:
         """Yield static-shape batches, optionally sharded across replicas.
 
@@ -261,8 +293,11 @@ class SequentialDataset:
         1 = real row).  Replica sharding pads the index set to a multiple of
         ``num_replicas`` then strides (reference partitioning contract:
         replay/data/nn/parquet/info/partitioning.py:31-60).
+        ``sliding_window_step`` expands each query into overlapping windows
+        (reference: torch_sequential_dataset.py:148).
         """
-        n = len(self)
+        rows, crops = self.window_index(max_sequence_length, sliding_window_step)
+        n = len(rows)
         order = np.arange(n)
         if shuffle:
             rng = np.random.Generator(np.random.Philox(key=[seed, epoch]))
@@ -278,7 +313,9 @@ class SequentialDataset:
                 if drop_last:
                     return
                 chunk = np.resize(chunk, batch_size)
-            batch = self.pad_batch(chunk, max_sequence_length)
+            batch = self.pad_batch(
+                rows[chunk], max_sequence_length, crop_offset=crops[chunk]
+            )
             batch_mask = np.zeros(batch_size, dtype=np.int8)
             batch_mask[:real] = 1
             batch["batch_mask"] = batch_mask

@@ -116,6 +116,10 @@ class TrainerConfig:
     # step at a time, but host dispatch overhead amortizes K-fold — the
     # steps_per_loop idiom for TPU training loops
     steps_per_dispatch: int = 1
+    # expand each query into overlapping training windows with this stride
+    # (reference: replay/data/nn/torch_sequential_dataset.py:148
+    # sliding_window_step); None = one tail window per query
+    sliding_window_step: Optional[int] = None
 
 
 class Trainer:
@@ -354,6 +358,7 @@ class Trainer:
                 shuffle=True,
                 seed=cfg.seed,
                 epoch=epoch,
+                sliding_window_step=cfg.sliding_window_step,
             ):
                 if self.state is None:
                     self.init_state(batch)
