@@ -123,3 +123,62 @@ def test_pad_batch_mask_invariants(lengths, max_len):
     )
     # padded positions hold the padding value
     assert np.all(batch["item_id"][mask == 0] == 50)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    lengths=st.lists(st.integers(1, 40), min_size=1, max_size=12),
+    max_len=st.integers(2, 16),
+    step=st.integers(1, 8),
+)
+def test_sliding_window_index_invariants(lengths, max_len, step):
+    """window_index must (a) yield exactly the reference count per query —
+    ceil(max(left,0)/step) windows at positive offsets plus the offset-0
+    window — (b) include crop 0 (the tail window) for every query, and
+    (c) produce crops that reconstruct the reference's offsets-from-start
+    left, left-step, …, 0."""
+    from replay_tpu.data.nn import (
+        SequentialDataset,
+        TensorFeatureInfo,
+        TensorFeatureType,
+        TensorSchema,
+    )
+    from replay_tpu.data.nn.schema import TensorFeatureSource
+    from replay_tpu.data.schema import FeatureHint, FeatureSource
+
+    rows = []
+    for u, length in enumerate(lengths):
+        for t in range(length):
+            rows.append((u, (u + t) % 50, t))
+    log = pd.DataFrame(rows, columns=["query_id", "item_id", "timestamp"])
+    schema = TensorSchema(
+        TensorFeatureInfo(
+            "item_id",
+            TensorFeatureType.CATEGORICAL,
+            is_seq=True,
+            feature_hint=FeatureHint.ITEM_ID,
+            feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+            cardinality=50,
+            embedding_dim=4,
+            padding_value=50,
+        )
+    )
+    ds = SequentialDataset.from_interactions(schema, log)
+    rows_idx, crops = ds.window_index(max_len, step)
+
+    for u, length in enumerate(lengths):
+        left = length - max_len
+        mine = sorted(crops[rows_idx == u].tolist())
+        # reference iteration: offsets left, left-step, ... (>0), then 0
+        offsets = []
+        o = left
+        while o > 0:
+            offsets.append(o)
+            o -= step
+        offsets.append(0)
+        # window at offset-from-start o covers [o, o+max_len) == cropping
+        # left - o most-recent events (left > 0); short sequences have one
+        # whole-sequence window at crop 0
+        expected = sorted({left - off for off in offsets}) if left > 0 else [0]
+        assert mine == expected, (u, length, mine, expected)
+        assert 0 in mine  # tail window always present
