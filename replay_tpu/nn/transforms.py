@@ -307,11 +307,23 @@ class AdaptiveTrimTransform:
     The output length is data-dependent, so this is a HOST-side transform for
     validation/inference loops (each distinct resulting length triggers one
     XLA compile downstream); do not compose it inside a jitted train step.
+
+    :param bucket: round the trimmed length up to the next power of two so
+        downstream jitted calls compile at most O(log L) distinct shapes
+        instead of one per observed batch length — the TPU-friendly mode
+        (the reference's torch backend pays nothing for dynamic shapes, XLA
+        does).  Default off for exact reference semantics.
     """
 
-    def __init__(self, apply_to: Optional[Sequence[str]] = None, mask_name: str = "padding_mask"):
+    def __init__(
+        self,
+        apply_to: Optional[Sequence[str]] = None,
+        mask_name: str = "padding_mask",
+        bucket: bool = False,
+    ):
         self.apply_to = list(apply_to) if apply_to is not None else None
         self.mask_name = mask_name
+        self.bucket = bucket
 
     def __call__(self, batch: Batch, key=None) -> Batch:
         if self.mask_name not in batch:
@@ -320,6 +332,9 @@ class AdaptiveTrimTransform:
         pad = batch[self.mask_name]
         max_len = int(jnp.asarray(pad).sum(axis=1).max())
         max_len = max(max_len, 1)
+        if self.bucket:
+            max_len = 1 << (max_len - 1).bit_length()
+            max_len = min(max_len, pad.shape[1])
         if max_len == pad.shape[1]:
             return batch
         out = dict(batch)

@@ -301,3 +301,22 @@ def test_trim_keeps_most_recent():
     out = TrimTransform(seq_len=2)(make_batch())
     np.testing.assert_array_equal(out["item_id"], [[2, 3], [4, 5]])
     np.testing.assert_array_equal(out["padding_mask"], [[1, 1], [1, 1]])
+
+
+def test_adaptive_trim_bucketing():
+    from replay_tpu.nn.transforms import AdaptiveTrimTransform
+
+    batch = {
+        "item_id": jnp.arange(2 * 16, dtype=jnp.int32).reshape(2, 16),
+        "padding_mask": jnp.asarray(
+            [[0] * 11 + [1] * 5, [0] * 13 + [1] * 3], dtype=jnp.int8
+        ),
+    }
+    exact = AdaptiveTrimTransform()(batch)
+    assert exact["item_id"].shape[1] == 5
+    # bucketed: 5 -> 8 (next power of two), bounding recompiles
+    bucketed = AdaptiveTrimTransform(bucket=True)(batch)
+    assert bucketed["item_id"].shape[1] == 8
+    np.testing.assert_array_equal(
+        np.asarray(bucketed["item_id"])[:, -5:], np.asarray(exact["item_id"])
+    )
