@@ -23,11 +23,19 @@ from replay_tpu.data.nn.sequential_dataset import (
     DEFAULT_TRAIN_PADDING_VALUE,
     SequentialDataset,
 )
+from replay_tpu.data.nn.torch_sequential_dataset import (
+    TorchSequentialBatch,
+    TorchSequentialDataset,
+    TorchSequentialValidationBatch,
+    TorchSequentialValidationDataset,
+)
+from replay_tpu.utils.types import TORCH_AVAILABLE
 
 TensorMap = Mapping[str, np.ndarray]
 MutableTensorMap = Dict[str, np.ndarray]
 
 PandasSequentialDataset = SequentialDataset
+PolarsSequentialDataset = SequentialDataset
 
 __all__ = [
     "DEFAULT_GROUND_TRUTH_PADDING_VALUE",
@@ -36,11 +44,17 @@ __all__ = [
     "PandasSequentialDataset",
     "ParquetDataset",
     "ParquetModule",
+    "PolarsSequentialDataset",
     "SequenceTokenizer",
     "SequentialDataset",
+    "TORCH_AVAILABLE",
     "TensorFeatureInfo",
     "TensorFeatureSource",
     "TensorFeatureType",
     "TensorMap",
     "TensorSchema",
+    "TorchSequentialBatch",
+    "TorchSequentialDataset",
+    "TorchSequentialValidationBatch",
+    "TorchSequentialValidationDataset",
 ]

@@ -1,5 +1,7 @@
 from replay_tpu.data.nn.parquet.info import (
+    DEFAULT_REPLICAS_INFO,
     ReplicasInfo,
+    ReplicasInfoProtocol,
     curr_replica,
     num_replicas,
     partitioning_length,
@@ -12,6 +14,8 @@ from replay_tpu.data.nn.parquet.parquet_module import ParquetModule
 
 __all__ = [
     "ColumnMeta",
+    "DEFAULT_REPLICAS_INFO",
+    "ReplicasInfoProtocol",
     "Metadata",
     "ParquetDataset",
     "ParquetModule",

@@ -184,7 +184,15 @@ def replica_indices(
     return order[replica::n_replicas]
 
 
-# Reference names (replay/data/nn/parquet/info/replicas.py): the replica =
-# worker × rank composition protocol and its process-default instance.
-ReplicasInfoProtocol = DistributedInfoProtocol
-DEFAULT_REPLICAS_INFO = DEFAULT_DISTRIBUTED_INFO
+# Reference names (replay/data/nn/parquet/info/replicas.py:23,68): the
+# replica = worker × rank composition protocol and its process-default
+# instance.
+class ReplicasInfoProtocol(Protocol):
+    @property
+    def num_replicas(self) -> int: ...
+
+    @property
+    def curr_replica(self) -> int: ...
+
+
+DEFAULT_REPLICAS_INFO: ReplicasInfoProtocol = ReplicasInfo()

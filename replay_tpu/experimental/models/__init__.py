@@ -9,8 +9,21 @@ from replay_tpu.experimental.models.mult_vae import MultVAE
 from replay_tpu.experimental.models.neural_ts import NeuralTS
 from replay_tpu.experimental.models.neuromf import NeuroMF
 from replay_tpu.experimental.models.u_lin_ucb import ULinUCB
+from replay_tpu.models.als import ALSWrap as _ALSWrap
+from replay_tpu.models.base_rec import Recommender as _Recommender
+
+# Reference names subsumed by core classes (reference:
+# replay/experimental/models/__init__.py): ScalaALSWrap is the reference's
+# ALS + ANN combination — replay_tpu's ALSWrap already mixes in ANNMixin;
+# TorchRecommender is the reference's torch-model base with a Spark
+# inference loop — here neural experimental models build on the same
+# blocked-device-scoring Recommender base as everything else.
+ScalaALSWrap = _ALSWrap
+TorchRecommender = _Recommender
 
 __all__ = [
+    "ScalaALSWrap",
+    "TorchRecommender",
     "ADMMSLIM",
     "CQL",
     "DDPG",

@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 
 from replay_tpu.models.optimization.search import Study, Trial, suggest_params
+from replay_tpu.utils.types import FeatureUnavailableError
 
 # the wrapper itself has no obp dependency (estimators are native); the
 # flag only reports whether obp's own estimators could also be used

@@ -108,13 +108,21 @@ class ItemKNN(NeighbourRec):
         sim = np.divide(gram, denom, out=np.zeros_like(gram), where=denom != 0)
         np.fill_diagonal(sim, 0.0)
 
-        # keep top-num_neighbours per row (ties: higher item index first,
-        # matching reference orderBy(similarity desc, item_idx_two desc)) —
-        # boundary ties resolved vectorized: entries strictly above the kth
-        # value always stay; among entries equal to it, the highest column
-        # indices fill the remaining slots (rank-from-right via reversed
-        # cumsum, no per-row python)
-        k = min(self.num_neighbours, n_i - 1)
+        sim = self._truncate_topk(sim, self.num_neighbours)
+        self._set_similarity_dense(sim.astype(np.float32))
+
+    @staticmethod
+    def _truncate_topk(sim: np.ndarray, num_neighbours: int) -> np.ndarray:
+        """Keep top-``num_neighbours`` per row (ties: higher item index first,
+        matching reference orderBy(similarity desc, item_idx_two desc)) —
+        boundary ties resolved vectorized: entries strictly above the kth
+        value always stay; among entries equal to it, the highest column
+        indices fill the remaining slots (rank-from-right via reversed
+        cumsum, no per-row python).  Idempotent under shrinking k: top-k of a
+        top-K-truncated matrix equals top-k of the full one for k <= K, which
+        is what lets :class:`ItemKNNObjective` tune without refitting."""
+        n_i = sim.shape[1]
+        k = min(num_neighbours, n_i - 1)
         if k < n_i - 1:
             kth = np.partition(sim, -k, axis=1)[:, -k][:, None]
             keep_gt = sim > kth
@@ -126,7 +134,7 @@ class ItemKNN(NeighbourRec):
             rank_from_right = cnt[:, -1:] - cnt + tied
             keep = keep_gt | (tied & (rank_from_right <= need))
             sim = np.where(keep, sim, 0.0)
-        self._set_similarity_dense(sim.astype(np.float32))
+        return sim
 
     def _gram_device(self, ratings_matrix: csr_matrix, block: int = 4096) -> np.ndarray:
         """Item co-occurrence Gram matrix RᵀR as blocked MXU matmuls."""

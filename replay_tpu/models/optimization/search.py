@@ -195,19 +195,7 @@ class OptimizeMixin:
     def _eval_trial(self, params, train_dataset, test_dataset, criterion, k) -> float:
         self.set_params(**params)
         self.fit(train_dataset)
-        test_queries = test_dataset.interactions[
-            test_dataset.feature_schema.query_id_column
-        ].drop_duplicates()
-        recs = self.predict(train_dataset, k=k, queries=test_queries)
-        schema = test_dataset.feature_schema
-        metric = criterion(
-            k,
-            query_column=schema.query_id_column,
-            item_column=schema.item_id_column,
-            rating_column=schema.interactions_rating_column or "rating",
-        )
-        result = metric(recs, test_dataset.interactions)
-        return float(next(iter(result.values())))
+        return eval_quality(self, train_dataset, test_dataset, criterion, k)
 
     def _optimize_optuna(
         self, train_dataset, test_dataset, space, criterion, k, budget, new_study
@@ -279,4 +267,67 @@ class ObjectiveWrapper:
                 params[name] = trial.suggest_float(name, args[0], args[1])
         return self.model._eval_trial(
             params, self.train_dataset, self.test_dataset, self.criterion, self.k
+        )
+
+
+def eval_quality(model, train_dataset, test_dataset, criterion, k: int = 10) -> float:
+    """Score a FITTED model on the held-out interactions (reference:
+    replay/models/optimization/optuna_objective.py:96 eval_quality)."""
+    test_queries = test_dataset.interactions[
+        test_dataset.feature_schema.query_id_column
+    ].drop_duplicates()
+    recs = model.predict(train_dataset, k=k, queries=test_queries)
+    schema = test_dataset.feature_schema
+    metric = criterion(
+        k,
+        query_column=schema.query_id_column,
+        item_column=schema.item_id_column,
+        rating_column=schema.interactions_rating_column or "rating",
+    )
+    result = metric(recs, test_dataset.interactions)
+    return float(next(iter(result.values())))
+
+
+class ItemKNNObjective(ObjectiveWrapper):
+    """Refit-free objective for ItemKNN (reference:
+    replay/models/optimization/optuna_objective.py:151): the Gram matrix is
+    computed ONCE at the search-space maximum ``num_neighbours``; each trial
+    re-truncates the cached dense similarity instead of refitting (top-k of a
+    top-K truncation equals top-k of the full matrix for k <= K, incl. the
+    reference's column-index tie-break — see ItemKNN._truncate_topk)."""
+
+    def __init__(self, model, train_dataset, test_dataset, criterion=None,
+                 k: int = 10, search_space: Optional[Dict[str, Dict]] = None):
+        super().__init__(model, train_dataset, test_dataset, criterion, k, search_space)
+        nn_spec = self.search_space.get("num_neighbours")
+        self._max_neighbours = (
+            int(nn_spec["args"][1]) if nn_spec else int(model.num_neighbours)
+        )
+        self._cached_sim = None
+
+    def __call__(self, trial) -> float:
+        import numpy as np
+
+        if self._cached_sim is None:
+            self.model.num_neighbours = self._max_neighbours
+            self.model.fit(self.train_dataset)
+            self._cached_sim = np.array(self.model._sim_dense)
+        params: Dict[str, Any] = {}
+        for name, spec in self.search_space.items():
+            kind, args = spec["type"], spec["args"]
+            if kind == "categorical":
+                params[name] = trial.suggest_categorical(name, args)
+            elif kind in ("int", "loguniform_int"):
+                params[name] = trial.suggest_int(name, args[0], args[1], log=(kind == "loguniform_int"))
+            else:
+                params[name] = trial.suggest_float(name, args[0], args[1], log=(kind == "loguniform"))
+        num_neighbours = int(params.get("num_neighbours", self.model.num_neighbours))
+        if num_neighbours > self._max_neighbours:
+            num_neighbours = self._max_neighbours
+        self.model.num_neighbours = num_neighbours
+        self.model._set_similarity_dense(
+            type(self.model)._truncate_topk(self._cached_sim.copy(), num_neighbours)
+        )
+        return eval_quality(
+            self.model, self.train_dataset, self.test_dataset, self.criterion, self.k
         )

@@ -10,6 +10,7 @@ from replay_tpu.nn.embedding import (
     NumericalEmbedding,
     SequenceEmbedding,
 )
+from replay_tpu.utils.types import TORCH_AVAILABLE
 from replay_tpu.nn.ffn import PointWiseFeedForward, SwiGLU
 from replay_tpu.nn.attention import MultiHeadSelfAttention
 from replay_tpu.nn.head import EmbeddingTyingHead
@@ -44,6 +45,7 @@ from replay_tpu.nn.transforms import (
 )
 
 __all__ = [
+    "TORCH_AVAILABLE",
     "CategoricalEmbedding",
     "NumericalEmbedding",
     "SequenceEmbedding",

@@ -27,6 +27,9 @@ import jax.numpy as jnp
 from replay_tpu.nn.dtypes import resolve_dtype
 
 from replay_tpu.data.nn.schema import TensorSchema
+from replay_tpu.nn.agg import PositionAwareAggregator  # noqa: F401  (reference
+# export surface: replay/nn/sequential/sasrec/__init__.py re-exports the
+# position-aware aggregator alongside the model)
 from replay_tpu.nn.attention import (
     MultiHeadDifferentialAttention,
     MultiHeadSelfAttention,

@@ -94,3 +94,62 @@ def test_model_optimize_improves_detuned_knn():
     tuned_model.set_params(**best)
     tuned = ndcg_of(tuned_model)
     assert tuned > base, (tuned, base)
+
+
+class _FixedTrial:
+    """Minimal optuna-trial stand-in returning preset params."""
+
+    def __init__(self, params):
+        self.params = params
+
+    def suggest_categorical(self, name, args):
+        return self.params[name]
+
+    def suggest_int(self, name, low, high, log=False):
+        return self.params[name]
+
+    def suggest_float(self, name, low, high, log=False):
+        return self.params[name]
+
+
+def test_itemknn_objective_refit_free_matches_refit(tiny_objective_data=None):
+    """ItemKNNObjective (fit once at max num_neighbours, re-truncate per
+    trial) must score every trial identically to the refit-per-trial
+    ObjectiveWrapper (reference capability: optuna_objective.py:151)."""
+    from replay_tpu.data.dataset import Dataset
+    from replay_tpu.data.schema import (FeatureHint, FeatureInfo, FeatureSchema,
+                                        FeatureSource, FeatureType)
+    from replay_tpu.metrics import NDCG
+    from replay_tpu.models import ItemKNN
+    from replay_tpu.models.optimization import ItemKNNObjective, ObjectiveWrapper
+    from replay_tpu.splitters import TimeSplitter
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for u in range(80):
+        g = u % 4
+        for t in range(12):
+            it = int(g * 25 + rng.integers(0, 25)) if rng.random() < 0.8 else int(rng.integers(0, 100))
+            rows.append((u, it, 1.0, t))
+    log = pd.DataFrame(rows, columns=["query_id", "item_id", "rating", "timestamp"]).drop_duplicates(["query_id", "item_id"])
+    schema = FeatureSchema([
+        FeatureInfo("query_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+        FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+        FeatureInfo("rating", FeatureType.NUMERICAL, feature_hint=FeatureHint.RATING,
+                    feature_source=FeatureSource.INTERACTIONS),
+        FeatureInfo("timestamp", FeatureType.NUMERICAL, feature_hint=FeatureHint.TIMESTAMP,
+                    feature_source=FeatureSource.INTERACTIONS),
+    ])
+    train, val = TimeSplitter(time_threshold=0.25, query_column="query_id").split(log)
+    train_ds = Dataset(schema, train, check_consistency=False)
+    val_ds = Dataset(schema, val, check_consistency=False)
+
+    space = {"num_neighbours": {"type": "int", "args": [1, 20]}}
+    fast = ItemKNNObjective(ItemKNN(), train_ds, val_ds, criterion=NDCG, k=5,
+                            search_space=space)
+    for nn in (1, 3, 7, 20):
+        slow = ObjectiveWrapper(ItemKNN(), train_ds, val_ds, criterion=NDCG, k=5,
+                                search_space=space)
+        v_slow = slow(_FixedTrial({"num_neighbours": nn}))
+        v_fast = fast(_FixedTrial({"num_neighbours": nn}))
+        assert v_fast == pytest.approx(v_slow, abs=1e-9), (nn, v_fast, v_slow)

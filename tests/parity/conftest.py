@@ -23,7 +23,12 @@ REFERENCE = Path("/root/reference")
 def _install_polars_stub():
     if "polars" in sys.modules:
         return
+    import importlib.machinery
+
     fake = types.ModuleType("polars")
+    # a spec-less module breaks importlib.util.find_spec("polars") — which
+    # replay_tpu.utils.types runs at import time to set POLARS_AVAILABLE
+    fake.__spec__ = importlib.machinery.ModuleSpec("polars", None)
 
     class _FakeDF:
         pass
