@@ -96,6 +96,10 @@ class SequenceEmbedding(nn.Module):
     # list-feature slot aggregation (reference SequenceEmbedding's
     # categorical_list_feature_aggregation_method): sum | mean | max
     list_aggregation: str = "sum"
+    # global width override (the reference from_params' ``embedding_dim``,
+    # replay/nn/sequential/sasrec/model.py:203): when set, every feature
+    # embeds at this dim regardless of the schema's per-feature dims
+    embedding_dim_override: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -106,7 +110,7 @@ class SequenceEmbedding(nn.Module):
             if feature.is_cat:
                 embedders[feature.name] = CategoricalEmbedding(
                     cardinality=feature.cardinality,
-                    embedding_dim=feature.embedding_dim,
+                    embedding_dim=self.embedding_dim_override or feature.embedding_dim,
                     dtype=resolve_dtype(self.dtype),
                     name=f"emb_{feature.name}",
                 )
@@ -120,6 +124,8 @@ class SequenceEmbedding(nn.Module):
         self._embedders = embedders
 
     def _target_dim(self) -> int:
+        if self.embedding_dim_override:
+            return self.embedding_dim_override
         dims = [
             f.embedding_dim
             for f in self.schema.sequential_features.all_features
@@ -131,7 +137,7 @@ class SequenceEmbedding(nn.Module):
     def embedding_dim(self) -> int:
         if self.aggregation_mode == "concat":
             return sum(
-                (f.embedding_dim or self._target_dim())
+                (self.embedding_dim_override or f.embedding_dim or self._target_dim())
                 for f in self.schema.sequential_features.all_features
                 if f.name not in self.excluded_features
             )

@@ -114,6 +114,7 @@ class SasRecBody(nn.Module):
     num_blocks: int = 2
     num_heads: int = 2
     hidden_dim: Optional[int] = None
+    embedding_dim: Optional[int] = None
     dropout_rate: float = 0.2
     attention: str = "default"
     ffn: str = "pointwise"
@@ -130,6 +131,7 @@ class SasRecBody(nn.Module):
         self.embedder = SequenceEmbedding(
             schema=self.schema,
             excluded_features=self.excluded_features,
+            embedding_dim_override=self.embedding_dim,
             dtype=resolve_dtype(self.dtype),
             name="embedder",
         )
@@ -194,6 +196,7 @@ class SasRec(nn.Module):
     num_blocks: int = 2
     num_heads: int = 2
     hidden_dim: Optional[int] = None
+    embedding_dim: Optional[int] = None
     dropout_rate: float = 0.2
     attention: str = "default"
     ffn: str = "pointwise"
@@ -203,28 +206,38 @@ class SasRec(nn.Module):
     scale_embeddings: bool = True
     dtype: Optional[jnp.dtype] = None
 
+    extra_excluded_features: tuple = ()
+
     @classmethod
     def from_params(
         cls,
         schema: TensorSchema,
+        embedding_dim: Optional[int] = None,
         num_heads: int = 4,
         num_blocks: int = 2,
         max_sequence_length: int = 50,
         dropout: float = 0.3,
+        excluded_features: Optional[list] = None,
         attention: str = "default",
         ffn: str = "pointwise",
     ) -> "SasRec":
         """Convenience factory mirroring the reference's ``from_params``
         (reference: replay/nn/sequential/sasrec/model.py:200); query-id and
-        timestamp features are excluded from the embedder automatically."""
+        timestamp features are excluded from the embedder automatically,
+        ``excluded_features`` adds to that set.  ``embedding_dim`` overrides
+        the schema's per-feature embedding dims with one model width
+        (reference default 192 is the reference's, not this factory's —
+        None keeps schema dims)."""
         return cls(
             schema=schema,
             max_sequence_length=max_sequence_length,
             num_blocks=num_blocks,
             num_heads=num_heads,
+            embedding_dim=embedding_dim,
             dropout_rate=dropout,
             attention=attention,
             ffn=ffn,
+            extra_excluded_features=tuple(excluded_features or ()),
         )
 
     def setup(self):
@@ -233,6 +246,7 @@ class SasRec(nn.Module):
             for name in (
                 self.schema.query_id_feature_name,
                 self.schema.timestamp_feature_name,
+                *self.extra_excluded_features,
             )
             if name is not None
         )
@@ -243,6 +257,7 @@ class SasRec(nn.Module):
             num_blocks=self.num_blocks,
             num_heads=self.num_heads,
             hidden_dim=self.hidden_dim,
+            embedding_dim=self.embedding_dim,
             dropout_rate=self.dropout_rate,
             attention=self.attention,
             ffn=self.ffn,

@@ -191,6 +191,37 @@ class TwoTower(nn.Module):
             name="body",
         )
 
+    @classmethod
+    def from_params(
+        cls,
+        schema: TensorSchema,
+        item_features_reader=None,
+        num_heads: int = 2,
+        num_blocks: int = 1,
+        max_sequence_length: int = 50,
+        dropout: float = 0.1,
+        item_hidden_dims: tuple = (),
+    ) -> "TwoTower":
+        """Convenience factory mirroring the reference's ``from_params``
+        (reference: replay/nn/sequential/twotower/model.py:536).
+        ``item_features_reader`` (a :class:`FeaturesReader`) supplies the
+        item-feature schema the ItemTower consumes; its feature constants are
+        bound at ``Trainer.init_state`` via ``init_kwargs['item_features']``."""
+        item_schema = (
+            item_features_reader.item_schema
+            if item_features_reader is not None
+            else None
+        )
+        return cls(
+            schema=schema,
+            max_sequence_length=max_sequence_length,
+            num_blocks=num_blocks,
+            num_heads=num_heads,
+            dropout_rate=dropout,
+            item_schema=item_schema,
+            item_hidden_dims=tuple(item_hidden_dims),
+        )
+
     def __call__(self, batch, deterministic: bool = True, item_features=None):
         return self.body(batch, deterministic=deterministic, item_features=item_features)
 
@@ -251,6 +282,7 @@ class FeaturesReader:
         if schema.item_id_feature_name is None:
             msg = "FeaturesReader needs an item-id feature in the schema"
             raise ValueError(msg)
+        self.item_schema = schema
         metadata = metadata or {}
         columns: Dict[str, str] = {}
         for info in schema.all_features:

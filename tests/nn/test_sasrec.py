@@ -146,3 +146,28 @@ def test_validation_metrics(seq_dataset):
     rec = history[0]
     assert "ndcg@10" in rec and 0.0 <= rec["ndcg@10"] <= 1.0
     assert "recall@5" in rec
+
+
+def test_from_params_reference_signature(item_schema):
+    """embedding_dim / excluded_features kwargs (reference:
+    replay/nn/sequential/sasrec/model.py:200)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from replay_tpu.nn.sequential import SasRec as _SasRec
+
+    model = _SasRec.from_params(
+        item_schema,
+        embedding_dim=24,
+        num_heads=2,
+        num_blocks=1,
+        max_sequence_length=8,
+        excluded_features=[],
+    )
+    batch = {k: _jnp.asarray(v) for k, v in make_batch().items()}
+    variables = model.init(
+        {"params": _jax.random.PRNGKey(0), "dropout": _jax.random.PRNGKey(1)},
+        batch,
+    )
+    hidden = model.apply(variables, batch, deterministic=True)
+    assert hidden.shape[-1] == 24

@@ -139,3 +139,17 @@ def test_features_reader_parquet_roundtrip(tmp_path, item_schema):
 
     with pytest.raises(ValueError):
         FeaturesReader(reader_schema, metadata={"nope": {}}, path=str(path))
+
+
+def test_from_params_factory(item_schema):
+    """Reference-signature factory (reference: twotower/model.py:536)."""
+    model = TwoTower.from_params(
+        item_schema, num_heads=2, num_blocks=1, max_sequence_length=8
+    )
+    batch = {k: jnp.asarray(v) for k, v in make_batch().items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+    )
+    hidden = model.apply(variables, batch, deterministic=True)
+    assert hidden.shape[0] == batch["item_id"].shape[0]
