@@ -30,6 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pandas as pd
 from scipy.sparse import csr_matrix
 
 from replay_tpu.ann.mixin import ANNMixin
@@ -213,6 +214,30 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
             "cg_steps": self.cg_steps,
             "index_builder": None,
         }
+
+    def _get_features(self, ids: pd.DataFrame, features=None):
+        """User/item latent factors for the given ids (reference:
+        replay/models/als.py:148 _get_features): rows without a fitted
+        factor are dropped, mirroring the reference's right-join-then-lose
+        semantics for unseen ids."""
+        is_query = self.query_column in ids.columns
+        entity_col = self.query_column if is_query else self.item_column
+        fitted_ids = self.fit_queries if is_query else self.fit_items
+        factors = self.query_factors if is_query else self.item_factors
+        if factors is None:
+            return None
+        wanted = ids[entity_col].to_numpy()
+        pos = np.searchsorted(fitted_ids, wanted)
+        pos_c = np.clip(pos, 0, max(len(fitted_ids) - 1, 0))
+        found = fitted_ids[pos_c] == wanted if len(fitted_ids) else np.zeros(len(wanted), bool)
+        name = ("user" if is_query else "item") + "_factors"
+        frame = pd.DataFrame(
+            {
+                entity_col: wanted[found],
+                name: list(np.asarray(factors)[pos_c[found]]),
+            }
+        )
+        return frame, int(self.rank)
 
     @property
     def _dataframes(self):

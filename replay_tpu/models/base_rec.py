@@ -481,6 +481,27 @@ class Recommender(BaseRecommender, ABC):
         """Score explicit (query, item) pairs."""
         return self._predict_pairs_wrap(pairs, dataset, recs_file_path, k)
 
+    def get_features(self, ids, features=None):
+        """Query/item embedding vectors for the given ids (reference:
+        replay/models/base_rec.py:914,1041 get_features).
+
+        :param ids: frame holding a ``query_column`` OR ``item_column``
+            column of unique ids (entity inferred from the column name).
+        :returns: ``(frame with a '{entity}_factors' list column, rank)``,
+            or ``None`` when the model has no embeddings.
+        """
+        ids = pd.DataFrame(ids)
+        if self.query_column not in ids.columns and self.item_column not in ids.columns:
+            msg = f"{self.query_column} or {self.item_column} missing"
+            raise ValueError(msg)
+        return self._get_features(ids, features)
+
+    def _get_features(self, ids: pd.DataFrame, features=None):
+        self.logger.info(
+            "%s does not have feature vectors. Return None", type(self).__name__
+        )
+        return None
+
 
 class ItemVectorModel:
     """Mixin for models exposing item embedding vectors — nearest-item

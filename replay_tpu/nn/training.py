@@ -77,8 +77,15 @@ class LRSchedulerFactory:
     warmup_steps: int = 0
     decay: str = "constant"  # constant | cosine | linear
     total_steps: int = 10000
+    # reference LambdaLRSchedulerFactory (scheduler.py:105): an arbitrary
+    # step -> multiplicative-factor callable applied to the base lr;
+    # overrides the declarative decay fields when set
+    schedule_fn: Optional[Callable] = None
 
     def create(self, base_lr: float) -> Callable:
+        if self.schedule_fn is not None:
+            fn = self.schedule_fn
+            return lambda step: base_lr * fn(step)
         if self.decay == "cosine":
             return optax.warmup_cosine_decay_schedule(
                 0.0, base_lr, self.warmup_steps, self.total_steps

@@ -275,3 +275,35 @@ def test_word2vec_degenerate_sequences_dont_crash():
     recs = model.predict(ds, k=1, filter_seen_items=False)
     assert len(recs) == 2
     assert model.vectors.shape == (1, 2)
+
+
+def test_als_get_features(block_dataset):
+    """get_features returns latent factors keyed by id, drops unknown ids,
+    reports the rank (reference: replay/models/als.py:148)."""
+    model = ALSWrap(rank=8, seed=0, num_iterations=2)
+    model.fit(block_dataset)
+
+    ids = pd.DataFrame({"user_id": [0, 3, 999999]})  # last id never seen
+    frame, rank = model.get_features(ids)
+    assert rank == 8
+    assert list(frame["user_id"]) == [0, 3]
+    assert all(len(v) == 8 for v in frame["user_factors"])
+    np.testing.assert_allclose(
+        np.asarray(list(frame["user_factors"])[0]),
+        model.query_factors[np.searchsorted(model.fit_queries, 0)],
+    )
+
+    items, irank = model.get_features(pd.DataFrame({"item_id": [5, 10]}))
+    assert irank == 8 and list(items["item_id"]) == [5, 10]
+    assert "item_factors" in items.columns
+
+    with pytest.raises(ValueError):
+        model.get_features(pd.DataFrame({"wrong": [1]}))
+
+
+def test_get_features_none_for_factorless_models(block_dataset):
+    from replay_tpu.models import PopRec
+
+    model = PopRec()
+    model.fit(block_dataset)
+    assert model.get_features(pd.DataFrame({"item_id": [0]})) is None
