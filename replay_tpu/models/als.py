@@ -183,7 +183,13 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         solver: str = "cg",
         cg_steps: int = 3,
         index_builder=None,
+        num_item_blocks: Optional[int] = None,
+        num_query_blocks: Optional[int] = None,
     ):
+        """``num_item_blocks`` / ``num_query_blocks`` are the reference's
+        Spark ALS partitioning knobs (reference: replay/models/als.py:76-82);
+        here blocking is cell-budgeted automatically from ``block_size``, so
+        they are accepted for drop-in compatibility and ignored."""
         if solver not in ("cg", "cholesky"):
             msg = f"solver must be 'cg' or 'cholesky', got {solver!r}"
             raise ValueError(msg)

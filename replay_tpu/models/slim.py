@@ -107,6 +107,8 @@ class SLIM(NeighbourRec):
         max_iter: int = 300,
         tol: float = 1e-5,
         index_builder=None,
+        allow_collect_to_master: bool = False,  # noqa: ARG002 — reference Spark
+        # knob (replay/models/slim.py:20); the fit is already host-local here
     ):
         if beta < 0 or lambda_ <= 0:
             msg = "Invalid regularization parameters"

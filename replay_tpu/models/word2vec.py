@@ -76,6 +76,9 @@ class Word2VecRec(Recommender, ItemVectorModel):
         n_negatives: int = 5,
         batch_size: int = 65536,
         index_builder=None,
+        num_partitions: Optional[int] = None,  # noqa: ARG002 — reference
+        # Spark-Word2Vec knob (replay/models/word2vec.py:22); the jitted SGNS
+        # fit has no partitioning to tune
     ):
         self.rank = rank
         self.min_count = min_count

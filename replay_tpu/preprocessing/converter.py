@@ -18,6 +18,8 @@ class CSRConverter:
         data_column: Optional[str] = None,
         row_count: Optional[int] = None,
         column_count: Optional[int] = None,
+        allow_collect_to_master: bool = False,  # noqa: ARG002 — reference
+        # Spark knob (replay/preprocessing/converter.py:10); host-local here
     ):
         self.first_dim_column = first_dim_column
         self.second_dim_column = second_dim_column

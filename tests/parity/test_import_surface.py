@@ -51,3 +51,50 @@ def test_every_reference_export_resolves():
         except Exception as exc:  # noqa: BLE001
             missing.append(f"{mod}.{name}: {type(exc).__name__}")
     assert not missing, "unresolved reference exports:\n" + "\n".join(missing)
+
+
+SIGNATURE_CLASSES = {
+    "models": [
+        "PopRec", "QueryPopRec", "Wilson", "RandomRec", "UCB", "KLUCB",
+        "ThompsonSampling", "LinUCB", "ItemKNN", "ALSWrap", "SLIM",
+        "Word2VecRec", "AssociationRulesItemRec", "ClusterRec", "CatPopRec",
+    ],
+    "splitters": [
+        "RatioSplitter", "TimeSplitter", "LastNSplitter", "RandomSplitter",
+        "RandomNextNSplitter", "NewUsersSplitter", "ColdUserRandomSplitter",
+        "TwoStageSplitter", "KFolds",
+    ],
+    "preprocessing": [
+        "LabelEncoder", "Discretizer", "Sessionizer", "CSRConverter",
+        "HistoryBasedFeaturesProcessor",
+    ],
+    "metrics": [
+        "NDCG", "MAP", "MRR", "HitRate", "Precision", "Recall", "RocAuc",
+        "Coverage", "Novelty", "Surprisal", "Unexpectedness",
+        "CategoricalDiversity", "OfflineMetrics", "Experiment",
+    ],
+}
+
+
+def test_constructor_kwargs_accept_reference_signatures(reference):
+    """Every keyword a reference user passes to these constructors must be
+    accepted here (drop-in construction compatibility)."""
+    import inspect
+
+    problems = []
+    for sub, names in SIGNATURE_CLASSES.items():
+        ref_mod = importlib.import_module(f"replay.{sub}")
+        our_mod = importlib.import_module(f"replay_tpu.{sub}")
+        for name in names:
+            ref_cls, our_cls = getattr(ref_mod, name), getattr(our_mod, name)
+            ref_params = set(inspect.signature(ref_cls.__init__).parameters) - {"self"}
+            our_sig = inspect.signature(our_cls.__init__)
+            our_params = set(our_sig.parameters) - {"self"}
+            accepts_kwargs = any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in our_sig.parameters.values()
+            )
+            missing = ref_params - our_params - {"args", "kwargs"}
+            if missing and not accepts_kwargs:
+                problems.append(f"{sub}.{name}: missing kwargs {sorted(missing)}")
+    assert not problems, "\n".join(problems)
