@@ -54,6 +54,30 @@ class ANNMixin:
     def ann_enabled(self) -> bool:
         return self.index_builder is not None
 
+    def init_index_builder(self, index_builder=None) -> None:
+        """Install (or clear) the ANN index parameters (reference:
+        replay/models/extensions/ann/ann_mixin.py:35).  Unlike the reference,
+        ANN is always available — the HNSW implementation is in-tree C++ —
+        so no dependency gate.  Accepts an ``HnswParam``/``SparseSimParam``
+        instance or a kwargs dict for ``HnswParam``."""
+        if index_builder is None or isinstance(index_builder, (HnswParam, SparseSimParam)):
+            self.index_builder = index_builder
+        elif isinstance(index_builder, dict):
+            self.index_builder = HnswParam(**index_builder)
+        else:
+            msg = f"unsupported index_builder: {type(index_builder).__name__}"
+            raise TypeError(msg)
+
+    def init_builder_from_dict(self, init_meta: dict) -> None:
+        """Rebuild index parameters from saved init meta (reference:
+        ann_mixin.py:194): ``{"index_param": {"class", "init_args"}}`` — the
+        builder/store indirection of the reference collapses to the param
+        object here (one in-tree index family, one disk store)."""
+        param_meta = init_meta.get("index_param", init_meta)
+        cls_name = param_meta.get("class", "HnswParam")
+        cls = {"HnswParam": HnswParam, "SparseSimParam": SparseSimParam}[cls_name]
+        self.index_builder = cls(**param_meta.get("init_args", {}))
+
     def _build_ann_index(self) -> None:
         vectors = np.asarray(self._get_item_vectors(), dtype=np.float32)
         param = self.index_builder

@@ -164,6 +164,24 @@ class Dataset:
     def to_pandas(self) -> None:
         """No-op; frames are already pandas."""
 
+    def to_spark(self):
+        """Spark is not a backend of this framework (reference API surface:
+        replay/data/dataset.py to_spark).  Converts through pandas when
+        pyspark happens to be installed; raises otherwise."""
+        from replay_tpu.utils.types import PYSPARK_AVAILABLE, FeatureUnavailableError
+
+        if not PYSPARK_AVAILABLE:  # pragma: no cover - pyspark absent in image
+            msg = (
+                "Spark is not available; replay_tpu's host data plane is "
+                "pandas (use to_pandas()/to_polars()). Distribution is via "
+                "per-host parquet shards + jax.sharding, not Spark."
+            )
+            raise FeatureUnavailableError(msg)
+        from pyspark.sql import SparkSession  # pragma: no cover
+
+        spark = SparkSession.builder.getOrCreate()  # pragma: no cover
+        return spark.createDataFrame(self._interactions)  # pragma: no cover
+
     # -- subset ----------------------------------------------------------------
     def subset(self, features_to_keep: Iterable[str]) -> "Dataset":
         keep = set(features_to_keep)

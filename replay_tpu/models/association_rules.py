@@ -70,6 +70,11 @@ class AssociationRulesItemRec(NeighbourRec):
     def similarity_metric(self) -> str:
         return self._similarity_metric
 
+    def get_similarity(self) -> pd.DataFrame:
+        """Rules frame with confidence/lift/confidence_gain computed at fit
+        (reference: replay/models/association_rules.py:292)."""
+        return self.similarity
+
     @similarity_metric.setter
     def similarity_metric(self, value: str) -> None:
         if value not in self.item_to_item_metrics:

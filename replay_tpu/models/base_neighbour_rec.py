@@ -102,6 +102,32 @@ class NeighbourRec(Recommender, ABC):
     index_builder = None
     _sparse_index = None
 
+    def init_index_builder(self, index_builder=None) -> None:
+        """Install (or clear) the sparse item-item index parameters
+        (reference: replay/models/extensions/ann/ann_mixin.py:35 — NeighbourRec
+        models serve via an index over the similarity matrix).  Accepts a
+        ``SparseSimParam`` instance or a kwargs dict for one; the in-tree
+        sparse scorer is exact, so no graph hyperparameters exist."""
+        from replay_tpu.ann.mixin import SparseSimParam
+
+        if index_builder is None or isinstance(index_builder, SparseSimParam):
+            self.index_builder = index_builder
+        elif isinstance(index_builder, dict):
+            self.index_builder = SparseSimParam(**index_builder)
+        else:
+            msg = f"unsupported index_builder: {type(index_builder).__name__}"
+            raise TypeError(msg)
+        self._sparse_index = None
+
+    def init_builder_from_dict(self, init_meta: dict) -> None:
+        """Rebuild index parameters from saved init meta (reference:
+        ann_mixin.py:194)."""
+        from replay_tpu.ann.mixin import SparseSimParam
+
+        param_meta = init_meta.get("index_param", init_meta)
+        self.index_builder = SparseSimParam(**param_meta.get("init_args", {}))
+        self._sparse_index = None
+
     def _build_sparse_index(self):
         """Install the similarity matrix into the native sparse scorer
         (reference: nmslib index over the item-item matrix,

@@ -639,6 +639,27 @@ class NonPersonalizedRecommender(Recommender, ABC):
             items = items[np.isin(items, self.fit_items)]
         return queries, items
 
+    def get_items_pd(self, items) -> pd.DataFrame:
+        """Normalized popularities (probabilities) of the given items
+        (reference: replay/models/base_rec.py:1259 get_items_pd): zero
+        popularity is replaced with 1e-6 before normalization; cold items
+        get the fill value when ``add_cold_items`` (else dropped)."""
+        if isinstance(items, pd.DataFrame):
+            item_ids = items[self.item_column].to_numpy()
+        else:
+            item_ids = np.asarray(items)
+        if not self.add_cold_items:
+            item_ids = item_ids[np.isin(item_ids, self.fit_items)]
+        pop = self._popularity_vector(item_ids).astype(np.float64)
+        pop = np.where(pop == 0.0, 1e-6, pop)
+        return pd.DataFrame(
+            {
+                self.item_column: item_ids,
+                self.rating_column: pop,
+                "probability": pop / pop.sum(),
+            }
+        )
+
     def _score_block(
         self, query_ids: np.ndarray, item_ids: np.ndarray, dataset: Optional[Dataset] = None
     ) -> np.ndarray:

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from replay_tpu.ann.mixin import ANNMixin
 from replay_tpu.data.dataset import Dataset
 from replay_tpu.models.base_rec import ItemVectorModel, Recommender
 
@@ -58,7 +59,7 @@ def _sgns_step(
     return new_in, new_out, loss
 
 
-class Word2VecRec(Recommender, ItemVectorModel):
+class Word2VecRec(ANNMixin, Recommender, ItemVectorModel):
     """Skip-gram item embeddings; query = mean of history item vectors."""
 
     can_predict_cold_queries = True
@@ -149,6 +150,8 @@ class Word2VecRec(Recommender, ItemVectorModel):
                 (rng.random((n_items, self.rank)).astype(np.float32) - 0.5) / self.rank
             )
             self._fit_idf(dataset)
+            if self.ann_enabled:
+                self._build_ann_index()
             return
 
         perm = rng.permutation(len(centers))
@@ -182,6 +185,8 @@ class Word2VecRec(Recommender, ItemVectorModel):
                 step_no += 1
         self.vectors = np.asarray(in_emb)
         self._fit_idf(dataset)
+        if self.ann_enabled:
+            self._build_ann_index()
 
     def _fit_idf(self, dataset: Dataset) -> None:
         """idf over queries containing the item (reference use_idf semantics)."""
@@ -211,6 +216,19 @@ class Word2VecRec(Recommender, ItemVectorModel):
         np.add.at(vecs, q_pos, self.vectors[i_pos] * weights[:, None])
         np.add.at(counts, q_pos, 1.0)
         return (vecs / np.maximum(counts, 1.0)[:, None]).astype(np.float32)
+
+    def _predict(self, dataset, k, queries, items, filter_seen_items=True):
+        # ANN path (reference ANNMixin._predict_wrap contract) only when
+        # scoring the full fitted catalog — subsets fall back to exact
+        if self.ann_enabled and len(items) == len(self.fit_items):
+            qv = self._query_vectors(queries, dataset)
+            seen_lists = None
+            if filter_seen_items and dataset is not None:
+                inter = dataset.interactions
+                grouped = inter.groupby(self.query_column)[self.item_column].agg(list)
+                seen_lists = [grouped.get(q, []) for q in queries]
+            return self._ann_predict(qv, queries, k, seen_lists)
+        return super()._predict(dataset, k, queries, items, filter_seen_items)
 
     def _score_block(self, query_ids, item_ids, dataset=None) -> np.ndarray:
         if dataset is None:

@@ -260,6 +260,15 @@ class Discretizer:
             rule.fit(df)
         return self
 
+    def set_handle_invalid(self, handle_invalid: str) -> None:
+        """Switch the invalid-value strategy on every rule (reference:
+        replay/preprocessing/discretizer.py:56 set_handle_invalid)."""
+        if handle_invalid not in _HANDLE_INVALID_STRATEGIES:
+            msg = f"handle_invalid must be one of {_HANDLE_INVALID_STRATEGIES}"
+            raise ValueError(msg)
+        for rule in self.rules:
+            rule._handle_invalid = handle_invalid
+
     def partial_fit(self, df: pd.DataFrame) -> "Discretizer":
         for rule in self.rules:
             rule.partial_fit(df)

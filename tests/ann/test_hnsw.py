@@ -119,3 +119,52 @@ def test_ann_als_integration(tmp_path):
     assert np.mean(overlap) > 0.9
     seen = set(map(tuple, df[["user_id", "item_id"]].to_numpy()))
     assert not (seen & set(map(tuple, recs_ann[["user_id", "item_id"]].to_numpy())))
+
+
+def test_ann_word2vec_integration():
+    import pandas as pd
+
+    from replay_tpu.data.dataset import Dataset
+    from replay_tpu.data.schema import (
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureType,
+    )
+    from replay_tpu.models import Word2VecRec
+
+    rows = []
+    for u in range(40):
+        g = u % 2
+        for t in range(15):
+            item = int(g * 15 + rng.integers(0, 15))
+            rows.append((u, item, t))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id", "timestamp"]).drop_duplicates(
+        ["user_id", "item_id"]
+    )
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo("timestamp", FeatureType.NUMERICAL, feature_hint=FeatureHint.TIMESTAMP),
+        ]
+    )
+    ds = Dataset(schema, df)
+    exact = Word2VecRec(rank=8, seed=0, max_iter=3, min_count=0)
+    exact.fit(ds)
+    ann = Word2VecRec(rank=8, seed=0, max_iter=3, min_count=0)
+    ann.init_index_builder(HnswParam(ef_search=200))
+    ann.fit(ds)
+    assert ann.ann_enabled and ann._ann_index is not None
+    recs_exact = exact.predict(ds, k=5)
+    recs_ann = ann.predict(ds, k=5)
+    overlap = []
+    for u in range(40):
+        a = set(recs_exact[recs_exact.user_id == u].item_id)
+        b = set(recs_ann[recs_ann.user_id == u].item_id)
+        overlap.append(len(a & b) / max(len(a), 1))
+    assert np.mean(overlap) > 0.85
+    # seen items excluded inside the native search
+    seen = df.groupby("user_id").item_id.agg(set)
+    for u, items in recs_ann.groupby("user_id").item_id.agg(set).items():
+        assert not (items & seen[u])

@@ -98,3 +98,37 @@ def test_constructor_kwargs_accept_reference_signatures(reference):
             if missing and not accepts_kwargs:
                 problems.append(f"{sub}.{name}: missing kwargs {sorted(missing)}")
     assert not problems, "\n".join(problems)
+
+
+MEMBER_CLASSES = {
+    "models": [
+        "PopRec", "ItemKNN", "ALSWrap", "SLIM", "Word2VecRec", "RandomRec",
+        "UCB", "LinUCB", "ClusterRec", "CatPopRec", "AssociationRulesItemRec",
+    ],
+    "data": ["Dataset", "FeatureSchema", "FeatureInfo"],
+    "preprocessing": ["LabelEncoder", "Discretizer", "Sessionizer"],
+    "metrics": ["OfflineMetrics", "Experiment"],
+    "splitters": ["TimeSplitter", "KFolds"],
+}
+
+
+def test_public_members_cover_reference(reference):
+    """Every public method/property on these reference classes exists here."""
+    import inspect
+
+    problems = []
+    for sub, names in MEMBER_CLASSES.items():
+        ref_mod = importlib.import_module(f"replay.{sub}")
+        our_mod = importlib.import_module(f"replay_tpu.{sub}")
+        for name in names:
+            ref_cls, our_cls = getattr(ref_mod, name), getattr(our_mod, name)
+            ref_members = {
+                m
+                for m, v in inspect.getmembers(ref_cls)
+                if not m.startswith("_") and (callable(v) or isinstance(v, property))
+            }
+            ours = set(dir(our_cls))
+            missing = ref_members - ours
+            if missing:
+                problems.append(f"{sub}.{name}: missing {sorted(missing)}")
+    assert not problems, "\n".join(problems)
