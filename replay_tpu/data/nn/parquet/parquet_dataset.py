@@ -266,6 +266,13 @@ class ParquetDataset:
         """Advance the shuffle stream (reference epoch semantics)."""
         self._epoch = epoch
 
+    def compute_length(self) -> int:
+        """Length in fixed-size batches (reference:
+        replay/data/nn/parquet/parquet_dataset.py:155 compute_length).  Here
+        the count is a closed-form function of row count, replica math, and
+        batch size, so no pass over the data is needed."""
+        return len(self)
+
     # ------------------------------------------------------------- iteration
     def _columns_of(self, table, order: Optional[np.ndarray]):
         """Table → {col: np scalar array | (flat, lengths, starts)}."""

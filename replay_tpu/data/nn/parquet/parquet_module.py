@@ -51,6 +51,7 @@ class ParquetModule:
         self.prefetch = prefetch
         self._replica = (replica_id, num_replicas)
         self._datasets: Dict[str, ParquetDataset] = {}
+        self._hook_epochs: Dict[str, int] = {}
 
     def dataset(self, split: str) -> ParquetDataset:
         if split not in self._datasets:
@@ -79,3 +80,45 @@ class ParquetModule:
 
     def transform_for(self, split: str) -> Optional[Callable]:
         return self.transforms.get(split)
+
+    # -- reference LightningDataModule hook names ---------------------------
+    # (reference: replay/data/nn/parquet/parquet_module.py:149-199).  The
+    # Trainer drives loader()/transform_for() directly, but the upstream hook
+    # spellings work too so datamodule-style code ports unchanged.  Each
+    # *_dataloader() yields one epoch and advances an internal epoch counter
+    # for the shuffle stream (Lightning calls it once per epoch).
+
+    def setup(self, stage: Optional[str] = None) -> None:  # noqa: ARG002
+        """Materialize the datasets for every configured split."""
+        for split, path in self.paths.items():
+            if path is not None:
+                self.dataset(split)
+
+    def prepare_transforms(self, device=None) -> None:  # noqa: ARG002
+        """No-op: transforms are pure jnp functions applied inside the jitted
+        step; there is no device-residency to prepare."""
+
+    def train_dataloader(self) -> Iterator[Batch]:
+        epoch = self._hook_epochs.get("train", 0)
+        self._hook_epochs["train"] = epoch + 1
+        return self.loader("train", epoch)
+
+    def val_dataloader(self) -> Iterator[Batch]:
+        return self.loader("validation", 0)
+
+    def test_dataloader(self) -> Iterator[Batch]:
+        return self.loader("test", 0)
+
+    def predict_dataloader(self) -> Iterator[Batch]:
+        return self.loader("test", 0)
+
+    def transfer_batch_to_device(self, batch: Batch, device=None, dataloader_idx: int = 0) -> Batch:  # noqa: ARG002
+        """Host numpy batches are device_put by the jitted step itself; kept
+        for hook-name parity (reference parquet_module.py:197)."""
+        return batch
+
+    def on_after_batch_transfer(self, batch: Batch, _dataloader_idx: int = 0) -> Batch:
+        """Apply the train transform pipeline (the reference applies its
+        nn.Sequential of transforms here, parquet_module.py:191-194)."""
+        pre = self.transform_for("train")
+        return pre(batch) if pre is not None else batch

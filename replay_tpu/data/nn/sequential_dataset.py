@@ -123,6 +123,54 @@ class SequentialDataset:
             return 0
         return int(np.max(np.diff(self._offsets)))
 
+    # -- reference-named accessors (replay/data/nn/sequential_dataset.py:30-58)
+    def get_query_id(self, index: int) -> int:
+        return self._query_ids[index].item()
+
+    def get_all_query_ids(self) -> np.ndarray:
+        return self._query_ids
+
+    def get_sequence_length(self, index: int) -> int:
+        return self.sequence_length(index)
+
+    def get_max_sequence_length(self) -> int:
+        return self.max_len
+
+    # ------------------------------------------------------------- save/load
+    def save(self, path: str) -> None:
+        """Persist as a directory: one npz of flat arrays + pickled schema
+        (reference: sequential_dataset.py:107 save)."""
+        import pickle
+        from pathlib import Path
+
+        out = Path(path)
+        out.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            out / "arrays.npz",
+            query_ids=self._query_ids,
+            offsets=self._offsets,
+            **{f"seq_{name}": arr for name, arr in self._sequences.items()},
+        )
+        (out / "tensor_schema.pkl").write_bytes(pickle.dumps(self._schema))
+
+    @classmethod
+    def load(cls, path: str, **kwargs) -> "SequentialDataset":  # noqa: ARG003
+        """Restore a saved dataset (reference: sequential_dataset.py:219)."""
+        import pickle
+        from pathlib import Path
+
+        src = Path(path)
+        schema = pickle.loads((src / "tensor_schema.pkl").read_bytes())
+        with np.load(src / "arrays.npz", allow_pickle=False) as blob:
+            query_ids = blob["query_ids"]
+            offsets = blob["offsets"]
+            sequences = {
+                key[len("seq_"):]: blob[key]
+                for key in blob.files
+                if key.startswith("seq_")
+            }
+        return cls(schema, query_ids, sequences, offsets)
+
     def filter_by_query_id(self, query_ids_to_keep: np.ndarray) -> "SequentialDataset":
         keep = np.isin(self._query_ids, query_ids_to_keep)
         idx = np.nonzero(keep)[0]

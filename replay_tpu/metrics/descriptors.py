@@ -17,6 +17,15 @@ class CalculationDescriptor:
     @abstractmethod
     def cpu(self, distribution: np.ndarray) -> Any: ...
 
+    def spark(self, distribution: Any) -> Any:
+        """Reference API surface (descriptors.py:23): aggregation over a Spark
+        column of per-user values.  There is no Spark engine here — a frame
+        with a ``toPandas`` method is collected and the single cpu
+        implementation is used (the math is backend-independent)."""
+        if hasattr(distribution, "toPandas"):  # pragma: no cover - pyspark absent
+            distribution = distribution.toPandas().iloc[:, -1].to_numpy()
+        return self.cpu(np.asarray(distribution))
+
 
 class Mean(CalculationDescriptor):
     """Average over users."""

@@ -48,6 +48,14 @@ class BaseDiscretizingRule(abc.ABC):
     def bins(self) -> Optional[List[float]]:
         return self._bins
 
+    def set_handle_invalid(self, handle_invalid: str) -> None:
+        """Switch the invalid-value strategy (reference:
+        replay/preprocessing/discretizer.py set_handle_invalid on rules)."""
+        if handle_invalid not in _HANDLE_INVALID_STRATEGIES:
+            msg = f"handle_invalid must be one of {_HANDLE_INVALID_STRATEGIES}"
+            raise ValueError(msg)
+        self._handle_invalid = handle_invalid
+
     @abc.abstractmethod
     def fit(self, df: pd.DataFrame) -> "BaseDiscretizingRule": ...
 
@@ -267,7 +275,7 @@ class Discretizer:
             msg = f"handle_invalid must be one of {_HANDLE_INVALID_STRATEGIES}"
             raise ValueError(msg)
         for rule in self.rules:
-            rule._handle_invalid = handle_invalid
+            rule.set_handle_invalid(handle_invalid)
 
     def partial_fit(self, df: pd.DataFrame) -> "Discretizer":
         for rule in self.rules:

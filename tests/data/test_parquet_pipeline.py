@@ -376,3 +376,33 @@ class TestReviewFindings:
         while threading.active_count() > before and time.time() < deadline:
             time.sleep(0.05)
         assert threading.active_count() <= before
+
+
+class TestReferenceHookSurface:
+    def test_compute_length_matches_len(self, parquet_file):
+        ds = ParquetDataset(parquet_file, METADATA, batch_size=32, replica_id=0, num_replicas=1)
+        assert ds.compute_length() == len(ds) == len(list(iter(ds)))
+
+    def test_datamodule_hooks(self, parquet_file):
+        calls = []
+        module = ParquetModule(
+            metadata=METADATA,
+            train_path=parquet_file,
+            validation_path=parquet_file,
+            test_path=parquet_file,
+            batch_size=32,
+            transforms={"train": lambda b: (calls.append(1), b)[1]},
+        )
+        module.setup("fit")
+        module.prepare_transforms()
+        train_batches = list(module.train_dataloader())
+        assert len(train_batches) == len(module.dataset("train"))
+        # second call advances the shuffle epoch
+        second = list(module.train_dataloader())
+        assert not np.array_equal(train_batches[0]["query_id"], second[0]["query_id"])
+        val = next(iter(module.val_dataloader()))
+        assert "item_id_mask" in val
+        batch = module.transfer_batch_to_device(val)
+        assert batch is val
+        out = module.on_after_batch_transfer(val)
+        assert calls and out is val

@@ -186,3 +186,26 @@ def test_padded_sequences_truncates_to_length():
     out, lens = ds.padded_sequences(np.array([0]), "item_id", length=2)
     np.testing.assert_array_equal(out[0], [1, 2])
     np.testing.assert_array_equal(lens, [2])
+
+
+class TestReferenceNamedSurface:
+    def test_reference_accessors(self, schema, log):
+        ds = SequentialDataset.from_interactions(schema, log)
+        assert ds.get_query_id(0) == 1
+        np.testing.assert_array_equal(ds.get_all_query_ids(), [1, 2, 3])
+        assert ds.get_sequence_length(0) == 3
+        assert ds.get_max_sequence_length() == 3
+
+    def test_save_load_roundtrip(self, schema, log, tmp_path):
+        ds = SequentialDataset.from_interactions(schema, log)
+        ds.save(str(tmp_path / "seqds"))
+        back = SequentialDataset.load(str(tmp_path / "seqds"))
+        np.testing.assert_array_equal(back.query_ids, ds.query_ids)
+        assert back.schema.names == ds.schema.names
+        for q in (0, 1, 2):
+            np.testing.assert_array_equal(
+                back.get_sequence(q, "item_id"), ds.get_sequence(q, "item_id")
+            )
+            np.testing.assert_array_equal(
+                back.get_sequence(q, "rating"), ds.get_sequence(q, "rating")
+            )

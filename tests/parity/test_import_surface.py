@@ -107,8 +107,9 @@ MEMBER_CLASSES = {
     ],
     "data": ["Dataset", "FeatureSchema", "FeatureInfo"],
     "preprocessing": ["LabelEncoder", "Discretizer", "Sessionizer"],
-    "metrics": ["OfflineMetrics", "Experiment"],
+    "metrics": ["OfflineMetrics", "Experiment", "Mean", "Median", "PerUser", "ConfidenceInterval"],
     "splitters": ["TimeSplitter", "KFolds"],
+    "data.nn": ["SequentialDataset", "PandasSequentialDataset", "ParquetDataset", "ParquetModule"],
 }
 
 
