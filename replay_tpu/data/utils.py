@@ -68,11 +68,14 @@ def get_schema(
     item_column: str = "item_id",
     timestamp_column: str = "timestamp",
     rating_column: str = "rating",
+    has_timestamp: bool = True,
+    has_rating: bool = True,
 ) -> Dict[str, str]:
-    """Canonical interactions dtype mapping (reference: spark_schema.py:6)."""
-    return {
-        query_column: "int64",
-        item_column: "int64",
-        timestamp_column: "int64",
-        rating_column: "float64",
-    }
+    """Canonical interactions dtype mapping (reference: spark_schema.py:6);
+    timestamp/rating columns are optional like the reference StructType."""
+    schema = {query_column: "int64", item_column: "int64"}
+    if has_timestamp:
+        schema[timestamp_column] = "int64"
+    if has_rating:
+        schema[rating_column] = "float64"
+    return schema

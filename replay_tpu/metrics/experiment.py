@@ -9,7 +9,20 @@ from replay_tpu.metrics.offline_metrics import OfflineMetrics
 
 
 class Experiment:
-    """Compute, store, and compare metrics for several models."""
+    """Compute, store, and compare metrics for several models.
+
+    >>> import pandas as pd
+    >>> from replay_tpu.metrics import HitRate, NDCG
+    >>> gt = pd.DataFrame({"query_id": [1, 1, 2], "item_id": [10, 11, 12]})
+    >>> recs = pd.DataFrame(
+    ...     {"query_id": [1, 1, 2, 2], "item_id": [10, 99, 12, 13],
+    ...      "rating": [0.9, 0.8, 0.7, 0.6]})
+    >>> ex = Experiment([HitRate(2), NDCG(2)], gt)
+    >>> ex.add_result("my_model", recs)
+    >>> ex.results.round(4)
+              HitRate@2  NDCG@2
+    my_model        1.0  0.8066
+    """
 
     def __init__(
         self,

@@ -13,6 +13,16 @@ class OfflineMetrics:
 
     Shares the converted per-user recommendation lists across all metrics
     instead of rebuilding them per metric.
+
+    >>> import pandas as pd
+    >>> from replay_tpu.metrics import Precision, Recall
+    >>> gt = pd.DataFrame({"query_id": [1, 1, 2], "item_id": [10, 11, 12]})
+    >>> recs = pd.DataFrame(
+    ...     {"query_id": [1, 1, 2, 2], "item_id": [10, 11, 13, 12],
+    ...      "rating": [0.9, 0.8, 0.7, 0.6]})
+    >>> result = OfflineMetrics([Precision(2), Recall(2)])(recs, gt)
+    >>> {k: round(v, 4) for k, v in result.items()}
+    {'Precision@2': 0.75, 'Recall@2': 1.0}
     """
 
     _metrics_call_requirement_map: Dict[str, List[str]] = {

@@ -14,7 +14,15 @@ import pandas as pd
 
 
 class Sessionizer:
-    """Assign session ids by time gaps and filter sessions/users."""
+    """Assign session ids by time gaps and filter sessions/users.
+
+    >>> import pandas as pd
+    >>> log = pd.DataFrame(
+    ...     {"user_id": [1, 1, 1], "item_id": [2, 3, 4],
+    ...      "timestamp": [0, 100, 100 + 86400 + 1]})
+    >>> Sessionizer().transform(log)["session_id"].tolist()
+    [2, 2, 1]
+    """
 
     def __init__(
         self,

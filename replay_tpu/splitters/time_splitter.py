@@ -9,7 +9,17 @@ from replay_tpu.splitters.base_splitter import Splitter, SplitterReturnType
 
 
 class TimeSplitter(Splitter):
-    """Test = interactions at/after a time threshold (datetime or global ratio)."""
+    """Test = interactions at/after a time threshold (datetime or global ratio).
+
+    >>> import pandas as pd
+    >>> log = pd.DataFrame(
+    ...     {"query_id": [1, 1, 2, 2], "item_id": [3, 4, 5, 6],
+    ...      "timestamp": [10, 20, 10, 30]})
+    >>> train, test = TimeSplitter(0.5, drop_cold_users=False,
+    ...                            drop_cold_items=False).split(log)
+    >>> sorted(test["timestamp"].tolist())
+    [20, 30]
+    """
 
     _init_arg_names = [
         "time_threshold",
