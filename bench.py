@@ -72,8 +72,8 @@ def bench_jax(loss=None) -> float:
         TensorSchema,
     )
     from replay_tpu.data.schema import FeatureHint, FeatureSource
-    from replay_tpu.nn.losses import CELoss
     from replay_tpu.nn.sequential.sasrec import SasRec
+    from replay_tpu.nn.tiled_ce import CELossTiled
     from replay_tpu.nn.training import OptimizerFactory, Trainer, TrainerConfig
     from replay_tpu.nn.transforms import NextTokenTransform
     from replay_tpu.parallel import make_mesh
@@ -96,7 +96,13 @@ def bench_jax(loss=None) -> float:
     mesh = make_mesh()
     trainer = Trainer(
         model,
-        loss if loss is not None else CELoss(),
+        # Exact full-softmax CE via the Pallas flash kernel on TPU: identical
+        # loss to the dense CELoss (grads match to 1e-4,
+        # tests/nn/test_tiled_ce.py) but the [M, N] logits buffer never
+        # materializes — measured 82k vs 52k ex/s at batch 4096 on the chip
+        # (PERF.md, 2026-08-19 sweep). impl="auto" keeps the CPU-fallback
+        # bench on the lax scan path (Pallas needs the TPU backend).
+        loss if loss is not None else CELossTiled(tile=2048, impl="auto"),
         optimizer=OptimizerFactory(1e-3),
         transform=NextTokenTransform(),
         config=TrainerConfig(batch_size=BATCH, max_sequence_length=SEQ_LEN),
