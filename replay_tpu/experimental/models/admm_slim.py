@@ -6,10 +6,17 @@ replay/experimental/models/admm_slim.py:68).  Unlike FISTA SLIM
 matrix ONCE — each iteration is then two dense [n, n] matmuls plus
 elementwise soft-thresholding, all on the MXU:
 
-    P   = (XᵀX + (λ₂ + ρ)I)⁻¹
-    B   = P (XᵀX + ρ(Z − Γ))   with diagonal correction so diag(B)=0
-    Z   = soft_threshold(B + Γ, λ₁/ρ)₊
-    Γ  += B − Z
+    P   = (XᵀX + (λ₂ + ρ₀)I)⁻¹             (computed once, at the initial ρ)
+    B   = P XᵀX + P (ρZ − Γ)   with diagonal correction so diag(B)=0
+    Z   = soft_threshold(B + Γ/ρ, λ₁/ρ)     (signed — negatives allowed,
+                                             like the reference's numba loop)
+    Γ  += ρ (B − Z)
+
+ρ adapts by ``multiplicator`` whenever the primal/dual residuals diverge by
+more than ``threshold`` (reference _main_iteration, admm_slim.py:17-65), and
+the solve stops when both residuals drop under their eps_abs/eps_rel
+tolerances or ``max_iteration`` is reached — the whole loop runs on device
+as one ``lax.while_loop``.
 """
 
 from typing import Optional
@@ -28,24 +35,84 @@ _search_space = {
 }
 
 
-@jax.jit
-def _admm_iteration(b, z, gamma, p, gram, rho, l1):
-    c = gram + rho * (z - gamma)
-    b_hat = jnp.dot(p, c, preferred_element_type=jnp.float32)
-    # enforce diag(B)=0 via the lagrangian diagonal correction
-    gamma_diag = jnp.diag(b_hat) / jnp.maximum(jnp.diag(p), 1e-12)
-    b = b_hat - p * gamma_diag[None, :]
-    # soft threshold + nonnegativity
-    z_new = jnp.maximum(jnp.abs(b + gamma) - l1 / rho, 0.0) * jnp.sign(b + gamma)
-    z_new = jnp.maximum(z_new, 0.0)
-    gamma = gamma + b - z_new
-    return b, z_new, gamma
+def _admm_solve(
+    p, p_x, b, z, gamma, rho, l1, eps_abs, eps_rel, threshold, multiplicator, max_iteration
+):
+    """Full ADMM solve as one on-device while_loop.
+
+    State mirrors the reference's ``_main_iteration`` (unscaled dual Γ, ρ
+    carried through the loop so the adaptive update composes with the
+    stopping rule).  ``p`` stays at the initial ρ like the reference, which
+    never refactorizes.
+    """
+    n = p.shape[0]
+    p_diag = jnp.maximum(jnp.diag(p), 1e-12)
+
+    def cond(state):
+        _, _, _, _, r_primal, r_dual, eps_primal, eps_dual, it = state
+        return ((r_primal > eps_primal) | (r_dual > eps_dual)) & (it < max_iteration)
+
+    def body(state):
+        b, z, gamma, rho, _, _, _, _, it = state
+        b = p_x + jnp.dot(p, rho * z - gamma, preferred_element_type=jnp.float32)
+        vec_gamma = jnp.diag(b) / p_diag
+        b = b - p * vec_gamma[None, :]
+
+        prev_z = z
+        c = b + gamma / rho
+        coef = l1 / rho
+        z = jnp.maximum(c - coef, 0.0) - jnp.maximum(-c - coef, 0.0)
+
+        gamma = gamma + rho * (b - z)
+
+        r_primal = jnp.linalg.norm(b - z)
+        r_dual = jnp.linalg.norm(-rho * (z - prev_z))
+        eps_primal = eps_abs * n + eps_rel * jnp.maximum(
+            jnp.linalg.norm(b), jnp.linalg.norm(z)
+        )
+        eps_dual = eps_abs * n + eps_rel * jnp.linalg.norm(gamma)
+        rho = jnp.where(
+            r_primal > threshold * r_dual,
+            rho * multiplicator,
+            jnp.where(threshold * r_primal < r_dual, rho / multiplicator, rho),
+        )
+        return (b, z, gamma, rho, r_primal, r_dual, eps_primal, eps_dual, it + 1)
+
+    r_primal0 = jnp.linalg.norm(b - z)
+    r_dual0 = jnp.linalg.norm(rho * z)
+    init = (
+        b,
+        z,
+        gamma,
+        rho,
+        r_primal0,
+        r_dual0,
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.int32(0),
+    )
+    b, z, gamma, rho, *_ = jax.lax.while_loop(cond, body, init)
+    return z
+
+
+_admm_solve_jit = jax.jit(_admm_solve, static_argnames=("max_iteration",))
 
 
 class ADMMSLIM(NeighbourRec):
-    """SLIM with ADMM optimization and exact zero diagonal."""
+    """SLIM with ADMM optimization and exact zero diagonal.
+
+    Matches the reference surface: ``lambda_1``/``lambda_2``/``seed`` ctor
+    params, ``rho`` initialized to ``lambda_2``, and the
+    threshold/multiplicator/eps/max_iteration solver attributes
+    (reference: replay/experimental/models/admm_slim.py:81-117).
+    """
 
     _search_space = _search_space
+
+    threshold: float = 5.0
+    multiplicator: float = 2.0
+    eps_abs: float = 1.0e-3
+    eps_rel: float = 1.0e-3
 
     def __init__(
         self,
@@ -53,7 +120,8 @@ class ADMMSLIM(NeighbourRec):
         lambda_2: float = 5000.0,
         seed: Optional[int] = None,
         rho: Optional[float] = None,
-        n_iterations: int = 50,
+        max_iteration: int = 100,
+        n_iterations: Optional[int] = None,
         index_builder=None,
     ):
         if lambda_1 < 0 or lambda_2 <= 0:
@@ -63,7 +131,8 @@ class ADMMSLIM(NeighbourRec):
         self.lambda_2 = lambda_2
         self.seed = seed
         self.rho = rho if rho is not None else lambda_2
-        self.n_iterations = n_iterations
+        # back-compat alias from earlier replay_tpu releases
+        self.max_iteration = int(n_iterations if n_iterations is not None else max_iteration)
         self.index_builder = index_builder
 
     @property
@@ -73,7 +142,7 @@ class ADMMSLIM(NeighbourRec):
             "lambda_2": self.lambda_2,
             "seed": self.seed,
             "rho": self.rho,
-            "n_iterations": self.n_iterations,
+            "max_iteration": self.max_iteration,
             "index_builder": None,
         }
 
@@ -94,16 +163,30 @@ class ADMMSLIM(NeighbourRec):
         for start in range(0, n_q, 4096):
             gram += np.asarray(dot(jnp.asarray(mat[start : start + 4096].toarray())))
 
-        rho = jnp.float32(self.rho)
-        l1 = jnp.float32(self.lambda_1)
         gram_dev = jnp.asarray(gram)
         p = jnp.linalg.inv(gram_dev + (self.lambda_2 + self.rho) * jnp.eye(n_i))
+        p_x = jnp.dot(p, gram_dev, preferred_element_type=jnp.float32)
 
-        b = jnp.zeros((n_i, n_i), dtype=jnp.float32)
-        z = b
-        gamma = b
-        for _ in range(self.n_iterations):
-            b, z, gamma = _admm_iteration(b, z, gamma, p, gram_dev, rho, l1)
+        # random init, seeded like the reference's _init_matrix (np.random.rand)
+        host_rng = np.random.RandomState(self.seed)
+        b = jnp.asarray(host_rng.rand(n_i, n_i).astype(np.float32))
+        z = jnp.asarray(host_rng.rand(n_i, n_i).astype(np.float32))
+        gamma = jnp.asarray(host_rng.rand(n_i, n_i).astype(np.float32))
+
+        z = _admm_solve_jit(
+            p,
+            p_x,
+            b,
+            z,
+            gamma,
+            jnp.float32(self.rho),
+            jnp.float32(self.lambda_1),
+            jnp.float32(self.eps_abs),
+            jnp.float32(self.eps_rel),
+            jnp.float32(self.threshold),
+            jnp.float32(self.multiplicator),
+            self.max_iteration,
+        )
         sim = np.array(z)  # writable copy (device arrays are read-only views)
         np.fill_diagonal(sim, 0.0)
         self._set_similarity_dense(sim)

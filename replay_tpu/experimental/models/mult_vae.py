@@ -6,10 +6,12 @@ replay/experimental/models/mult_vae.py:109 MultVAE, VAE module :20).
 The torch per-user loop becomes fully-batched jitted steps over dense user
 interaction rows: encoder [n_items→hidden→2·latent], reparameterized
 sample, decoder back to item logits; multinomial log-likelihood + annealed
-KL.  Prediction scores are the decoder outputs at the posterior mean.
+KL.  Training mirrors the reference loop: a user-grouped validation split
+(GroupShuffleSplit analog) whose loss drives a ReduceLROnPlateau schedule,
+and torch-Adam-style L2 (`l2_reg / batch_size` added to the gradient).
+Prediction scores are the decoder outputs at the posterior mean.
 """
 
-from functools import partial
 from typing import Optional
 
 import flax.linen as nn
@@ -23,15 +25,30 @@ from replay_tpu.data.dataset import Dataset
 from replay_tpu.models.base_rec import Recommender
 
 _search_space = {
-    "learning_rate": {"type": "loguniform", "args": [1e-4, 1e-2]},
-    "epochs": {"type": "int", "args": [50, 150]},
-    "latent_dim": {"type": "int", "args": [64, 400]},
-    "hidden_dim": {"type": "int", "args": [300, 800]},
+    "learning_rate": {"type": "loguniform", "args": [0.0001, 0.5]},
+    "epochs": {"type": "int", "args": [100, 100]},
+    "latent_dim": {"type": "int", "args": [200, 200]},
+    "hidden_dim": {"type": "int", "args": [600, 600]},
+    "dropout": {"type": "uniform", "args": [0, 0.5]},
+    "anneal": {"type": "uniform", "args": [0.2, 1]},
+    "l2_reg": {"type": "loguniform", "args": [1e-9, 5]},
 }
+
+_xavier = nn.initializers.xavier_normal()
+_bias_init = nn.initializers.normal(stddev=0.001)
+
+
+def _dense(dim, name):
+    return nn.Dense(dim, kernel_init=_xavier, bias_init=_bias_init, name=name)
 
 
 class VAE(nn.Module):
-    """Encoder/decoder pair (reference: mult_vae.py:20)."""
+    """Encoder/decoder pair (reference: mult_vae.py:20).
+
+    L2-normalized input → dropout → ReLU encoder → (mu, logvar) → ReLU
+    decoder, with Xavier-normal weights and N(0, 0.001) biases
+    (reference weight_init :97-106).
+    """
 
     item_count: int
     latent_dim: int
@@ -42,15 +59,15 @@ class VAE(nn.Module):
     def __call__(self, x, key=None, deterministic: bool = True):
         h = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = jnp.tanh(nn.Dense(self.hidden_dim, name="enc1")(h))
-        stats = nn.Dense(self.latent_dim * 2, name="enc2")(h)
+        h = nn.relu(_dense(self.hidden_dim, "enc1")(h))
+        stats = _dense(self.latent_dim * 2, "enc2")(h)
         mu, logvar = jnp.split(stats, 2, axis=-1)
         if deterministic or key is None:
             z = mu
         else:
             z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(key, mu.shape)
-        h = jnp.tanh(nn.Dense(self.hidden_dim, name="dec1")(z))
-        logits = nn.Dense(self.item_count, name="dec2")(h)
+        h = nn.relu(_dense(self.hidden_dim, "dec1")(z))
+        logits = _dense(self.item_count, "dec2")(h)
         return logits, mu, logvar
 
 
@@ -58,6 +75,9 @@ class MultVAE(Recommender):
     """Multinomial VAE over user interaction vectors."""
 
     _search_space = _search_space
+    can_predict_cold_queries = True  # scores come from the history vector
+    valid_split_size: float = 0.1
+    split_seed: int = 42
 
     def __init__(
         self,
@@ -70,7 +90,7 @@ class MultVAE(Recommender):
         l2_reg: float = 0.0,
         factor: float = 0.2,
         patience: int = 3,
-        batch_size: int = 256,
+        batch_size: int = 5000,
         seed: Optional[int] = None,
     ):
         self.learning_rate = learning_rate
@@ -129,6 +149,16 @@ class MultVAE(Recommender):
     def _fit(self, dataset: Dataset) -> None:
         mat = self._user_matrix(dataset)
         n_items = len(self.fit_items)
+        n_q = mat.shape[0]
+
+        # user-grouped holdout (reference: GroupShuffleSplit(test_size=0.1,
+        # random_state=42) on user_idx, mult_vae.py:212-214) — validation
+        # users are disjoint from training users
+        split_rng = np.random.default_rng(self.split_seed)
+        user_perm = split_rng.permutation(n_q)
+        n_valid = int(round(n_q * self.valid_split_size)) if n_q > 1 else 0
+        valid_users, train_users = user_perm[:n_valid], user_perm[n_valid:]
+
         model = VAE(
             item_count=n_items,
             latent_dim=self.latent_dim,
@@ -140,57 +170,76 @@ class MultVAE(Recommender):
         params = model.init(
             {"params": key, "dropout": key}, jnp.zeros((1, n_items)), deterministic=True
         )["params"]
-        # lr halts on plateau like the reference's ReduceLROnPlateau
-        # (mult_vae.py factor/patience params); inject_hyperparams lets the
-        # epoch loop rescale the lr without recompiling the step
-        tx = optax.inject_hyperparams(optax.adam)(learning_rate=self.learning_rate)
+        bsz = min(self.batch_size, max(1, len(train_users)))
+
+        # torch Adam(weight_decay=l2/batch): L2 added to the gradient before
+        # the moment update; lr rescaled on validation plateau like the
+        # reference's ReduceLROnPlateau (inject_hyperparams avoids recompiles)
+        def _adam_l2(learning_rate, weight_decay):
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.scale_by_adam(),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+
+        tx = optax.inject_hyperparams(_adam_l2)(
+            learning_rate=self.learning_rate,
+            weight_decay=self.l2_reg / self.batch_size,
+        )
         opt_state = tx.init(params)
         anneal = jnp.float32(self.anneal)
-        l2 = self.l2_reg
+
+        def loss_fn(p, x, skey, dkey, deterministic):
+            logits, mu, logvar = model.apply(
+                {"params": p},
+                x,
+                key=skey,
+                deterministic=deterministic,
+                rngs={"dropout": dkey},
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.sum(logp * x, axis=-1)
+            kld = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
+            return jnp.mean(nll + anneal * kld)
 
         @jax.jit
         def step(params, opt_state, x, key):
             dkey, skey = jax.random.split(key)
-
-            def loss_fn(p):
-                logits, mu, logvar = model.apply(
-                    {"params": p}, x, key=skey, deterministic=False, rngs={"dropout": dkey}
-                )
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                nll = -jnp.sum(logp * x, axis=-1)
-                kld = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
-                loss = jnp.mean(nll + anneal * kld)
-                if l2 > 0:
-                    loss = loss + l2 * sum(
-                        jnp.sum(w**2) for w in jax.tree_util.tree_leaves(p)
-                    )
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state)
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, skey, dkey, False)
+            updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        n_q = mat.shape[0]
+        @jax.jit
+        def eval_loss(params, x, key):
+            dkey, skey = jax.random.split(key)
+            return loss_fn(params, x, skey, dkey, True)
+
         rng = np.random.default_rng(self._seed)
-        bsz = min(self.batch_size, n_q)
         step_no = 0
         lr_now, best, bad = self.learning_rate, np.inf, 0
         for epoch in range(self.epochs):
-            order = rng.permutation(n_q)
-            epoch_losses = []
-            for start in range(0, n_q, bsz):
-                rows = order[start : start + bsz]
+            order = rng.permutation(len(train_users))
+            for start in range(0, len(order), bsz):
+                rows = train_users[order[start : start + bsz]]
                 if len(rows) < bsz:
                     rows = np.resize(rows, bsz)
                 x = jnp.asarray(mat[rows].toarray())
                 params, opt_state, loss = step(
                     params, opt_state, x, jax.random.fold_in(key, step_no)
                 )
-                epoch_losses.append(float(loss))
                 step_no += 1
-            mean_loss = float(np.mean(epoch_losses))
-            if mean_loss < best - 1e-5:
-                best, bad = mean_loss, 0
+            # plateau schedule driven by the held-out users' loss
+            # (falls back to a training batch when the log is too small)
+            eval_rows = valid_users if len(valid_users) else train_users[:bsz]
+            v = float(
+                eval_loss(
+                    params,
+                    jnp.asarray(mat[eval_rows].toarray()),
+                    jax.random.fold_in(key, 10_000_000 + epoch),
+                )
+            )
+            if v < best - 1e-5:
+                best, bad = v, 0
             else:
                 bad += 1
                 if bad > self.patience:

@@ -32,7 +32,8 @@ def _bucket_of(values: np.ndarray, partition_num: int) -> np.ndarray:
     """Deterministic hash-bucket assignment (stable across runs/processes).
 
     Integer keys use a Fibonacci multiplicative hash; other dtypes fall back
-    to a stable per-value Python hash of the string form.
+    to CRC32 of the string form (Python's builtin ``hash()`` is salted per
+    process and would not be stable across runs).
     """
     if np.issubdtype(values.dtype, np.integer):
         h = values.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -99,9 +100,11 @@ class DataframeBucketizer:
     def transform(self, dataset: DataFrameLike) -> PandasDataFrame:
         """Write ``dataset`` bucketed+sorted by the key; return it re-read.
 
-        The returned frame is the concatenation of the bucket files in bucket
-        order (so it is key-clustered, like Spark's bucketed table scan), with
-        the same row multiset as the input.
+        The returned frame is the bucket files read back from disk and
+        concatenated in bucket order (so it is key-clustered, like Spark's
+        bucketed table scan, and carries any parquet dtype round-trip effects
+        — the analog of the reference returning ``spark.table(table_name)``),
+        with the same row multiset as the input.
         """
         if not self.table_name:
             msg = "Parameter 'table_name' is not set! Please set it via method 'set_table_name'."
@@ -117,16 +120,16 @@ class DataframeBucketizer:
         table_dir.mkdir(parents=True)
 
         buckets = _bucket_of(df[self.bucketing_key].to_numpy(), self.partition_num)
-        parts = []
         for b in range(self.partition_num):
             part = df[buckets == b]
             if len(part) == 0:
                 continue
             part = part.sort_values(self.bucketing_key, kind="stable")
             part.to_parquet(table_dir / f"bucket-{b:05d}.parquet", index=False)
-            parts.append(part)
-        out = pd.concat(parts, ignore_index=True) if parts else df.iloc[:0].copy()
-        return out
+        files = self.bucket_files()
+        if not files:
+            return df.iloc[:0].copy()
+        return pd.concat((pd.read_parquet(f) for f in files), ignore_index=True)
 
     _transform = transform  # reference private alias
 

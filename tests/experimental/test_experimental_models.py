@@ -71,10 +71,8 @@ def in_group_fraction(recs):
     [
         (ADMMSLIM(lambda_1=0.1, lambda_2=10.0, n_iterations=40), 0.8),
         (MultVAE(epochs=60, latent_dim=16, hidden_dim=64, batch_size=64, seed=0), 0.6),
-        (NeuroMF(embedding_gmf_dim=16, embedding_mlp_dim=16, epochs=100,
-                 batch_size=1024, seed=0, learning_rate=3e-3, n_negatives=8), 0.6),
     ],
-    ids=["admm-slim", "mult-vae", "neuromf"],
+    ids=["admm-slim", "mult-vae"],
 )
 def test_recovers_block_structure(block_dataset, model, threshold):
     model.fit(block_dataset)
@@ -84,17 +82,69 @@ def test_recovers_block_structure(block_dataset, model, threshold):
     assert frac > threshold, f"in-group fraction {frac}"
 
 
-def test_admm_slim_diag_zero_nonneg(block_dataset):
-    model = ADMMSLIM(lambda_1=1.0, lambda_2=50.0, n_iterations=30)
+def test_neuromf_recovers_block_structure(block_dataset):
+    # the fixture's users have seen most of their group's 15 items, so the
+    # filtered top-k is exhaustion-capped — judge the learned ranking on the
+    # UNFILTERED top-k (should be nearly all in-group) and keep a looser bar
+    # on the filtered output
+    model = NeuroMF(
+        embedding_gmf_dim=16,
+        embedding_mlp_dim=16,
+        hidden_mlp_dims=(32,),
+        epochs=300,
+        batch_size=1024,
+        seed=0,
+        learning_rate=1e-2,
+        count_negative_sample=1,
+        factor=1.0,
+    )
+    model.fit(block_dataset)
+    raw = model.predict(block_dataset, k=5, filter_seen_items=False)
+    assert in_group_fraction(raw) > 0.8
+    filtered = model.predict(block_dataset, k=5)
+    assert filtered.groupby("user_id").size().max() <= 5
+    assert in_group_fraction(filtered) > 0.45
+
+
+def test_admm_slim_diag_zero(block_dataset):
+    model = ADMMSLIM(lambda_1=1.0, lambda_2=50.0, n_iterations=30, seed=0)
     model.fit(block_dataset)
     sim = np.asarray(model._sim_dense)
     assert np.allclose(np.diag(sim), 0.0)
-    assert sim.min() >= 0.0
+    # the reference's soft-threshold is signed (no nonneg projection,
+    # admm_slim.py:41) — similarities may be negative but must be finite
+    assert np.isfinite(sim).all()
 
 
-def test_neuromf_requires_some_embedding():
+def test_admm_slim_seed_reproducible(block_dataset):
+    sims = []
+    for _ in range(2):
+        model = ADMMSLIM(lambda_1=0.5, lambda_2=20.0, max_iteration=10, seed=7)
+        model.fit(block_dataset)
+        sims.append(np.asarray(model._sim_dense))
+    np.testing.assert_allclose(sims[0], sims[1])
+
+
+def test_admm_slim_converges_before_max_iteration(block_dataset):
+    # loose tolerances → the residual stopping rule, not max_iteration,
+    # should end the solve; result must still have a clean zero diagonal
+    model = ADMMSLIM(lambda_1=0.1, lambda_2=10.0, max_iteration=500, seed=3)
+    model.eps_abs = 1.0
+    model.eps_rel = 1.0
+    model.fit(block_dataset)
+    sim = np.asarray(model._sim_dense)
+    assert np.allclose(np.diag(sim), 0.0)
+
+
+def test_neuromf_embedding_dim_defaults():
+    # reference semantics (neuromf.py:227-234): both unset → full 128/128 NMF;
+    # both negative → ValueError
+    model = NeuroMF()
+    assert model.embedding_gmf_dim == 128 and model.embedding_mlp_dim == 128
+    model = NeuroMF(embedding_gmf_dim=16)
+    assert model.embedding_gmf_dim == 16 and not model.embedding_mlp_dim
     with pytest.raises(ValueError):
-        NeuroMF(embedding_gmf_dim=0, embedding_mlp_dim=0)
+        NeuroMF(embedding_gmf_dim=-2, embedding_mlp_dim=-1)
 
 
 def test_ulinucb_learns_item_feature_rewards():
