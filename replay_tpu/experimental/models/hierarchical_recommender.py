@@ -1,145 +1,322 @@
-"""Hierarchical recommender: cluster tree of per-node models.
+"""Hierarchical recommender: cluster tree over the ITEM space (HCB).
 
 TPU-native analog of the reference (reference:
-replay/experimental/models/hierarchical_recommender.py:13 + Node :129).
-Users are recursively k-means-clustered on their features into a tree;
-each leaf trains its own recommender on its cluster's interactions, and
-prediction routes every query down the tree to its leaf's model.
+replay/experimental/models/hierarchical_recommender.py:13 — Node :129,
+Clusterer :245, DiscreteClusterer :322), generalizing the HCB method of
+Song et al. (arXiv 2110.09905).
+
+The item space is recursively clustered into a tree of the given ``depth``
+using the user-provided ``cluster_model`` (any sklearn-style clusterer with
+``fit_predict``).  Each node mounts its own recommender instance (built
+from ``recommender_class`` + ``recommender_params``) whose "items" are the
+node's child clusters and whose item features are the cluster centroids;
+the leaf level uses a discrete clusterer (every item its own cluster), so
+the leaf recommenders rank real items.  Fitting counts each interaction at
+every node on the root→item path; prediction descends the tree, each
+internal recommender routing a query to its top-1 child cluster
+(``k=1, filter_seen_items=False``), and the leaf recommender returning the
+final top-k (with the caller's ``filter_seen_items``).
 """
 
-from typing import Callable, Optional
+from typing import Optional, Type
 
 import numpy as np
 import pandas as pd
 
 from replay_tpu.data.dataset import Dataset
+from replay_tpu.data.schema import (
+    FeatureHint,
+    FeatureInfo,
+    FeatureSchema,
+    FeatureSource,
+    FeatureType,
+)
 from replay_tpu.models.base_rec import HybridRecommender
-from replay_tpu.models.cluster import _assign, _kmeans
 
-import jax.numpy as jnp
+
+class DiscreteClusterer:
+    """Every item is its own cluster (reference: hierarchical_recommender.py:322)."""
+
+    def fit_predict(self, features: np.ndarray) -> np.ndarray:
+        self.cluster_centers_ = features
+        return np.arange(features.shape[0])
+
+
+class _Clusterer:
+    """Unified wrapper over sklearn-style clusterers (reference Clusterer :245)."""
+
+    def __init__(self, model):
+        self._model = model
+
+    def fit(self, items: pd.DataFrame, item_column: str) -> None:
+        items = items.sort_values(by=item_column)  # keeps DiscreteClusterer aligned
+        ids = items[item_column].to_numpy()
+        feats = items.drop(columns=[item_column]).to_numpy(dtype=np.float64)
+        labels = np.asarray(self._model.fit_predict(feats)).astype(np.int64)
+        self._cluster_map = dict(zip(ids, labels))
+        self._item_map = dict(zip(labels, ids))  # meaningful when labels are unique
+        frame = items.drop(columns=[item_column]).copy()
+        frame["__cluster"] = labels
+        self._centers = frame.groupby("__cluster").mean().reset_index()
+        self._num_clusters = len(self._centers)
+
+    def predict(self, item_ids) -> np.ndarray:
+        return pd.Series(item_ids).map(self._cluster_map).to_numpy()
+
+    def predict_items(self, cluster_ids) -> np.ndarray:
+        return pd.Series(cluster_ids).map(self._item_map).to_numpy()
+
+    @property
+    def centers(self) -> pd.DataFrame:
+        return self._centers
+
+    @property
+    def num_clusters(self) -> int:
+        return self._num_clusters
 
 
 class _Node:
-    def __init__(self, depth: int):
-        self.depth = depth
-        self.centers: Optional[np.ndarray] = None
+    """Tree node: clusterer + mounted recommender (reference Node :129)."""
+
+    def __init__(self, tree: "HierarchicalRecommender", level: int):
+        self.tree = tree
+        self.level = level
+        self.is_leaf = level == tree.depth - 1
+        self.clusterer = _Clusterer(
+            DiscreteClusterer() if self.is_leaf else tree.cluster_model
+        )
+        self.recommender = tree._get_recommender()
         self.children: list = []
-        self.model = None
+
+    # -- tree construction ---------------------------------------------------
+    def procreate(self, items: pd.DataFrame) -> None:
+        item_col = self.tree.item_column
+        self.clusterer.fit(items, item_col)
+        if not self.is_leaf:
+            self.children = [None] * self.clusterer.num_clusters
+            clusters = self.clusterer.predict(items[item_col].to_numpy())
+            for cl_idx, cl_items in items.groupby(clusters):
+                child = _Node(self.tree, self.level + 1)
+                child.procreate(cl_items)
+                self.children[int(cl_idx)] = child
+
+    # -- fitting ---------------------------------------------------------
+    def fit(self, log: pd.DataFrame, query_features: Optional[pd.DataFrame]) -> None:
+        tree = self.tree
+        clusters = self.clusterer.predict(log[tree.item_column].to_numpy())
+        if not self.is_leaf:
+            for cl_idx, cl_log in log.groupby(clusters):
+                self.children[int(cl_idx)].fit(cl_log, query_features)
+        node_log = log.drop(columns=[tree.item_column]).copy()
+        node_log[tree.item_column] = clusters
+        self.recommender.fit(tree._node_dataset(node_log, self.clusterer.centers, query_features))
+
+    # -- prediction ------------------------------------------------------
+    def predict(
+        self,
+        log: pd.DataFrame,
+        k: int,
+        queries: np.ndarray,
+        items: np.ndarray,
+        query_features: Optional[pd.DataFrame],
+        filter_seen_items: bool,
+        chunks: list,
+    ) -> None:
+        tree = self.tree
+        if len(queries) == 0 or len(items) == 0:
+            return
+        item_clusters = self.clusterer.predict(items)
+        log = log[log[tree.item_column].isin(set(items))]
+        log_clusters = self.clusterer.predict(log[tree.item_column].to_numpy())
+        node_log = log.drop(columns=[tree.item_column]).copy()
+        node_log[tree.item_column] = log_clusters
+        node_ds = tree._node_dataset(node_log, self.clusterer.centers, query_features)
+
+        known = queries[np.isin(queries, self.recommender.fit_queries)]
+        if len(known) == 0:
+            return
+        if self.is_leaf:
+            recs = self.recommender._predict_wrap(
+                node_ds,
+                k,
+                queries=known,
+                items=np.unique(item_clusters),
+                filter_seen_items=filter_seen_items,
+            )
+            recs = recs.copy()
+            recs[tree.item_column] = self.clusterer.predict_items(
+                recs[tree.item_column].to_numpy()
+            )
+            chunks.append(recs)
+            return
+        routing = self.recommender._predict_wrap(
+            node_ds,
+            1,
+            queries=known,
+            items=np.unique(item_clusters),
+            filter_seen_items=False,
+        )
+        top1 = routing.sort_values(tree.rating_column, ascending=False).drop_duplicates(
+            tree.query_column
+        )
+        for cl_idx, grp in top1.groupby(tree.item_column):
+            child = self.children[int(cl_idx)]
+            if child is None:
+                continue
+            child.predict(
+                log[log_clusters == int(cl_idx)] if len(log) else log,
+                k,
+                grp[tree.query_column].to_numpy(),
+                items[item_clusters == int(cl_idx)],
+                query_features,
+                filter_seen_items,
+                chunks,
+            )
 
 
 class HierarchicalRecommender(HybridRecommender):
-    """Tree of k-means user clusters with a recommender per leaf."""
+    """Item-space cluster tree with a recommender per node (HCB).
+
+    :param depth: depth of the item tree (the leaf level is discrete)
+    :param cluster_model: sklearn-style clusterer instance used at every
+        internal node (``fit_predict`` over the item-feature matrix)
+    :param recommender_class: recommender CLASS (not an instance) mounted at
+        each node; defaults to :class:`~replay_tpu.experimental.models.ULinUCB`
+        like the reference
+    :param recommender_params: init kwargs for the node recommenders
+    """
 
     def __init__(
         self,
-        model_factory: Optional[Callable] = None,
-        branching: int = 2,
         depth: int = 2,
-        min_cluster_size: int = 10,
-        seed: int = 0,
+        cluster_model=None,
+        recommender_class: Optional[Type] = None,
+        recommender_params: Optional[dict] = None,
     ):
-        from replay_tpu.models.pop_rec import PopRec
+        if recommender_class is None:
+            from replay_tpu.experimental.models.u_lin_ucb import ULinUCB
 
-        self.model_factory = model_factory or PopRec
-        self.branching = branching
-        self.depth = depth
-        self.min_cluster_size = min_cluster_size
-        self.seed = seed
+            recommender_class = ULinUCB
+        if cluster_model is None:
+            try:
+                from sklearn.cluster import KMeans
+
+                cluster_model = KMeans(n_clusters=2, n_init="auto", random_state=0)
+            except ImportError as exc:  # pragma: no cover
+                msg = "cluster_model is required when scikit-learn is unavailable"
+                raise ValueError(msg) from exc
+        self.depth = int(depth)
+        self.cluster_model = cluster_model
+        self.recommender_class = recommender_class
+        self.recommender_params = dict(recommender_params or {})
         self._root: Optional[_Node] = None
-        self._feature_cols = None
+        self._item_feature_cols = None
+        self._query_feature_cols = None
 
     @property
     def _init_args(self):
         return {
-            "branching": self.branching,
             "depth": self.depth,
-            "min_cluster_size": self.min_cluster_size,
-            "seed": self.seed,
+            "cluster_model": None,
+            "recommender_class": None,
+            "recommender_params": self.recommender_params,
         }
 
     def _get_save_state(self):
-        # the whole cluster tree (centers + per-leaf fitted models) pickles:
-        # leaves hold classical recommenders whose state is dataframes/arrays
+        # the whole tree pickles: clusterer maps/centers + fitted node models
         return {
             "_root": self._root,
-            "_feature_cols": self._feature_cols,
-            "model_factory": self.model_factory,
+            "cluster_model": self.cluster_model,
+            "recommender_class": self.recommender_class,
+            "_item_feature_cols": self._item_feature_cols,
+            "_query_feature_cols": self._query_feature_cols,
         }
 
-    def _features_of(self, query_features: pd.DataFrame, queries: np.ndarray) -> np.ndarray:
-        order = pd.DataFrame({self.query_column: queries})
-        merged = order.merge(query_features, on=self.query_column, how="left").fillna(0.0)
-        return merged[self._feature_cols].to_numpy(dtype=np.float32)
+    def _get_recommender(self):
+        rec = self.recommender_class(**self.recommender_params)
+        return rec
+
+    def _node_schema(self) -> FeatureSchema:
+        infos = [
+            FeatureInfo(
+                self.query_column, FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID
+            ),
+            FeatureInfo(
+                self.item_column, FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID
+            ),
+            FeatureInfo(
+                self.rating_column,
+                FeatureType.NUMERICAL,
+                feature_hint=FeatureHint.RATING,
+                feature_source=FeatureSource.INTERACTIONS,
+            ),
+        ]
+        for col in self._item_feature_cols or []:
+            infos.append(
+                FeatureInfo(col, FeatureType.NUMERICAL, feature_source=FeatureSource.ITEM_FEATURES)
+            )
+        for col in self._query_feature_cols or []:
+            infos.append(
+                FeatureInfo(col, FeatureType.NUMERICAL, feature_source=FeatureSource.QUERY_FEATURES)
+            )
+        return FeatureSchema(infos)
+
+    def _node_dataset(
+        self,
+        node_log: pd.DataFrame,
+        centers: pd.DataFrame,
+        query_features: Optional[pd.DataFrame],
+    ) -> Dataset:
+        if self.rating_column not in node_log.columns:
+            node_log = node_log.copy()
+            node_log[self.rating_column] = 1.0
+        item_features = centers.rename(columns={"__cluster": self.item_column})
+        return Dataset(
+            self._node_schema(),
+            node_log,
+            query_features=query_features,
+            item_features=item_features,
+            check_consistency=False,
+        )
 
     def _fit(self, dataset: Dataset) -> None:
-        if dataset.query_features is None:
-            msg = "HierarchicalRecommender requires query features"
+        if dataset.item_features is None:
+            msg = "HierarchicalRecommender requires item features"
             raise ValueError(msg)
-        self._feature_cols = [
-            c for c in dataset.query_features.columns if c != self.query_column
-        ]
-        self._root = self._fit_node(dataset, np.asarray(self.fit_queries), 0)
-
-    def _fit_node(self, dataset: Dataset, queries: np.ndarray, depth: int) -> _Node:
-        node = _Node(depth)
-        if depth >= self.depth or len(queries) < self.branching * self.min_cluster_size:
-            node.model = self.model_factory()
-            sub = dataset.interactions[
-                dataset.interactions[self.query_column].isin(queries)
-            ]
-            sub_ds = Dataset(
-                dataset.feature_schema,
-                sub,
-                query_features=dataset.query_features,
-                item_features=dataset.item_features,
-                check_consistency=False,
-            )
-            node.model._fit_wrap(sub_ds)
-            return node
-        feats = self._features_of(dataset.query_features, queries)
-        node.centers = _kmeans(feats, self.branching, seed=self.seed + depth)
-        labels = np.asarray(_assign(jnp.asarray(feats), jnp.asarray(node.centers)))
-        for c in range(len(node.centers)):
-            members = queries[labels == c]
-            if len(members) == 0:
-                node.children.append(None)
-                continue
-            node.children.append(self._fit_node(dataset, members, depth + 1))
-        return node
-
-    def _route(self, node: _Node, feats: np.ndarray) -> np.ndarray:
-        """Leaf index per row (flattened leaf ordering)."""
-        if node.model is not None:
-            return np.zeros(len(feats), dtype=np.int64)
-        labels = np.asarray(_assign(jnp.asarray(feats), jnp.asarray(node.centers)))
-        return labels
+        items = dataset.item_features
+        self._item_feature_cols = [c for c in items.columns if c != self.item_column]
+        qf = dataset.query_features
+        self._query_feature_cols = (
+            [c for c in qf.columns if c != self.query_column] if qf is not None else []
+        )
+        self._root = _Node(self, 0)
+        self._root.procreate(items)
+        keep = [self.query_column, self.item_column] + (
+            [self.rating_column] if self.rating_column in dataset.interactions.columns else []
+        )
+        self._root.fit(dataset.interactions[keep], qf)
 
     def _predict(self, dataset, k, queries, items, filter_seen_items=True):
-        chunks = []
-        self._predict_node(
-            self._root, dataset, k, np.asarray(queries), items, filter_seen_items, chunks
+        queries = np.asarray(queries)
+        items = np.asarray(items)
+        # the tree only knows items that had features at fit time
+        known_items = np.fromiter(self._root.clusterer._cluster_map.keys(), dtype=items.dtype)
+        items = items[np.isin(items, known_items)]
+        keep = [self.query_column, self.item_column] + (
+            [self.rating_column] if self.rating_column in dataset.interactions.columns else []
+        )
+        chunks: list = []
+        self._root.predict(
+            dataset.interactions[keep],
+            k,
+            queries,
+            items,
+            dataset.query_features,
+            filter_seen_items,
+            chunks,
         )
         if not chunks:
             return pd.DataFrame(
                 {self.query_column: [], self.item_column: [], self.rating_column: []}
             )
         return pd.concat(chunks, ignore_index=True)
-
-    def _predict_node(self, node, dataset, k, queries, items, filter_seen, chunks):
-        if len(queries) == 0 or node is None:
-            return
-        if node.model is not None:
-            known = queries[np.isin(queries, node.model.fit_queries)]
-            if len(known):
-                chunks.append(
-                    node.model._predict_wrap(
-                        dataset, k, queries=known, items=items, filter_seen_items=filter_seen
-                    )
-                )
-            return
-        feats = self._features_of(dataset.query_features, queries)
-        labels = self._route(node, feats)
-        for c, child in enumerate(node.children):
-            self._predict_node(
-                child, dataset, k, queries[labels == c], items, filter_seen, chunks
-            )

@@ -31,7 +31,12 @@ class ImplicitWrap(Recommender):
 
     @property
     def _init_args(self):
-        return {"model": str(self.model)}
+        return {"model": None}  # the fitted model travels via _get_save_state
+
+    def _get_save_state(self):
+        # reference pickles the implicit model next to the init args
+        # (implicit_wrap.py:41-45); the csr log is needed for recommend()
+        return {"model": self.model, "_mat": getattr(self, "_mat", None)}
 
     def _fit(self, dataset: Dataset) -> None:  # pragma: no cover - needs implicit
         inter = dataset.interactions
@@ -51,8 +56,15 @@ class ImplicitWrap(Recommender):
         q_pos = np.searchsorted(self.fit_queries, query_ids)
         i_pos = np.searchsorted(self.fit_items, item_ids)
         scores = np.zeros((len(q_pos), len(i_pos)), dtype=np.float32)
+        # restrict recommend() to the requested item block (the reference's
+        # items_to_use path, implicit_wrap.py:62) so every block item gets
+        # a score, not just the global top-N
         ids, vals = self.model.recommend(
-            q_pos, self._mat[q_pos], N=len(i_pos), filter_already_liked_items=False
+            q_pos,
+            self._mat[q_pos],
+            N=len(i_pos),
+            filter_already_liked_items=False,
+            items=i_pos,
         )
         for row in range(len(q_pos)):
             pos = np.searchsorted(i_pos, ids[row])

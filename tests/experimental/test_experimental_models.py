@@ -228,34 +228,54 @@ def test_two_stages_full_surface(block_dataset):
 
 
 def test_hierarchical_recommender():
-    from replay_tpu.experimental.models import HierarchicalRecommender
-    from replay_tpu.models import PopRec
+    # item-space HCB tree (reference: hierarchical_recommender.py:13): items
+    # cluster into 3 feature groups; each user interacts inside one group, so
+    # the root ULinUCB must route a user to their own cluster and the leaf
+    # recommender ranks the unseen in-group items
+    from sklearn.cluster import KMeans
+
+    from replay_tpu.experimental.models import HierarchicalRecommender, ULinUCB
 
     rng = np.random.default_rng(0)
-    rows, feats = [], []
+    itf_rows = []
+    for i in range(30):
+        g = i // 10
+        itf_rows.append((i, float(g * 5) + rng.normal(0, 0.2), rng.normal(0, 0.2)))
+    itf = pd.DataFrame(itf_rows, columns=["item_id", "f1", "f2"])
+    rows = []
     for u in range(60):
         g = u % 3
-        feats.append((u, float(g * 5) + rng.normal(0, 0.2)))
         for _ in range(8):
             rows.append((u, int(g * 10 + rng.integers(0, 10)), 1.0))
     inter = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"]).drop_duplicates(
         ["user_id", "item_id"]
     )
-    qf = pd.DataFrame(feats, columns=["user_id", "f1"])
     extra = [
-        FeatureInfo("f1", FeatureType.NUMERICAL, feature_source=FeatureSource.QUERY_FEATURES)
+        FeatureInfo("f1", FeatureType.NUMERICAL, feature_source=FeatureSource.ITEM_FEATURES),
+        FeatureInfo("f2", FeatureType.NUMERICAL, feature_source=FeatureSource.ITEM_FEATURES),
     ]
-    ds = Dataset(make_schema(extra), inter, query_features=qf)
-    model = HierarchicalRecommender(model_factory=PopRec, branching=3, depth=1, min_cluster_size=2)
+    ds = Dataset(make_schema(extra), inter, item_features=itf)
+    model = HierarchicalRecommender(
+        depth=2,
+        cluster_model=KMeans(n_clusters=3, n_init="auto", random_state=0),
+        recommender_class=ULinUCB,
+    )
     model.fit(ds)
-    recs = model.predict(ds, k=3)
-    # per-leaf popularity: recs come from the user's own cluster block
+    recs = model.predict(ds, k=2)
+    assert recs.groupby("user_id").size().max() <= 2
+    seen = set(map(tuple, inter[["user_id", "item_id"]].to_numpy()))
+    assert not any((u, i) in seen for u, i in recs[["user_id", "item_id"]].to_numpy())
     hits = tot = 0
     for u, grp in recs.groupby("user_id"):
         g = u % 3
         hits += ((grp["item_id"] >= g * 10) & (grp["item_id"] < (g + 1) * 10)).sum()
         tot += len(grp)
     assert hits / tot > 0.9
+
+    with pytest.raises(ValueError):
+        HierarchicalRecommender(depth=2).fit(
+            Dataset(make_schema(), inter)
+        )  # item features required
 
 
 @pytest.fixture(scope="module")
@@ -727,23 +747,30 @@ def test_hierarchical_save_load_roundtrip(tmp_path):
     from replay_tpu.models import PopRec
     from replay_tpu.utils.model_handler import load, save
 
+    from sklearn.cluster import KMeans
+
     rng = np.random.default_rng(0)
-    rows, feats = [], []
+    rows, itf_rows = [], []
+    for i in range(30):
+        g = i // 10
+        itf_rows.append((i, float(g * 5) + rng.normal(0, 0.2)))
     for u in range(60):
         g = u % 3
-        feats.append((u, float(g * 5) + rng.normal(0, 0.2)))
         for _ in range(8):
             rows.append((u, int(g * 10 + rng.integers(0, 10)), 1.0))
     inter = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"]).drop_duplicates(
         ["user_id", "item_id"]
     )
-    qf = pd.DataFrame(feats, columns=["user_id", "taste"])
+    itf = pd.DataFrame(itf_rows, columns=["item_id", "f1"])
     extra = [
-        FeatureInfo("taste", FeatureType.NUMERICAL, feature_source=FeatureSource.QUERY_FEATURES)
+        FeatureInfo("f1", FeatureType.NUMERICAL, feature_source=FeatureSource.ITEM_FEATURES)
     ]
-    ds = Dataset(make_schema(extra), inter, query_features=qf)
-    model = HierarchicalRecommender(model_factory=PopRec, branching=3, depth=1,
-                                    min_cluster_size=2)
+    ds = Dataset(make_schema(extra), inter, item_features=itf)
+    model = HierarchicalRecommender(
+        depth=2,
+        cluster_model=KMeans(n_clusters=3, n_init="auto", random_state=0),
+        recommender_class=PopRec,
+    )
     model.fit(ds)
     before = model.predict(ds, k=3)
     save(model, tmp_path / "m", overwrite=True)
