@@ -25,8 +25,8 @@ class Padder:
         if cut_side not in ("left", "right"):
             msg = "cut_side must be 'left' or 'right'"
             raise ValueError(msg)
-        if array_size <= 0:
-            msg = "array_size must be positive"
+        if array_size <= 0 and array_size != -1:
+            msg = "array_size must be positive (or -1 to pad to the longest array)"
             raise ValueError(msg)
         self.pad_columns = [pad_columns] if isinstance(pad_columns, str) else list(pad_columns)
         self.padding_side = padding_side
@@ -35,13 +35,13 @@ class Padder:
         self.cut_array = cut_array
         self.cut_side = cut_side
 
-    def _pad_one(self, seq, pad_value) -> List:
-        seq = list(seq)
-        if len(seq) > self.array_size:
-            if not self.cut_array:
-                return seq
-            seq = seq[-self.array_size :] if self.cut_side == "right" else seq[: self.array_size]
-        fill = [pad_value] * (self.array_size - len(seq))
+    def _pad_one(self, seq, pad_value, size: int) -> List:
+        # non-list cells become empty arrays (reference padder.py:160)
+        seq = list(seq) if isinstance(seq, (list, tuple, np.ndarray)) else []
+        if len(seq) > size and self.cut_array:
+            # cut_side "right" keeps the TAIL (the reference's right_cut slice)
+            seq = seq[-size:] if self.cut_side == "right" else seq[:size]
+        fill = [pad_value] * max(0, size - len(seq))
         return fill + seq if self.padding_side == "left" else seq + fill
 
     def transform(self, data: pd.DataFrame) -> pd.DataFrame:
@@ -53,7 +53,10 @@ class Padder:
         )
         for col, val in zip(self.pad_columns, values):
             if col not in out.columns:
-                msg = f"Column {col} not found"
+                msg = f"Column {col} not in DataFrame columns."
                 raise ValueError(msg)
-            out[col] = out[col].apply(lambda s, v=val: self._pad_one(s, v))
+            size = (
+                int(out[col].str.len().max()) if self.array_size == -1 else self.array_size
+            )
+            out[col] = out[col].apply(lambda s, v=val, z=size: self._pad_one(s, v, z))
         return out

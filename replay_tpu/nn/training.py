@@ -33,6 +33,18 @@ from replay_tpu.parallel import (
 )
 
 
+def _rbg_key(key):
+    """Re-wrap a threefry key's bits as an XLA-rbg key.
+
+    TPU dropout with the default threefry PRNG spends more time generating
+    random bits than running the transformer (PERF.md, round 3); the rbg
+    bit generator is ~4x cheaper and still counter-based, so deriving it
+    from the per-step threefry stream keeps (seed, step) reproducibility.
+    """
+    data = jax.random.key_data(key).reshape(-1)
+    return jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
+
+
 class TrainState(train_state.TrainState):
     """Optax train state (params + opt state + step)."""
 
@@ -200,6 +212,12 @@ class Trainer:
 
         def train_step(state: TrainState, batch, key):
             tkey, dkey, lkey = jax.random.split(key, 3)
+            # dropout masks draw ~13M random bits per step; threefry costs
+            # ~18 ms of a 50 ms SasRec step on TPU, the XLA rbg generator
+            # ~5 ms (measured 81k -> 109k ex/s at batch 4096, PERF.md).
+            # The rbg key is derived from the same counter-based stream so
+            # runs stay reproducible per (seed, step).
+            dkey = _rbg_key(dkey)
             if transform is not None:
                 batch = transform(batch, key=tkey)
             labels = batch["labels"]

@@ -116,22 +116,30 @@ class TestPadder:
 
 class TestSequenceGenerator:
     def test_rolling_history(self):
+        # reference semantics (sequence_generator.py doctest): one row per
+        # NON-FIRST interaction, window list + label column
         from replay_tpu.experimental.preprocessing import SequenceGenerator
 
         df = pd.DataFrame(
             {"user": [1, 1, 1, 2], "item": [10, 11, 12, 20], "t": [0, 1, 2, 0]}
         )
-        gen = SequenceGenerator("user", "item", orderby_column="t", get_list_len=True)
+        gen = SequenceGenerator(
+            "user", orderby_column=["user", "t"], transform_columns="item", get_list_len=True
+        )
         out = gen.transform(df)
-        assert out["list_item"].tolist() == [[], [10], [10, 11], []]
-        assert out["list_len"].tolist() == [0, 1, 2, 0]
+        assert out["item_list"].tolist() == [[10], [10, 11]]
+        assert out["label_item"].tolist() == [11, 12]
+        assert out["list_len"].tolist() == [1, 2]
 
     def test_window_size(self):
         from replay_tpu.experimental.preprocessing import SequenceGenerator
 
         df = pd.DataFrame({"user": [1] * 4, "item": [1, 2, 3, 4], "t": range(4)})
-        out = SequenceGenerator("user", "item", orderby_column="t", window_size=2).transform(df)
-        assert out["list_item"].iloc[3] == [2, 3]
+        out = SequenceGenerator(
+            "user", orderby_column=["user", "t"], transform_columns="item", len_window=2
+        ).transform(df)
+        assert out["item_list"].iloc[2] == [2, 3]
+        assert out["label_item"].iloc[2] == 4
 
 
 def test_warp_loss_matches_reference_semantics():
