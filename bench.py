@@ -215,8 +215,8 @@ def main():
         # disclose the last verified on-chip measurement so a tunnel outage
         # at bench time doesn't erase the real number (PERF.md has details)
         result["last_verified_tpu"] = {
-            "value": 110981.8, "unit": "examples/s", "batch": 4096,
-            "measured": "2026-08-19, forced-transfer timing, flash CE + rbg dropout",
+            "value": 114240.1, "unit": "examples/s", "batch": 4096,
+            "measured": "2026-08-19, forced-transfer timing, flash CE + rbg dropout + merged-head attention",
         }
     print(json.dumps(result))
 

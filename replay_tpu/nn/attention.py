@@ -35,14 +35,53 @@ def build_attention_bias(
     Reference semantics (replay/nn/mask.py:58): key positions that are
     padding are unattendable; with ``causal`` the upper triangle is also
     masked (SasRec), without it only padding is masked (Bert4Rec).
+
+    Internal model code prefers :func:`build_attention_bias_parts`, which
+    keeps the bias as two SMALL broadcastable tensors instead of this dense
+    [B, 1, L, L] buffer (82 MB at batch 4096 · L 50) — the dense form stays
+    for external callers that index or inspect the mask.
     """
+    key_bias, band_bias = build_attention_bias_parts(padding_mask, causal)
     batch, length = padding_mask.shape
-    key_ok = padding_mask.astype(jnp.bool_)[:, None, None, :]  # [B,1,1,L]
-    allowed = jnp.broadcast_to(key_ok, (batch, 1, length, length))
+    bias = jnp.broadcast_to(key_bias, (batch, 1, length, length))
+    if band_bias is not None:
+        bias = bias + band_bias
+    return jnp.maximum(bias, NEG_INF)
+
+
+def build_attention_bias_parts(padding_mask: jnp.ndarray, causal: bool):
+    """Additive attention bias as fusable broadcast parts.
+
+    Returns ``(key_bias [B,1,1,L], band_bias [1,1,L,L] | None)`` whose SUM
+    equals :func:`build_attention_bias`'s dense tensor.  Adding the parts to
+    the score tensor lets XLA fuse the broadcasts into the softmax input —
+    no [B, 1, L, L] intermediate ever reaches HBM (round-3 step bisect:
+    the dense bias + f32 score traffic was a measurable slice of the
+    attention time at batch 4096).
+    """
+    length = padding_mask.shape[-1]
+    key_bias = jnp.where(padding_mask.astype(jnp.bool_), 0.0, NEG_INF).astype(
+        jnp.float32
+    )[:, None, None, :]
+    band_bias = None
     if causal:
         band = jnp.tril(jnp.ones((length, length), dtype=jnp.bool_))
-        allowed = jnp.logical_and(allowed, band[None, None])
-    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+        band_bias = jnp.where(band, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+    return key_bias, band_bias
+
+
+def apply_attention_bias(scores: jnp.ndarray, attn_bias) -> jnp.ndarray:
+    """Add a bias to [..., L, L] scores; accepts the dense [B,1,L,L] form or
+    the ``(key_bias, band_bias)`` parts tuple."""
+    if attn_bias is None:
+        return scores
+    if isinstance(attn_bias, tuple):
+        key_bias, band_bias = attn_bias
+        scores = scores + key_bias
+        if band_bias is not None:
+            scores = scores + band_bias
+        return scores
+    return scores + attn_bias
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -76,14 +115,24 @@ class MultiHeadSelfAttention(nn.Module):
         k = dense("key")(src)
         v = dense("value")(src)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        # heads merged into the batch dim: [(B·H), L, hd] batched GEMMs beat
+        # the 4-D "bqhd,bkhd->bhqk" lowering by ~20% at hd=32 on TPU
+        # (PERF.md round-3 attention ablation); reshapes are layout-free
+        bh = batch * self.num_heads
+        qm = q.transpose(0, 2, 1, 3).reshape(bh, length, head_dim)
+        km = k.transpose(0, 2, 1, 3).reshape(bh, length, head_dim)
+        vm = v.transpose(0, 2, 1, 3).reshape(bh, length, head_dim)
+        scores = jnp.einsum("bqd,bkd->bqk", qm, km).astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(head_dim))
-        if attn_bias is not None:
-            scores = scores + attn_bias
+        scores = apply_attention_bias(
+            scores.reshape(batch, self.num_heads, length, length), attn_bias
+        )
         weights = nn.softmax(scores, axis=-1).astype(resolve_dtype(self.dtype))
         weights = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
 
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = jnp.einsum(
+            "bqk,bkd->bqd", weights.reshape(bh, length, length), vm
+        ).reshape(batch, self.num_heads, length, head_dim).transpose(0, 2, 1, 3)
         out = nn.DenseGeneral(
             features=dim,
             axis=(-2, -1),
@@ -144,8 +193,7 @@ class MultiHeadDifferentialAttention(nn.Module):
         def attn(qh, kh):
             scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
             scores = scores / jnp.sqrt(jnp.float32(head_dim))
-            if attn_bias is not None:
-                scores = scores + attn_bias
+            scores = apply_attention_bias(scores, attn_bias)
             return nn.softmax(scores, axis=-1)
 
         weights = attn(q1, k1) - lam[None, :, None, None] * attn(q2, k2)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from replay_tpu.nn.dtypes import resolve_dtype
 
 from replay_tpu.data.nn.schema import TensorSchema
-from replay_tpu.nn.attention import build_attention_bias
+from replay_tpu.nn.attention import build_attention_bias_parts
 from replay_tpu.nn.embedding import PositionalEmbedding, SequenceEmbedding
 from replay_tpu.nn.head import tying_logits
 from replay_tpu.nn.sequential.sasrec import SasRecTransformerLayer
@@ -96,7 +96,7 @@ class Bert4RecBody(nn.Module):
             x = self.input_norm(x)
         x = self.input_dropout(x, deterministic=deterministic)
         x = x * pad[..., None].astype(x.dtype)
-        bias = build_attention_bias(pad, causal=False)
+        bias = build_attention_bias_parts(pad, causal=False)
         for layer in self.layers:
             x = layer(x, bias, deterministic=deterministic)
         return self.final_norm(x) if self.use_final_norm else x

@@ -33,7 +33,7 @@ from replay_tpu.nn.agg import PositionAwareAggregator  # noqa: F401  (reference
 from replay_tpu.nn.attention import (
     MultiHeadDifferentialAttention,
     MultiHeadSelfAttention,
-    build_attention_bias,
+    build_attention_bias_parts,
 )
 from replay_tpu.nn.embedding import PositionalEmbedding, SequenceEmbedding
 from replay_tpu.nn.ffn import PointWiseFeedForward, SwiGLU
@@ -178,7 +178,7 @@ class SasRecBody(nn.Module):
         x = self.input_dropout(x, deterministic=deterministic)
         # zero out padding embeddings so they contribute nothing downstream
         x = x * pad[..., None].astype(x.dtype)
-        bias = build_attention_bias(pad, causal=True)
+        bias = build_attention_bias_parts(pad, causal=True)
         for layer in self.layers:
             x = layer(x, bias, deterministic=deterministic)
         return self.final_norm(x)

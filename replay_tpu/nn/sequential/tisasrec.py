@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from replay_tpu.nn.dtypes import resolve_dtype
 
 from replay_tpu.data.nn.schema import TensorSchema
-from replay_tpu.nn.attention import build_attention_bias
+from replay_tpu.nn.attention import apply_attention_bias, build_attention_bias_parts
 from replay_tpu.nn.embedding import PositionalEmbedding, SequenceEmbedding
 from replay_tpu.nn.ffn import PointWiseFeedForward
 from replay_tpu.nn.head import tying_logits
@@ -67,7 +67,7 @@ class TiSasRecLayer(nn.Module):
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         scores = scores + jnp.einsum("bqhd,bqkd->bhqk", q, r_k).astype(jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(head_dim)) + attn_bias
+        scores = apply_attention_bias(scores / jnp.sqrt(jnp.float32(head_dim)), attn_bias)
         weights = nn.softmax(scores, axis=-1).astype(resolve_dtype(self.dtype))
         weights = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
 
@@ -138,7 +138,7 @@ class TiSasRec(nn.Module):
         x = x + self.pos_embedding(pad.shape[1])[None]
         x = self.input_dropout(x, deterministic=deterministic)
         x = x * pad[..., None].astype(x.dtype)
-        bias = build_attention_bias(pad, causal=True)
+        bias = build_attention_bias_parts(pad, causal=True)
         intervals = relative_intervals(timestamps, self.time_span)
         for layer in self.layers:
             x = layer(x, intervals, bias, deterministic=deterministic)

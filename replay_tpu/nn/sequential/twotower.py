@@ -32,7 +32,7 @@ import numpy as np
 from replay_tpu.nn.dtypes import resolve_dtype
 
 from replay_tpu.data.nn.schema import TensorSchema
-from replay_tpu.nn.attention import build_attention_bias
+from replay_tpu.nn.attention import build_attention_bias_parts
 from replay_tpu.nn.embedding import (
     CategoricalEmbedding,
     PositionalEmbedding,
@@ -153,7 +153,7 @@ class TwoTowerBody(nn.Module):
         x = x + self.pos_embedding(pad.shape[1])[None]
         x = self.input_dropout(x, deterministic=deterministic)
         x = x * pad[..., None].astype(x.dtype)
-        bias = build_attention_bias(pad, causal=self.causal)
+        bias = build_attention_bias_parts(pad, causal=self.causal)
         for layer in self.layers:
             x = layer(x, bias, deterministic=deterministic)
         x = self.final_norm(x)

@@ -80,20 +80,69 @@ def test_neural_ts_learns_preferences():
 
 class TestDataPreparator:
     def test_renames_and_fills_defaults(self):
+        # reference canonical legacy layout (data_preparator.py:607):
+        # user_id/item_id/timestamp/relevance with 1.0 / 2099-01-01 defaults
         from replay_tpu.experimental.preprocessing import DataPreparator
 
         raw = pd.DataFrame({"u": [1, 2], "m": [10, 20]})
-        prep = DataPreparator({"query_id": "u", "item_id": "m"})
-        out = prep.transform(raw)
-        assert list(out.columns[:4]) == ["query_id", "item_id", "timestamp", "rating"]
-        assert (out["rating"] == 1.0).all()
+        out = DataPreparator().transform(
+            columns_mapping={"user_id": "u", "item_id": "m"}, data=raw
+        )
+        assert list(out.columns[:4]) == ["user_id", "item_id", "timestamp", "relevance"]
+        assert (out["relevance"] == 1.0).all()
+        assert (out["timestamp"] == pd.Timestamp("2099-01-01")).all()
+
+    def test_legacy_call_shape(self):
+        # pre-round-3 replay_tpu surface: mapping at init, frame positional
+        from replay_tpu.experimental.preprocessing import DataPreparator
+
+        raw = pd.DataFrame({"u": [1, 2], "m": [10, 20]})
+        out = DataPreparator({"query_id": "u", "item_id": "m"}).transform(raw)
+        assert list(out.columns[:4]) == ["user_id", "item_id", "timestamp", "relevance"]
+
+    def test_feature_frame_mode(self):
+        from replay_tpu.experimental.preprocessing import DataPreparator
+
+        raw = pd.DataFrame({"u": [1, 2], "age": [30, 40]})
+        out = DataPreparator().transform(columns_mapping={"user_id": "u"}, data=raw)
+        assert list(out.columns) == ["user_id", "age"]  # features untouched
+
+    def test_reads_from_file(self, tmp_path):
+        from replay_tpu.experimental.preprocessing import DataPreparator
+
+        raw = pd.DataFrame({"u": [1], "m": [2], "r": [4.0]})
+        raw.to_parquet(tmp_path / "log.parquet")
+        out = DataPreparator().transform(
+            columns_mapping={"user_id": "u", "item_id": "m", "relevance": "r"},
+            path=str(tmp_path / "log.parquet"),
+            format_type="parquet",
+        )
+        assert out["relevance"].tolist() == [4.0]
 
     def test_missing_source_column(self):
         from replay_tpu.experimental.preprocessing import DataPreparator
 
-        with pytest.raises(ValueError):
-            DataPreparator({"query_id": "nope", "item_id": "m"}).transform(
-                pd.DataFrame({"m": [1]})
+        with pytest.raises(ValueError, match="absent in dataframe"):
+            DataPreparator().transform(
+                columns_mapping={"user_id": "nope", "item_id": "m"},
+                data=pd.DataFrame({"m": [1]}),
+            )
+
+    def test_no_id_mapping_error(self):
+        from replay_tpu.experimental.preprocessing import DataPreparator
+
+        with pytest.raises(ValueError, match="user ids or for item ids"):
+            DataPreparator().transform(
+                columns_mapping={"timestamp": "t"}, data=pd.DataFrame({"t": [1]})
+            )
+
+    def test_empty_frame_error(self):
+        from replay_tpu.experimental.preprocessing import DataPreparator
+
+        with pytest.raises(ValueError, match="empty"):
+            DataPreparator().transform(
+                columns_mapping={"user_id": "u", "item_id": "m"},
+                data=pd.DataFrame({"u": [], "m": []}),
             )
 
 
