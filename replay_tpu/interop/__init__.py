@@ -3,6 +3,8 @@ from replay_tpu.interop.torch_import import (
     bert4rec_params_from_torch,
     sasrec_from_torch,
     sasrec_params_from_torch,
+    twotower_from_torch,
+    twotower_params_from_torch,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "bert4rec_params_from_torch",
     "sasrec_from_torch",
     "sasrec_params_from_torch",
+    "twotower_from_torch",
+    "twotower_params_from_torch",
 ]

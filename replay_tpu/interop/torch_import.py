@@ -141,6 +141,121 @@ def sasrec_from_torch(schema, state_dict: Dict, max_sequence_length: int,
     return model, variables
 
 
+def twotower_params_from_torch(state_dict: Dict, params, num_heads: int,
+                               item_feature: str = "item_id"):
+    """Map a reference TwoTower(Body) state_dict
+    (reference: replay/nn/sequential/twotower/model.py:340, from_params
+    composition: shared SequenceEmbedding, PositionAwareAggregator,
+    SasRecTransformerLayer query encoder, LayerNorm, SwiGLUEncoder item
+    encoder) onto a flax TwoTower params tree built in the import config.
+    """
+    import flax
+
+    sd = _strip_prefix(dict(state_dict))
+    params = flax.core.unfreeze(flax.core.freeze(params))  # deep copy
+    body = params["body"]
+
+    # shared embedder tables (one per feature; query/item tower aliases of
+    # the same module appear multiple times in the torch state_dict)
+    for key, src in sd.items():
+        if not key.startswith("embedder.feature_embedders."):
+            continue
+        name = key.split(".")[2]
+        slot = body["embedder"][f"emb_{name}"]["table"]["embedding"]
+        new_table = np.zeros(np.shape(slot), dtype=np.float32)
+        new_table[: src.shape[0]] = src
+        body["embedder"][f"emb_{name}"]["table"]["embedding"] = new_table
+
+    d = sd[f"embedder.feature_embedders.{item_feature}.emb.weight"].shape[1]
+    dh = d // num_heads
+    body["pos"]["pos_table"]["embedding"] = sd[
+        "query_tower.embedding_aggregator.pe.weight"
+    ]
+
+    i = 0
+    while f"query_tower.encoder.attention_layers.{i}.in_proj_weight" in sd:
+        layer = body[f"layer_{i}"]
+        prefix = f"query_tower.encoder"
+        in_w = sd[f"{prefix}.attention_layers.{i}.in_proj_weight"]  # [3D, D]
+        in_b = sd[f"{prefix}.attention_layers.{i}.in_proj_bias"]
+        for j, name in enumerate(("query", "key", "value")):
+            layer["attn"][name]["kernel"] = in_w[j * d:(j + 1) * d].T.reshape(d, num_heads, dh)
+            layer["attn"][name]["bias"] = in_b[j * d:(j + 1) * d].reshape(num_heads, dh)
+        out_w = sd[f"{prefix}.attention_layers.{i}.out_proj.weight"]
+        layer["attn"]["out"]["kernel"] = out_w.T.reshape(num_heads, dh, d)
+        layer["attn"]["out"]["bias"] = sd[f"{prefix}.attention_layers.{i}.out_proj.bias"]
+        layer["ln_attn"]["scale"] = sd[f"{prefix}.attention_layernorms.{i}.weight"]
+        layer["ln_attn"]["bias"] = sd[f"{prefix}.attention_layernorms.{i}.bias"]
+        layer["ln_ffn"]["scale"] = sd[f"{prefix}.forward_layernorms.{i}.weight"]
+        layer["ln_ffn"]["bias"] = sd[f"{prefix}.forward_layernorms.{i}.bias"]
+        layer["ffn"]["fc1"]["kernel"] = sd[f"{prefix}.forward_layers.{i}.conv1.weight"][:, :, 0].T
+        layer["ffn"]["fc1"]["bias"] = sd[f"{prefix}.forward_layers.{i}.conv1.bias"]
+        layer["ffn"]["fc2"]["kernel"] = sd[f"{prefix}.forward_layers.{i}.conv2.weight"][:, :, 0].T
+        layer["ffn"]["fc2"]["bias"] = sd[f"{prefix}.forward_layers.{i}.conv2.bias"]
+        i += 1
+
+    body["final_norm"]["scale"] = sd["query_tower.output_normalization.weight"]
+    body["final_norm"]["bias"] = sd["query_tower.output_normalization.bias"]
+
+    # item encoder: SwiGLUEncoder sw{1,2}.{WG,W1,W2} (+biases) + RMSNorms
+    enc = body["item_encoder"]["encoder"]
+    for sw in ("sw1", "sw2"):
+        for t_name, f_name in (("WG", "w_gate"), ("W1", "w_up"), ("W2", "w_down")):
+            enc[sw][f_name]["kernel"] = sd[f"item_tower.encoder.{sw}.{t_name}.weight"].T
+            enc[sw][f_name]["bias"] = sd[f"item_tower.encoder.{sw}.{t_name}.bias"]
+    for norm in ("norm1", "norm2"):
+        enc[norm]["scale"] = sd[f"item_tower.encoder.{norm}.weight"]
+    return params
+
+
+def twotower_from_torch(schema, state_dict: Dict, max_sequence_length: int,
+                        num_blocks: int, num_heads: int,
+                        activation: str = "relu",
+                        dtype: Optional[str] = "float32"):
+    """Build the reference-exact flax TwoTower and load a torch checkpoint.
+
+    Reference from_params defaults reproduced: kang-variant query blocks
+    with FFN hidden = D and torch LayerNorm eps 1e-8, sqrt(D) input scaling,
+    SwiGLU item encoder with hidden 2·D (twotower/model.py:536).
+    :returns: (model, variables).
+    """
+    import jax
+
+    from replay_tpu.nn.sequential.twotower import TwoTower
+
+    item_name = schema.item_id_feature_name
+    dim = schema[item_name].embedding_dim
+    wg = next(v for k, v in state_dict.items() if k.endswith("encoder.sw1.WG.weight"))
+    item_hidden = int(np.shape(_np(wg))[0])
+    model = TwoTower(
+        schema=schema,
+        max_sequence_length=max_sequence_length,
+        num_blocks=num_blocks,
+        num_heads=num_heads,
+        dropout_rate=0.0,
+        item_hidden_dim=item_hidden,
+        hidden_dim=dim,          # reference FFN is D → D
+        variant="kang",
+        layer_norm_eps=1e-8,
+        activation=activation,
+        scale_embeddings=True,
+        dtype=dtype,
+    )
+    batch = {
+        "item_id": np.zeros((1, max_sequence_length), np.int32),
+        "padding_mask": np.ones((1, max_sequence_length), np.int8),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True,
+    )
+    variables = dict(variables)
+    variables["params"] = twotower_params_from_torch(
+        state_dict, variables["params"], num_heads, item_feature=item_name
+    )
+    return model, variables
+
+
 def bert4rec_params_from_torch(state_dict: Dict, params, num_heads: int,
                                cardinality: int, item_feature: str = "item_id"):
     """Map a reference Bert4RecModel state_dict

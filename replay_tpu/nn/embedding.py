@@ -143,33 +143,52 @@ class SequenceEmbedding(nn.Module):
             )
         return self._target_dim()
 
+    @property
+    def feature_names(self) -> Sequence[str]:
+        return [
+            f.name
+            for f in self.schema.sequential_features.all_features
+            if f.name not in self.excluded_features
+        ]
+
+    def embed_feature(
+        self,
+        name: str,
+        values: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """One feature's embedding through ITS table — the reference's
+        shared-embedder contract (TwoTower's item tower reuses the query
+        tower's tables, replay/nn/sequential/twotower/model.py:393-413).
+        List features aggregate their slot axis per ``list_aggregation``.
+        """
+        feature = self.schema[name]
+        emb = self._embedders[name](values)
+        if feature.is_list and feature.is_cat:
+            # [..., S, D] slot embeddings → [..., D]; slots using the
+            # padding id contribute zero (mask before aggregation)
+            if mask is not None:
+                slot_mask = mask[..., None].astype(emb.dtype)
+            else:
+                slot_mask = (values != feature.padding_value)[..., None].astype(emb.dtype)
+            emb = emb * slot_mask
+            if self.list_aggregation == "mean":
+                denom = jnp.maximum(jnp.sum(slot_mask, axis=-2), 1.0)
+                emb = jnp.sum(emb, axis=-2) / denom
+            elif self.list_aggregation == "max":
+                emb = jnp.max(
+                    jnp.where(slot_mask > 0, emb, jnp.float32(-3e38).astype(emb.dtype)),
+                    axis=-2,
+                )
+            else:
+                emb = jnp.sum(emb, axis=-2)
+        return emb
+
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        outputs = []
-        for name, embedder in self._embedders.items():
-            emb = embedder(batch[name])
-            feature = self.schema[name]
-            if feature.is_list and feature.is_cat:
-                # [B, L, S, D] slot embeddings → [B, L, D]; slots using the
-                # padding id contribute zero (mask before aggregation)
-                mask_name = f"{name}_mask"
-                if mask_name in batch:
-                    slot_mask = batch[mask_name][..., None].astype(emb.dtype)
-                else:
-                    slot_mask = (batch[name] != feature.padding_value)[..., None].astype(
-                        emb.dtype
-                    )
-                emb = emb * slot_mask
-                if self.list_aggregation == "mean":
-                    denom = jnp.maximum(jnp.sum(slot_mask, axis=-2), 1.0)
-                    emb = jnp.sum(emb, axis=-2) / denom
-                elif self.list_aggregation == "max":
-                    emb = jnp.max(
-                        jnp.where(slot_mask > 0, emb, jnp.float32(-3e38).astype(emb.dtype)),
-                        axis=-2,
-                    )
-                else:
-                    emb = jnp.sum(emb, axis=-2)
-            outputs.append(emb)
+        outputs = [
+            self.embed_feature(name, batch[name], mask=batch.get(f"{name}_mask"))
+            for name in self._embedders
+        ]
         if self.aggregation_mode == "concat":
             return jnp.concatenate(outputs, axis=-1)
         result = outputs[0]

@@ -38,17 +38,51 @@ class PointWiseFeedForward(nn.Module):
 
 
 class SwiGLU(nn.Module):
-    """Gated-linear-unit FFN (reference: replay/nn/ffn.py:60)."""
+    """Gated-linear-unit FFN (reference: replay/nn/ffn.py:60).
+
+    ``use_bias=True`` matches the reference's torch Linears (WG/W1/W2 carry
+    biases); the bias-free default is kept for existing replay_tpu
+    checkpoints (SasRec's swiglu FFN mode).
+    """
 
     hidden_dim: int
     dropout_rate: float = 0.0
+    use_bias: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         dim = x.shape[-1]
-        gate = nn.Dense(self.hidden_dim, use_bias=False, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="w_gate")(x)
-        up = nn.Dense(self.hidden_dim, use_bias=False, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="w_up")(x)
+        dense = lambda n, name: nn.Dense(  # noqa: E731
+            n, use_bias=self.use_bias, dtype=resolve_dtype(self.dtype),
+            param_dtype=jnp.float32, name=name,
+        )
+        gate = dense(self.hidden_dim, "w_gate")(x)
+        up = dense(self.hidden_dim, "w_up")(x)
         h = nn.silu(gate) * up
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(dim, use_bias=False, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="w_down")(h)
+        return dense(dim, "w_down")(h)
+
+
+class SwiGLUEncoder(nn.Module):
+    """Two SwiGLU blocks with RMSNorm residuals (reference:
+    replay/nn/ffn.py:102 SwiGLUEncoder) — the default TwoTower item encoder:
+    ``x = RMSNorm(SwiGLU(x) + x)`` twice, Linears WITH biases.
+    """
+
+    hidden_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        for i in (1, 2):
+            h = SwiGLU(
+                hidden_dim=self.hidden_dim,
+                use_bias=True,
+                dtype=resolve_dtype(self.dtype),
+                name=f"sw{i}",
+            )(x, deterministic=deterministic)
+            x = nn.RMSNorm(
+                dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name=f"norm{i}"
+            )(h + x)
+        return x

@@ -38,66 +38,81 @@ from replay_tpu.nn.embedding import (
     PositionalEmbedding,
     SequenceEmbedding,
 )
+from replay_tpu.nn.ffn import SwiGLUEncoder
 from replay_tpu.nn.head import tying_logits
 from replay_tpu.nn.sequential.sasrec import SasRecTransformerLayer
 
 
-class ItemTower(nn.Module):
-    """Item-side encoder over the full catalog (reference:
-    replay/nn/sequential/twotower/model.py:127)."""
+class ItemFeatureStore(nn.Module):
+    """Catalog feature buffers (reference ItemTower's ``register_buffer``
+    loading, replay/nn/sequential/twotower/model.py:175-233).
 
-    n_items: int
-    embedding_dim: int
+    Flax ``constants`` collection: initialized once from the arrays passed
+    to ``model.init(..., item_features=...)``, checkpointed with the model.
+    """
+
     item_schema: Optional[TensorSchema] = None
-    hidden_dims: Sequence[int] = ()
-    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
-        self,
-        item_ids: Optional[jnp.ndarray] = None,
-        item_features: Optional[Dict[str, jnp.ndarray]] = None,
-    ) -> jnp.ndarray:
-        id_table = CategoricalEmbedding(
-            cardinality=self.n_items, embedding_dim=self.embedding_dim, dtype=resolve_dtype(self.dtype), name="id_emb"
-        )
-        all_ids = jnp.arange(self.n_items)
-        x = id_table(all_ids)  # [N, D]
-        if self.item_schema is not None:
-            for feature in self.item_schema.all_features:
-                name = feature.name
-                buf = self.variable(
-                    "constants",
-                    name,
-                    lambda n=name: jnp.asarray(item_features[n]),
-                )
-                values = buf.value
-                if feature.is_cat:
-                    emb = CategoricalEmbedding(
-                        cardinality=feature.cardinality,
-                        embedding_dim=self.embedding_dim,
-                        dtype=resolve_dtype(self.dtype),
-                        name=f"feat_{name}",
-                    )(values)
-                    if emb.ndim == 3:  # list feature [N, slots, D] → mean
-                        emb = jnp.mean(emb, axis=1)
-                else:
-                    vals = values.astype(resolve_dtype(self.dtype))
-                    if vals.ndim == 1:
-                        vals = vals[:, None]
-                    emb = nn.Dense(
-                        self.embedding_dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name=f"feat_{name}"
-                    )(vals)
-                x = x + emb
-        for i, h in enumerate(self.hidden_dims):
-            x = nn.Dense(h, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name=f"mlp_{i}")(x)
-            x = nn.relu(x)
-        x = nn.Dense(
-            self.embedding_dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="out"
+        self, item_features: Optional[Dict[str, jnp.ndarray]] = None
+    ) -> Dict[str, jnp.ndarray]:
+        out: Dict[str, jnp.ndarray] = {}
+        if self.item_schema is None:
+            return out
+        for feature in self.item_schema.all_features:
+            name = feature.name
+            buf = self.variable(
+                "constants", name, lambda n=name: jnp.asarray(item_features[n])
+            )
+            out[name] = buf.value
+        return out
+
+
+class ItemTower(nn.Module):
+    """Item-side encoder (reference:
+    replay/nn/sequential/twotower/model.py:127 + from_params :536).
+
+    Matching the reference composition, the item tower does NOT own an
+    item-id table: id/shared-feature embeddings come from the SHARED query
+    embedder (summed by ``TwoTowerBody.get_item_weights`` before this
+    module runs).  Here live the tables for item-ONLY features absent from
+    the shared embedder, plus the default SwiGLU MLP encoder
+    (SwiGLUEncoder, reference ffn.py:102).
+    """
+
+    embedding_dim: int
+    hidden_dim: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, own_features=()) -> jnp.ndarray:
+        for feature, values in own_features:
+            if feature.is_cat:
+                emb = CategoricalEmbedding(
+                    cardinality=feature.cardinality,
+                    embedding_dim=self.embedding_dim,
+                    dtype=resolve_dtype(self.dtype),
+                    name=f"feat_{feature.name}",
+                )(values)
+                if emb.ndim == 3:  # list feature [N, slots, D] → mean
+                    emb = jnp.mean(emb, axis=1)
+            else:
+                vals = values.astype(resolve_dtype(self.dtype))
+                if vals.ndim == 1:
+                    vals = vals[:, None]
+                emb = nn.Dense(
+                    self.embedding_dim,
+                    dtype=resolve_dtype(self.dtype),
+                    param_dtype=jnp.float32,
+                    name=f"feat_{feature.name}",
+                )(vals)
+            x = x + emb
+        return SwiGLUEncoder(
+            hidden_dim=self.hidden_dim or 2 * self.embedding_dim,
+            dtype=resolve_dtype(self.dtype),
+            name="encoder",
         )(x)
-        if item_ids is not None:
-            x = jnp.take(x, item_ids, axis=0)
-        return x
 
 
 class TwoTowerBody(nn.Module):
@@ -109,8 +124,18 @@ class TwoTowerBody(nn.Module):
     num_heads: int = 2
     dropout_rate: float = 0.1
     item_schema: Optional[TensorSchema] = None
-    item_hidden_dims: Sequence[int] = ()
+    # SwiGLU encoder hidden width; None = the reference default 2*dim
+    item_hidden_dim: Optional[int] = None
     causal: bool = True
+    # query-encoder knobs shared with SasRecBody (the reference's TwoTower
+    # query tower IS a SasRec transformer stack, twotower/model.py:536)
+    hidden_dim: Optional[int] = None
+    variant: str = "preln"  # "preln" | "kang"
+    layer_norm_eps: float = 1e-6
+    activation: str = "relu"
+    # PositionAwareAggregator multiplies embeddings by sqrt(D) before adding
+    # positions (reference sasrec/agg.py:50)
+    scale_embeddings: bool = True
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -123,23 +148,29 @@ class TwoTowerBody(nn.Module):
         self.layers = [
             SasRecTransformerLayer(
                 num_heads=self.num_heads,
-                hidden_dim=dim * 4,
+                hidden_dim=self.hidden_dim or dim * 4,
                 dropout_rate=self.dropout_rate,
                 depth=i + 1,
+                variant=self.variant,
+                layer_norm_eps=self.layer_norm_eps,
+                activation=self.activation,
                 dtype=resolve_dtype(self.dtype),
                 name=f"layer_{i}",
             )
             for i in range(self.num_blocks)
         ]
-        self.final_norm = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="final_norm")
-        item_name = self.schema.item_id_feature_name
-        self.item_tower = ItemTower(
-            n_items=self.schema[item_name].cardinality,
+        self.final_norm = nn.LayerNorm(
+            epsilon=self.layer_norm_eps, dtype=resolve_dtype(self.dtype),
+            param_dtype=jnp.float32, name="final_norm",
+        )
+        # named "item_tower" so the constants live at
+        # constants/body/item_tower/<feature> (checkpoint compatibility)
+        self.item_tower = ItemFeatureStore(item_schema=self.item_schema, name="item_tower")
+        self.item_encoder = ItemTower(
             embedding_dim=dim,
-            item_schema=self.item_schema,
-            hidden_dims=self.item_hidden_dims,
+            hidden_dim=self.item_hidden_dim,
             dtype=resolve_dtype(self.dtype),
-            name="item_tower",
+            name="item_encoder",
         )
 
     def __call__(
@@ -150,6 +181,8 @@ class TwoTowerBody(nn.Module):
     ) -> jnp.ndarray:
         pad = batch["padding_mask"]
         x = self.embedder(batch)
+        if self.scale_embeddings:
+            x = x * jnp.sqrt(jnp.asarray(x.shape[-1], dtype=x.dtype))
         x = x + self.pos_embedding(pad.shape[1])[None]
         x = self.input_dropout(x, deterministic=deterministic)
         x = x * pad[..., None].astype(x.dtype)
@@ -158,11 +191,37 @@ class TwoTowerBody(nn.Module):
             x = layer(x, bias, deterministic=deterministic)
         x = self.final_norm(x)
         # touch the item tower so init creates its params/constants
-        _ = self.item_tower(jnp.arange(1), item_features)
+        _ = self.get_item_weights(jnp.arange(1), item_features=item_features)
         return x
 
-    def get_item_weights(self, item_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        return self.item_tower(item_ids)
+    def get_item_weights(
+        self,
+        item_ids: Optional[jnp.ndarray] = None,
+        item_features: Optional[Dict[str, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """Item-tower outputs for the tying head.
+
+        Reference contract (twotower/model.py:295-338 + from_params): every
+        item feature embeds through the SHARED embedder when its name is in
+        the query schema, through the item tower's own table otherwise; the
+        summed embedding runs through the SwiGLU item encoder.
+        """
+        feats = self.item_tower(item_features)
+        item_name = self.schema.item_id_feature_name
+        n_items = self.schema[item_name].cardinality
+        x = self.embedder.embed_feature(item_name, jnp.arange(n_items))
+        own = []
+        if self.item_schema is not None:
+            shared = set(self.embedder.feature_names)
+            for feature in self.item_schema.all_features:
+                if feature.name in shared:
+                    x = x + self.embedder.embed_feature(feature.name, feats[feature.name])
+                else:
+                    own.append((feature, feats[feature.name]))
+        x = self.item_encoder(x, tuple(own))
+        if item_ids is not None:
+            x = jnp.take(x, item_ids, axis=0)
+        return x
 
 
 class TwoTower(nn.Module):
@@ -175,7 +234,12 @@ class TwoTower(nn.Module):
     num_heads: int = 2
     dropout_rate: float = 0.1
     item_schema: Optional[TensorSchema] = None
-    item_hidden_dims: tuple = ()
+    item_hidden_dim: Optional[int] = None
+    hidden_dim: Optional[int] = None
+    variant: str = "preln"
+    layer_norm_eps: float = 1e-6
+    activation: str = "relu"
+    scale_embeddings: bool = True
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -186,7 +250,12 @@ class TwoTower(nn.Module):
             num_heads=self.num_heads,
             dropout_rate=self.dropout_rate,
             item_schema=self.item_schema,
-            item_hidden_dims=self.item_hidden_dims,
+            item_hidden_dim=self.item_hidden_dim,
+            hidden_dim=self.hidden_dim,
+            variant=self.variant,
+            layer_norm_eps=self.layer_norm_eps,
+            activation=self.activation,
+            scale_embeddings=self.scale_embeddings,
             dtype=resolve_dtype(self.dtype),
             name="body",
         )
@@ -200,7 +269,7 @@ class TwoTower(nn.Module):
         num_blocks: int = 1,
         max_sequence_length: int = 50,
         dropout: float = 0.1,
-        item_hidden_dims: tuple = (),
+        item_hidden_dim: Optional[int] = None,
     ) -> "TwoTower":
         """Convenience factory mirroring the reference's ``from_params``
         (reference: replay/nn/sequential/twotower/model.py:536).
@@ -219,7 +288,7 @@ class TwoTower(nn.Module):
             num_heads=num_heads,
             dropout_rate=dropout,
             item_schema=item_schema,
-            item_hidden_dims=tuple(item_hidden_dims),
+            item_hidden_dim=item_hidden_dim,
         )
 
     def __call__(self, batch, deterministic: bool = True, item_features=None):

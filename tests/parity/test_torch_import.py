@@ -198,3 +198,89 @@ def test_bert4rec_torch_import_matches_reference_forward(reference):
     np.testing.assert_allclose(
         logits_ours[pad], logits_ref[pad], atol=5e-5, rtol=1e-4
     )
+
+
+def test_twotower_torch_import_matches_reference_forward(reference, tmp_path):
+    """The reference TwoTower.from_params (shared embedder, kang query
+    blocks, SwiGLU item encoder) must match the imported flax TwoTower at
+    LOGIT level: query hidden states AND item-tower outputs both line up."""
+    import pandas as pd
+    import torch
+    from replay.data import FeatureHint, FeatureSource, FeatureType
+    from replay.data.nn.schema import (
+        TensorFeatureInfo,
+        TensorFeatureSource,
+        TensorSchema,
+    )
+    from replay.nn.sequential.twotower import FeaturesReader, TwoTower
+
+    schema = TensorSchema(
+        TensorFeatureInfo(
+            "item_id", FeatureType.CATEGORICAL, is_seq=True,
+            feature_hint=FeatureHint.ITEM_ID,
+            feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+            cardinality=N_ITEMS, padding_value=N_ITEMS, embedding_dim=DIM,
+        )
+    )
+    catalog = str(tmp_path / "items.parquet")
+    pd.DataFrame({"item_id": np.arange(N_ITEMS)}).to_parquet(catalog)
+    torch.manual_seed(11)
+    ref = TwoTower.from_params(
+        schema,
+        FeaturesReader(schema=schema, metadata={"item_id": {}}, path=catalog),
+        embedding_dim=DIM, num_heads=HEADS, num_blocks=BLOCKS,
+        max_sequence_length=SEQ_LEN, dropout=0.0,
+    )
+    ref.eval()
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, N_ITEMS, (4, SEQ_LEN)).astype(np.int64)
+    pad = np.ones((4, SEQ_LEN), dtype=bool)
+    pad[1, :4] = False
+    ids[~pad] = N_ITEMS
+    with torch.no_grad():
+        hidden_ref = ref.body.query_tower({"item_id": torch.tensor(ids)}, torch.tensor(pad)).numpy()
+        item_ref = ref.body.item_tower().numpy()
+        logits_ref = hidden_ref @ item_ref.T
+
+    from replay_tpu.data.nn.schema import (
+        TensorFeatureInfo as OurInfo,
+        TensorFeatureSource as OurSource,
+        TensorFeatureType,
+        TensorSchema as OurSchema,
+    )
+    from replay_tpu.data.schema import (
+        FeatureHint as OurHint,
+        FeatureSource as OurFeatureSource,
+    )
+    from replay_tpu.interop import twotower_from_torch
+    from replay_tpu.nn.sequential.twotower import TwoTower as OurTwoTower
+
+    our_schema = OurSchema(
+        OurInfo(
+            "item_id", TensorFeatureType.CATEGORICAL, is_seq=True,
+            feature_hint=OurHint.ITEM_ID,
+            feature_sources=[OurSource(OurFeatureSource.INTERACTIONS, "item_id")],
+            cardinality=N_ITEMS, embedding_dim=DIM, padding_value=N_ITEMS,
+        )
+    )
+    model, variables = twotower_from_torch(
+        our_schema, ref.state_dict(), max_sequence_length=SEQ_LEN,
+        num_blocks=BLOCKS, num_heads=HEADS,
+    )
+    batch = {"item_id": ids.astype(np.int32), "padding_mask": pad.astype(np.int8)}
+    hidden_ours = np.asarray(
+        model.apply(variables, batch, deterministic=True,
+                    method=OurTwoTower.forward_train)
+    )
+    np.testing.assert_allclose(
+        hidden_ours[pad], hidden_ref[pad], atol=2e-5, rtol=1e-4
+    )
+    item_ours = np.asarray(
+        model.apply(variables, method=lambda m: m.body.get_item_weights(None))
+    )
+    np.testing.assert_allclose(item_ours, item_ref, atol=2e-5, rtol=1e-4)
+    logits_ours = hidden_ours @ item_ours.T
+    np.testing.assert_allclose(
+        logits_ours[pad], logits_ref[pad], atol=5e-5, rtol=1e-4
+    )
