@@ -278,16 +278,22 @@ def is_tpu() -> bool:
 _FUSED_BROKEN: set = set()
 
 
-def auto_topk(queries, items, k, block_n: int = 4096):
-    """Dispatch: fused_topk on TPU — iterative in-tile selection for k≤32,
-    bitonic sorting network for 32<k≤128 (the regime where iterative
-    selection lost to XLA in round 1) — XLA dense path for k>128 and on
-    non-TPU backends (pallas CPU = interpret only).
+def auto_topk(queries, items, k, block_n: int = 4096, allow_bitonic: bool = False):
+    """Dispatch: fused_topk (iterative in-tile selection) on TPU for k≤32,
+    XLA dense path otherwise and on non-TPU backends (pallas CPU =
+    interpret only).
 
-    A Mosaic lowering failure of a fused kernel variant (toolchain drift)
+    The bitonic variant (32<k≤128) is exact and wins its microbenchmarks,
+    but on the current remote-compile toolchain its Mosaic compile can HANG
+    rather than fail (observed 2026-08-19 round 3, any shape) — an
+    exception guard cannot catch a hang, so it is opt-in via
+    ``allow_bitonic`` until the toolchain moves; the serving default for
+    k>32 is XLA's dense top-k.
+
+    A Mosaic lowering FAILURE of a fused variant (toolchain drift)
     downgrades that variant to the XLA path once, instead of breaking the
     serving call site."""
-    if is_tpu() and k <= 128:
+    if is_tpu() and k <= (128 if allow_bitonic else 32):
         method = "iterative" if k <= 32 else "bitonic"
         if method not in _FUSED_BROKEN:
             try:
