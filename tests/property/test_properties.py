@@ -1,0 +1,214 @@
+"""Property-based tests (hypothesis) over the data plane.
+
+The reference keeps hypothesis as a dev dependency and uses it sparingly in
+data tests (SURVEY §4); these pin the invariants that hold for ARBITRARY
+inputs, where the example-based suites pin exact values.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+pytestmark = pytest.mark.property
+
+_settings = settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@st.composite
+def interaction_logs(draw, max_rows=60):
+    n = draw(st.integers(min_value=1, max_value=max_rows))
+    users = draw(
+        st.lists(st.integers(0, 9), min_size=n, max_size=n)
+    )
+    items = draw(st.lists(st.integers(0, 14), min_size=n, max_size=n))
+    ts = draw(
+        st.lists(st.integers(0, 1000), min_size=n, max_size=n, unique=True)
+    )
+    return pd.DataFrame(
+        {
+            "query_id": users,
+            "item_id": items,
+            "rating": np.ones(n),
+            "timestamp": ts,
+        }
+    )
+
+
+@_settings
+@given(
+    # one homogeneous dtype per column: the reference's fit also sorts the
+    # distinct values (label_encoder.py:188) and mixed int/str columns are
+    # unsortable in both frameworks
+    values=st.one_of(
+        st.lists(st.integers(-1000, 1000), min_size=1, max_size=50),
+        st.lists(st.text(max_size=6), min_size=1, max_size=50),
+    )
+)
+def test_label_encoder_roundtrip(values):
+    """transform → inverse_transform is the identity for any column."""
+    from replay_tpu.preprocessing import LabelEncoder, LabelEncodingRule
+
+    df = pd.DataFrame({"col": pd.Series(values, dtype=object)})
+    enc = LabelEncoder([LabelEncodingRule("col")]).fit(df)
+    out = enc.transform(df)
+    # contiguous codes starting at 0
+    codes = out["col"].to_numpy()
+    assert codes.min() >= 0 and codes.max() < df["col"].nunique()
+    back = enc.inverse_transform(out)
+    assert back["col"].tolist() == df["col"].tolist()
+
+
+@_settings
+@given(
+    base=st.lists(st.integers(0, 30), min_size=1, max_size=30),
+    extra=st.lists(st.integers(0, 60), min_size=1, max_size=30),
+)
+def test_label_encoder_partial_fit_preserves_mapping(base, extra):
+    from replay_tpu.preprocessing import LabelEncoder, LabelEncodingRule
+
+    df1 = pd.DataFrame({"col": base})
+    df2 = pd.DataFrame({"col": extra})
+    enc = LabelEncoder([LabelEncodingRule("col")]).fit(df1)
+    before = enc.transform(df1)["col"].tolist()
+    enc.partial_fit(df2)
+    after = enc.transform(df1)["col"].tolist()
+    assert before == after  # old ids never change
+    # the union is injectively encoded
+    both = enc.transform(pd.DataFrame({"col": sorted(set(base) | set(extra))}))
+    assert both["col"].nunique() == len(set(base) | set(extra))
+
+
+@_settings
+@given(log=interaction_logs(), test_size=st.floats(0.05, 0.9))
+def test_ratio_splitter_partitions_rows(log, test_size):
+    from replay_tpu.splitters import RatioSplitter
+
+    train, test = RatioSplitter(
+        test_size, divide_column="query_id", query_column="query_id"
+    ).split(log)
+    assert len(train) + len(test) <= len(log)  # cold-filtering may drop rows
+    # row multisets are disjoint subsets of the input
+    key = ["query_id", "item_id", "timestamp"]
+    merged = pd.concat([train[key], test[key]])
+    assert len(merged.merge(log[key], on=key)) == len(merged)
+    assert len(train[key].merge(test[key], on=key)) == 0
+
+
+@_settings
+@given(log=interaction_logs())
+def test_time_splitter_respects_time_order(log):
+    from replay_tpu.splitters import TimeSplitter
+
+    train, test = TimeSplitter(0.3, query_column="query_id").split(log)
+    if len(train) and len(test):
+        assert train["timestamp"].max() <= test["timestamp"].min()
+
+
+@_settings
+@given(log=interaction_logs(), n=st.integers(1, 5))
+def test_min_count_filter_property(log, n):
+    from replay_tpu.preprocessing.filters import MinCountFilter
+
+    out = MinCountFilter(n, groupby_column="query_id").transform(log)
+    if len(out):
+        assert out.groupby("query_id").size().min() >= n
+    # idempotent
+    again = MinCountFilter(n, groupby_column="query_id").transform(out)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), again.reset_index(drop=True)
+    )
+
+
+@_settings
+@given(log=interaction_logs())
+def test_consecutive_duplicates_filter_property(log):
+    from replay_tpu.preprocessing.filters import ConsecutiveDuplicatesFilter
+
+    out = ConsecutiveDuplicatesFilter(
+        query_column="query_id", item_column="item_id", timestamp_column="timestamp"
+    ).transform(log)
+    # no user has the same item twice in a row afterwards
+    out = out.sort_values(["query_id", "timestamp"])
+    for _, grp in out.groupby("query_id"):
+        items = grp["item_id"].tolist()
+        assert all(a != b for a, b in zip(items, items[1:]))
+
+
+@_settings
+@given(
+    recs_items=st.lists(
+        st.lists(st.integers(0, 20), min_size=1, max_size=10, unique=True),
+        min_size=1,
+        max_size=8,
+    ),
+    gt_items=st.lists(
+        st.lists(st.integers(0, 20), min_size=1, max_size=10, unique=True),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_ranking_metrics_bounded(recs_items, gt_items):
+    from replay_tpu.metrics import MAP, MRR, NDCG, HitRate, Precision, Recall
+
+    n = min(len(recs_items), len(gt_items))
+    rec_rows, gt_rows = [], []
+    for u in range(n):
+        for rank, i in enumerate(recs_items[u]):
+            rec_rows.append((u, i, float(len(recs_items[u]) - rank)))
+        for i in gt_items[u]:
+            gt_rows.append((u, i))
+    recs = pd.DataFrame(rec_rows, columns=["query_id", "item_id", "rating"])
+    gt = pd.DataFrame(gt_rows, columns=["query_id", "item_id"])
+    for metric_cls in (NDCG, Recall, Precision, MAP, MRR, HitRate):
+        value = list(metric_cls(5)(recs, gt).values())[0]
+        assert 0.0 <= value <= 1.0 + 1e-9, metric_cls.__name__
+
+
+@_settings
+@given(
+    seqs=st.lists(
+        st.lists(st.integers(0, 99), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    size=st.integers(1, 8),
+    side=st.sampled_from(["left", "right"]),
+    cut=st.sampled_from(["left", "right"]),
+)
+def test_padder_shape_property(seqs, size, side, cut):
+    from replay_tpu.experimental.preprocessing import Padder
+
+    df = pd.DataFrame({"seq": seqs})
+    out = Padder(
+        "seq", padding_side=side, padding_value=-1, array_size=size,
+        cut_array=True, cut_side=cut,
+    ).transform(df)
+    assert all(len(v) == size for v in out["seq"])
+    # real elements survive in order
+    for orig, padded in zip(seqs, out["seq"]):
+        kept = [v for v in padded if v != -1 or v in orig]
+        expect = orig[-size:] if cut == "right" else orig[:size]
+        real = [v for v in padded if v in orig]
+        assert real == [v for v in expect]
+
+
+@_settings
+@given(
+    n=st.integers(1, 200),
+    batch=st.integers(1, 50),
+)
+def test_uniform_batching_tiles(n, batch):
+    from replay_tpu.data.utils import UniformBatching
+
+    ub = UniformBatching(n, batch)
+    seen = []
+    for b in range(len(ub)):
+        first, last = ub[b]
+        seen.extend(range(first, last))
+    assert seen == list(range(n))
