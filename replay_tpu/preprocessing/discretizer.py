@@ -196,6 +196,10 @@ class GreedyDiscretizingRule(BaseDiscretizingRule):
         return bin_upper_bound
 
     def fit(self, df: pd.DataFrame) -> "GreedyDiscretizingRule":
+        if self._bins is not None:
+            # repeated fit is a no-op (reference contract, discretizer.py:450:
+            # `if self._is_fitted: return self`); use partial_fit to extend
+            return self
         values = df[self._col]
         if values.isna().any() and self._handle_invalid == "error":
             msg = f"Column {self._col} contains NaN values"
@@ -228,6 +232,9 @@ class QuantileDiscretizingRule(BaseDiscretizingRule):
         self._bins: Optional[List[float]] = None
 
     def fit(self, df: pd.DataFrame) -> "QuantileDiscretizingRule":
+        if self._bins is not None:
+            # repeated fit is a no-op (reference contract, discretizer.py:450)
+            return self
         values = df[self._col]
         if values.isna().any() and self._handle_invalid == "error":
             msg = f"Column {self._col} contains NaN values"

@@ -183,3 +183,33 @@ def test_ratio_min_interactions(reference, random_log, split_by_fractions):
     rtr, rte = Ref(**kwargs).split(big_log)
     _eq(mtr[~mtr["query_id"].isin(small)], rtr, "min-interactions train")
     _eq(mte, rte, "min-interactions test")
+
+
+@pytest.mark.parametrize("test_size", [0.1, 0.3])
+def test_new_users_splitter(reference, random_log, test_size):
+    """NewUsersSplitter is deterministic (time-ranked first appearance) —
+    frames must be identical (reference: replay/splitters/new_users_splitter.py:12)."""
+    from replay.splitters import NewUsersSplitter as RefSplitter
+
+    from replay_tpu.splitters import NewUsersSplitter
+
+    ours_train, ours_test = NewUsersSplitter(
+        test_size,
+        query_column="query_id",
+        item_column="item_id",
+        timestamp_column="timestamp",
+        drop_cold_items=False,
+    ).split(random_log)
+    ref_train, ref_test = RefSplitter(
+        test_size,
+        query_column="query_id",
+        item_column="item_id",
+        timestamp_column="timestamp",
+        drop_cold_items=False,
+    ).split(random_log)
+    key = ["query_id", "item_id", "timestamp"]
+    for o, t in ((ours_train, ref_train), (ours_test, ref_test)):
+        pd.testing.assert_frame_equal(
+            o.sort_values(key).reset_index(drop=True)[key],
+            t.sort_values(key).reset_index(drop=True)[key],
+        )
