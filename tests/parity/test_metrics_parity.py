@@ -74,3 +74,67 @@ def test_unexpectedness_matches_reference(reference, random_recs_gt):
     ref = theirs.Unexpectedness(KS)(recs, base)
     for key in ref:
         np.testing.assert_allclose(mine[key], ref[key], rtol=1e-9, err_msg=key)
+
+
+@pytest.mark.parametrize("descriptor_name", ["Median", "ConfidenceInterval", "PerUser"])
+def test_descriptor_modes_match_reference(reference, random_recs_gt, descriptor_name):
+    """Aggregation descriptors beyond Mean (reference:
+    replay/metrics/descriptors.py:35-121) produce identical values."""
+    from replay.metrics import NDCG as RefNDCG
+    from replay.metrics import ConfidenceInterval as RefCI
+    from replay.metrics import Median as RefMedian
+    from replay.metrics import PerUser as RefPerUser
+
+    from replay_tpu.metrics import NDCG, ConfidenceInterval, Median, PerUser
+
+    recs, gt = random_recs_gt
+    ours_mode = {
+        "Median": Median(),
+        "ConfidenceInterval": ConfidenceInterval(0.9),
+        "PerUser": PerUser(),
+    }[descriptor_name]
+    ref_mode = {
+        "Median": RefMedian(),
+        "ConfidenceInterval": RefCI(0.9),
+        "PerUser": RefPerUser(),
+    }[descriptor_name]
+    ours = NDCG(5, mode=ours_mode, query_column="query_id", item_column="item_id",
+                rating_column="rating")(recs, gt)
+    theirs = RefNDCG(5, mode=ref_mode, query_column="query_id", item_column="item_id",
+                     rating_column="rating")(recs, gt)
+    o_val = list(ours.values())[0]
+    t_val = list(theirs.values())[0]
+    if descriptor_name == "PerUser":
+        assert set(o_val) == set(t_val)
+        for q in o_val:
+            assert o_val[q] == pytest.approx(t_val[q], abs=1e-9)
+    else:
+        assert o_val == pytest.approx(t_val, abs=1e-9)
+
+
+def test_categorical_diversity_matches_reference(reference):
+    from replay.metrics import CategoricalDiversity as RefCD
+
+    from replay_tpu.metrics import CategoricalDiversity
+
+    rng = np.random.default_rng(4)
+    n = 400
+    recs = (
+        pd.DataFrame(
+            {
+                "query_id": rng.integers(0, 25, n),
+                "category_id": rng.integers(0, 8, n),
+                "rating": rng.uniform(size=n),
+            }
+        )
+        .drop_duplicates(["query_id", "category_id"])
+        .reset_index(drop=True)
+    )
+    mine = CategoricalDiversity([3, 5], query_column="query_id",
+                                category_column="category_id",
+                                rating_column="rating")(recs)
+    ref = RefCD([3, 5], query_column="query_id", category_column="category_id",
+                rating_column="rating")(recs)
+    assert set(mine) == set(ref)
+    for key in ref:
+        np.testing.assert_allclose(mine[key], ref[key], rtol=1e-9, err_msg=key)
