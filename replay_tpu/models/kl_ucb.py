@@ -24,7 +24,14 @@ def _bernoulli_kl(p: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def kl_ucb_bound(pos: np.ndarray, total: np.ndarray, rhs: np.ndarray) -> np.ndarray:
-    """Vectorized solve of max{q >= p : total * KL(p, q) <= rhs} by bisection."""
+    """Vectorized solve of max{q >= p : total * KL(p, q) <= rhs} by bisection,
+    with the reference's exact special cases (reference kl_ucb.py:148-166):
+
+    - ``p == 0``: the root of ``log(1/(1-q)) = rhs`` → ``1 - exp(-rhs)``
+      (NOT scaled by ``total`` — upstream quirk mirrored for parity);
+    - ``p == 1``: the root of ``log(1/q) = rhs`` → ``exp(-rhs)``
+      (a tiny value: all-positive items rank LOW upstream — mirrored).
+    """
     p = pos / total
     lo = p.copy()
     hi = np.full_like(p, 1.0 - _EPS)
@@ -33,7 +40,10 @@ def kl_ucb_bound(pos: np.ndarray, total: np.ndarray, rhs: np.ndarray) -> np.ndar
         too_big = total * _bernoulli_kl(p, mid) > rhs
         hi = np.where(too_big, mid, hi)
         lo = np.where(too_big, lo, mid)
-    return 0.5 * (lo + hi)
+    bound = 0.5 * (lo + hi)
+    bound = np.where(p == 0.0, 1.0 - np.exp(-rhs), bound)
+    bound = np.where(p == 1.0, np.exp(-rhs), bound)
+    return bound
 
 
 class KLUCB(UCB):
@@ -56,5 +66,6 @@ class KLUCB(UCB):
         self.item_popularity = self.items_counts_aggr[[self.item_column]].assign(
             **{self.rating_column: ucb}
         )
-        # cold items: zero observations -> bound solves to 1 - eps
-        self.fill = 1.0 - _EPS
+        # cold items rank above everything (reference kl_ucb.py:173:
+        # fill = 1 + sqrt(coef * log(n)), which exceeds any solved bound)
+        self.fill = 1.0 + math.sqrt(max(self.coef * math.log(self.full_count), 0.0))

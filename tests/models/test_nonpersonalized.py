@@ -92,8 +92,13 @@ class TestKLUCB:
         model.fit(ds)
         pop = model.item_popularity.set_index("item_id")["rating"]
         assert pop.loc[1] > 2 / 3
-        assert pop.loc[2] > 0.9  # single positive observation -> loose bound
-        assert (pop <= 1.0).all()
+        # item 2 has p == 1: the reference's special case solves
+        # log(1/q) = rhs → exp(-rhs), a SMALL value (kl_ucb.py:157-161) —
+        # all-positive items rank low upstream, mirrored here
+        import math
+
+        rhs = math.log(4) + 0.0  # coef = 0 default
+        assert pop.loc[2] == pytest.approx(math.exp(-rhs), abs=1e-9)
 
     def test_bisection_matches_scipy(self):
         from scipy.optimize import root_scalar
@@ -110,6 +115,43 @@ class TestKLUCB:
             method="brentq",
         ).root
         assert ours == pytest.approx(ref, abs=1e-8)
+
+    def test_special_cases_match_reference_formulas(self):
+        # reference get_ucb (kl_ucb.py:148-166): p=0 → root of
+        # log(1/(1-q)) = rhs (NOT total-scaled); p=1 → root of log(1/q) = rhs
+        import math
+
+        from scipy.optimize import root_scalar
+
+        from replay_tpu.models.kl_ucb import kl_ucb_bound
+
+        rhs_val = 2.5
+        zeros = kl_ucb_bound(np.array([0.0]), np.array([7.0]), np.array([rhs_val]))[0]
+        ref0 = root_scalar(
+            f=lambda q: math.log(1 / (1 - q)) - rhs_val, bracket=[0, 1 - 1e-12],
+            method="brentq",
+        ).root
+        assert zeros == pytest.approx(ref0, abs=1e-9)
+
+        ones = kl_ucb_bound(np.array([7.0]), np.array([7.0]), np.array([rhs_val]))[0]
+        ref1 = root_scalar(
+            f=lambda q: math.log(1 / q) - rhs_val, bracket=[1e-12, 1],
+            method="brentq",
+        ).root
+        assert ones == pytest.approx(ref1, abs=1e-9)
+
+    def test_cold_fill_matches_reference(self):
+        # reference fill = 1 + sqrt(coef * log(n)) (kl_ucb.py:173)
+        import math
+
+        ds = make_dataset(
+            pd.DataFrame(
+                {"user_id": [1, 2, 3], "item_id": [1, 1, 2], "rating": [1, 0, 1]}
+            )
+        )
+        model = KLUCB(exploration_coef=2.0)
+        model.fit(ds)
+        assert model.fill == pytest.approx(1 + math.sqrt(2.0 * math.log(3)), abs=1e-9)
 
 
 class TestThompsonSampling:
