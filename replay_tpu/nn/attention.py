@@ -119,19 +119,20 @@ class MultiHeadSelfAttention(nn.Module):
         # the 4-D "bqhd,bkhd->bhqk" lowering by ~20% at hd=32 on TPU
         # (PERF.md round-3 attention ablation); reshapes are layout-free
         bh = batch * self.num_heads
+        kv_len = src.shape[1]
         qm = q.transpose(0, 2, 1, 3).reshape(bh, length, head_dim)
-        km = k.transpose(0, 2, 1, 3).reshape(bh, length, head_dim)
-        vm = v.transpose(0, 2, 1, 3).reshape(bh, length, head_dim)
+        km = k.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim)
+        vm = v.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim)
         scores = jnp.einsum("bqd,bkd->bqk", qm, km).astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(head_dim))
         scores = apply_attention_bias(
-            scores.reshape(batch, self.num_heads, length, length), attn_bias
+            scores.reshape(batch, self.num_heads, length, kv_len), attn_bias
         )
         weights = nn.softmax(scores, axis=-1).astype(resolve_dtype(self.dtype))
         weights = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
 
         out = jnp.einsum(
-            "bqk,bkd->bqd", weights.reshape(bh, length, length), vm
+            "bqk,bkd->bqd", weights.reshape(bh, length, kv_len), vm
         ).reshape(batch, self.num_heads, length, head_dim).transpose(0, 2, 1, 3)
         out = nn.DenseGeneral(
             features=dim,
