@@ -125,6 +125,11 @@ class _Node:
         tree = self.tree
         if len(queries) == 0 or len(items) == 0:
             return
+        if getattr(self.recommender, "fit_queries", None) is None:
+            # this node's cluster had no training interactions (a cold item
+            # category): its recommender was never fitted, so routing here
+            # cannot produce recommendations — skip gracefully
+            return
         item_clusters = self.clusterer.predict(items)
         log = log[log[tree.item_column].isin(set(items))]
         log_clusters = self.clusterer.predict(log[tree.item_column].to_numpy())
@@ -149,11 +154,26 @@ class _Node:
             )
             chunks.append(recs)
             return
+        # route only toward clusters whose child recommender was fitted —
+        # a cold item category (features but no training interactions) has
+        # nothing to rank, and a bandit node's exploration bonus would
+        # otherwise send every query there and return nothing
+        routable = np.array(
+            [
+                cl
+                for cl in np.unique(item_clusters)
+                if self.children[int(cl)] is not None
+                and getattr(self.children[int(cl)].recommender, "fit_queries", None)
+                is not None
+            ]
+        )
+        if len(routable) == 0:
+            return
         routing = self.recommender._predict_wrap(
             node_ds,
             1,
             queries=known,
-            items=np.unique(item_clusters),
+            items=routable,
             filter_seen_items=False,
         )
         top1 = routing.sort_values(tree.rating_column, ascending=False).drop_duplicates(

@@ -71,6 +71,9 @@ class LightFMWrap(Recommender):
             "no_components": self.no_components,
             "loss": self.loss,
             "random_state": self.random_state,
+            # replay_tpu extension (the reference has no epochs ctor param);
+            # persisted so save/load keeps the configured training length
+            "epochs": self.epochs,
         }
 
     def _get_save_state(self):

@@ -175,17 +175,9 @@ class MultVAE(Recommender):
         # torch Adam(weight_decay=l2/batch): L2 added to the gradient before
         # the moment update; lr rescaled on validation plateau like the
         # reference's ReduceLROnPlateau (inject_hyperparams avoids recompiles)
-        def _adam_l2(learning_rate, weight_decay):
-            return optax.chain(
-                optax.add_decayed_weights(weight_decay),
-                optax.scale_by_adam(),
-                optax.scale_by_learning_rate(learning_rate),
-            )
+        from replay_tpu.experimental.models._optim import adam_l2
 
-        tx = optax.inject_hyperparams(_adam_l2)(
-            learning_rate=self.learning_rate,
-            weight_decay=self.l2_reg / self.batch_size,
-        )
+        tx = adam_l2(self.learning_rate, self.l2_reg / self.batch_size)
         opt_state = tx.init(params)
         anneal = jnp.float32(self.anneal)
 

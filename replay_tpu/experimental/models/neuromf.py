@@ -192,19 +192,9 @@ class NeuroMF(Recommender):
         params = model.init(key, jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))["params"]
         bsz = min(self.batch_size, len(train_rows))
 
-        def _adam_l2(learning_rate, weight_decay):
-            # torch Adam(weight_decay=...) adds wd·param to the GRADIENT before
-            # the moment update (L2, not decoupled AdamW) — mirror that order
-            return optax.chain(
-                optax.add_decayed_weights(weight_decay),
-                optax.scale_by_adam(),
-                optax.scale_by_learning_rate(learning_rate),
-            )
+        from replay_tpu.experimental.models._optim import adam_l2
 
-        tx = optax.inject_hyperparams(_adam_l2)(
-            learning_rate=self.learning_rate,
-            weight_decay=self.l2_reg / self.batch_size,
-        )
+        tx = adam_l2(self.learning_rate, self.l2_reg / self.batch_size)
         opt_state = tx.init(params)
         n_neg = self.count_negative_sample
 

@@ -55,8 +55,14 @@ class Padder:
             if col not in out.columns:
                 msg = f"Column {col} not in DataFrame columns."
                 raise ValueError(msg)
-            size = (
-                int(out[col].str.len().max()) if self.array_size == -1 else self.array_size
-            )
+            if self.array_size == -1:
+                # robust to non-list cells (they pad as empty arrays, same
+                # tolerance as _pad_one) and to all-invalid columns
+                lengths = out[col].apply(
+                    lambda v: len(v) if isinstance(v, (list, tuple, np.ndarray)) else 0
+                )
+                size = int(lengths.max()) if len(lengths) else 0
+            else:
+                size = self.array_size
             out[col] = out[col].apply(lambda s, v=val, z=size: self._pad_one(s, v, z))
         return out

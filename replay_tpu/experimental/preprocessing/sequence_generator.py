@@ -91,13 +91,23 @@ class SequenceGenerator:
         sort_by = self.orderby_column if self.orderby_column is not None else self.groupby_column
         out.sort_values(by=sort_by, inplace=True, kind="stable")
 
+        # one pass in sorted-row order with a per-group running history —
+        # the Spark-window semantics (partitionBy groupby, orderBy orderby,
+        # reference sequence_generator.py:185). The reference's PANDAS
+        # backend instead assigns group-major windows positionally onto the
+        # orderby-sorted frame, which scrambles rows whenever orderby does
+        # not lead with the groupby columns; that quirk is NOT reproduced
+        # (regression test: tests/experimental/..::test_cross_group_orderby)
+        group_keys = list(
+            out[self.groupby_column].itertuples(index=False, name=None)
+        )
         for col in transform_columns:
             lists: List[List] = []
-            for _, group_vals in out.groupby(self.groupby_column, sort=False)[col]:
-                history: List = []
-                for value in group_vals:
-                    lists.append(history[-self.len_window :])
-                    history = history + [value]
+            histories: dict = {}
+            for key, value in zip(group_keys, out[col]):
+                history = histories.setdefault(key, [])
+                lists.append(history[-self.len_window :])
+                history.append(value)
             out[self._seq_name(col)] = lists
             out[self._label_name(col)] = out[col]
 

@@ -277,3 +277,37 @@ def test_neural_ts_uses_item_features():
     plain = NeuralTS(embedding_dim=8, phi_dim=8, epochs=2, seed=0, use_features=False)
     plain.fit(ds)
     assert plain._item_feats.shape[1] == 0
+
+
+def test_sequence_generator_cross_group_orderby():
+    """Windows must stay attached to THEIR group's rows even when
+    orderby_column interleaves groups (Spark-window semantics; the
+    reference's pandas backend scrambles this case — round-3 review)."""
+    from replay_tpu.experimental.preprocessing import SequenceGenerator
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 2, 1, 2],
+            "item_id": [10, 20, 11, 21],
+            "timestamp": [0, 1, 2, 3],
+        }
+    )
+    out = SequenceGenerator(
+        groupby_column="user_id", orderby_column="timestamp",
+        transform_columns="item_id",
+    ).transform(df)
+    by_user = {
+        (u, lab): win
+        for u, win, lab in zip(out["user_id"], out["item_id_list"], out["label_item_id"])
+    }
+    assert by_user[(1, 11)] == [10]
+    assert by_user[(2, 21)] == [20]
+    assert len(out) == 2
+
+
+def test_padder_minus_one_non_list_cells():
+    from replay_tpu.experimental.preprocessing import Padder
+
+    df = pd.DataFrame({"seq": [None, [1, 2], 5]})
+    out = Padder("seq", padding_value=0, array_size=-1).transform(df)
+    assert out["seq"].tolist() == [[0, 0], [1, 2], [0, 0]]

@@ -799,3 +799,39 @@ def test_two_stages_save_load_roundtrip(tmp_path, block_dataset):
     pd.testing.assert_frame_equal(
         before.reset_index(drop=True), after.reset_index(drop=True)
     )
+
+
+def test_hierarchical_cold_cluster_predict():
+    """A cluster with item features but NO training interactions must not
+    crash predict (round-3 review): users routed toward it are skipped."""
+    from sklearn.cluster import KMeans
+
+    from replay_tpu.experimental.models import HierarchicalRecommender, ULinUCB
+
+    rng = np.random.default_rng(1)
+    itf = pd.DataFrame(
+        {
+            "item_id": np.arange(30),
+            "f1": np.repeat([0.0, 5.0, 10.0], 10) + rng.normal(0, 0.1, 30),
+        }
+    )
+    rows = []
+    for u in range(30):
+        g = u % 2  # users only touch clusters 0 and 1; cluster 2 is cold
+        for _ in range(6):
+            rows.append((u, int(g * 10 + rng.integers(0, 10)), 1.0))
+    inter = pd.DataFrame(rows, columns=["user_id", "item_id", "rating"]).drop_duplicates(
+        ["user_id", "item_id"]
+    )
+    extra = [
+        FeatureInfo("f1", FeatureType.NUMERICAL, feature_source=FeatureSource.ITEM_FEATURES)
+    ]
+    ds = Dataset(make_schema(extra), inter, item_features=itf, check_consistency=False)
+    model = HierarchicalRecommender(
+        depth=2,
+        cluster_model=KMeans(n_clusters=3, n_init="auto", random_state=0),
+        recommender_class=ULinUCB,
+    )
+    model.fit(ds)
+    recs = model.predict(ds, k=2)  # must not raise
+    assert recs.groupby("user_id").size().max() <= 2
