@@ -18,6 +18,7 @@ internal recommender routing a query to its top-1 child cluster
 final top-k (with the caller's ``filter_seen_items``).
 """
 
+import warnings
 from typing import Optional, Type
 
 import numpy as np
@@ -314,14 +315,32 @@ class HierarchicalRecommender(HybridRecommender):
         keep = [self.query_column, self.item_column] + (
             [self.rating_column] if self.rating_column in dataset.interactions.columns else []
         )
-        self._root.fit(dataset.interactions[keep], qf)
+        log = dataset.interactions[keep]
+        # items without features cannot be placed in the tree (the clusterer
+        # maps them to NaN, which would corrupt node logs / silently drop
+        # rows from child fits) — drop them up front with a warning
+        featureless = ~log[self.item_column].isin(items[self.item_column])
+        if featureless.any():
+            warnings.warn(
+                f"dropping {int(featureless.sum())} interaction(s) whose items "
+                "have no row in item_features — the cluster tree only covers "
+                "featured items",
+                stacklevel=2,
+            )
+            log = log[~featureless]
+            if log.empty:
+                msg = "no interactions remain after dropping featureless items"
+                raise ValueError(msg)
+        self._root.fit(log, qf)
 
     def _predict(self, dataset, k, queries, items, filter_seen_items=True):
         queries = np.asarray(queries)
         items = np.asarray(items)
-        # the tree only knows items that had features at fit time
-        known_items = np.fromiter(self._root.clusterer._cluster_map.keys(), dtype=items.dtype)
-        items = items[np.isin(items, known_items)]
+        # the tree only knows items that had features at fit time; pd.Index
+        # membership is dtype-robust (np.fromiter with the caller's dtype
+        # truncates fixed-width strings / chokes on object ids)
+        known_items = pd.Index(list(self._root.clusterer._cluster_map))
+        items = items[pd.Index(items).isin(known_items)]
         keep = [self.query_column, self.item_column] + (
             [self.rating_column] if self.rating_column in dataset.interactions.columns else []
         )

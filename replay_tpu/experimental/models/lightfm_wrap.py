@@ -210,9 +210,13 @@ class LightFMWrap(Recommender):
         query_ids = np.asarray(query_ids)
         item_ids = np.asarray(item_ids)
         csr_user = csr_item = None
-        if dataset is not None and dataset.query_features is not None:
+        # only build feature CSRs when the model was FIT with that side's
+        # features (can_predict_cold_*) — otherwise LightFM fails on a
+        # feature-matrix width mismatch with an opaque error, so predict-time
+        # features on a featureless fit are ignored
+        if self.can_predict_cold_queries and dataset is not None and dataset.query_features is not None:
             csr_user = self._feature_table_to_csr("user", query_ids, dataset.query_features)
-        if dataset is not None and dataset.item_features is not None:
+        if self.can_predict_cold_items and dataset is not None and dataset.item_features is not None:
             csr_item = self._feature_table_to_csr("item", item_ids, dataset.item_features)
         if csr_user is None:
             u_idx = np.searchsorted(self.fit_queries, query_ids)

@@ -151,7 +151,18 @@ def twotower_params_from_torch(state_dict: Dict, params, num_heads: int,
     """
     import flax
 
-    sd = _strip_prefix(dict(state_dict))
+    raw = _strip_prefix(dict(state_dict))
+    consumed: set = set()
+
+    class _Tracking(dict):
+        def __getitem__(self, key):
+            consumed.add(key)
+            return dict.__getitem__(self, key)
+
+        def __contains__(self, key):
+            return dict.__contains__(self, key)
+
+    sd = _Tracking(raw)
     params = flax.core.unfreeze(flax.core.freeze(params))  # deep copy
     body = params["body"]
 
@@ -160,6 +171,7 @@ def twotower_params_from_torch(state_dict: Dict, params, num_heads: int,
     for key, src in sd.items():
         if not key.startswith("embedder.feature_embedders."):
             continue
+        consumed.add(key)
         name = key.split(".")[2]
         slot = body["embedder"][f"emb_{name}"]["table"]["embedding"]
         new_table = np.zeros(np.shape(slot), dtype=np.float32)
@@ -205,6 +217,28 @@ def twotower_params_from_torch(state_dict: Dict, params, num_heads: int,
             enc[sw][f_name]["bias"] = sd[f"item_tower.encoder.{sw}.{t_name}.bias"]
     for norm in ("norm1", "norm2"):
         enc[norm]["scale"] = sd[f"item_tower.encoder.{norm}.weight"]
+
+    # a checkpoint whose item tower carries weights this mapper does not
+    # know (item-only feature tables, numeric projections, …) must not pass
+    # silently with those weights left at random init.  Tower-prefixed
+    # aliases of the shared embedder and the reference's non-parameter
+    # buffers (item_tower.cache / item_reference_*) are expected leftovers.
+    def _is_alias_or_buffer(key: str) -> bool:
+        for tower in ("query_tower.", "item_tower."):
+            if key.startswith(tower) and key[len(tower):] in consumed:
+                return True
+        tail = key.split(".", 1)[-1]
+        return tail == "cache" or tail.startswith("item_reference")
+
+    leftover = sorted(k for k in set(raw) - consumed if not _is_alias_or_buffer(k))
+    if leftover:
+        import warnings
+
+        warnings.warn(
+            "twotower_params_from_torch: unconsumed state_dict keys (their "
+            f"weights were NOT imported): {leftover}",
+            stacklevel=2,
+        )
     return params
 
 
