@@ -1,0 +1,273 @@
+"""Fused self-attention core (scores → bias → softmax → dropout → PV) as a
+single Pallas kernel with a custom-VJP recompute backward.
+
+The encoder hot loop (reference: replay/nn/sequential/sasrec/model.py:85-113
+torch MultiheadAttention; our XLA path in replay_tpu/nn/attention.py) at
+recsys sequence lengths (L ≈ 50-200) is not flash-attention territory — the
+whole [L, L] score tile fits VMEM per batch block.  What the XLA lowering
+pays for instead is the [B·H, L, L] attention-weight tensor round-tripping
+HBM between the QKᵀ GEMM, softmax, dropout mask generation/application and
+the PV GEMM, plus the same tensor again in the backward pass (round-3 step
+bisect: ~12 ms of the 36 ms train step).  This kernel keeps the weight tile
+in VMEM end to end:
+
+- forward: one grid pass over B·H blocks; batched MXU GEMMs, f32 softmax,
+  causal/key-padding masks from iotas/bias lanes, and attention-weight
+  dropout from the on-core PRNG (``pltpu.prng_seed`` folded with the
+  program id — this is the feature that rules out stock flash kernels);
+- backward: recomputes the weight tile from q/k/v (cheap — scores FLOPs ≪
+  HBM cost of saving [B·H, L, L]) and regenerates the SAME dropout mask
+  from the same seed, then forms dv/dp/ds/dq/dk with batched GEMMs.
+
+HBM traffic drops from O(B·H·L²) per pass to O(B·H·L·hd) — the q/k/v/o
+tensors themselves.
+
+Numerics follow the XLA path: bf16-or-f32 GEMM inputs, f32 score/softmax
+accumulation, masks at -0.7·float_max (not -inf: exp(-inf - -inf) is NaN).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -2.3e38  # -0.7 × f32 max; python float (kernels can't capture tracers)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _dropout_keep(shape, rate: float):
+    """Keep-mask from the on-core PRNG: uint32 bits ≥ rate·2³² keep."""
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    return bits.astype(jnp.uint32) >= threshold
+
+
+def _scores(q, k, bias, *, scale: float, causal: bool):
+    """[blk, LP, hd] × [blk, LP, hd] → biased/masked f32 scores [blk, LP, LP]."""
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale + bias[:, None, :]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col <= row, s, NEG_INF)
+    return jnp.maximum(s, NEG_INF)
+
+
+def _softmax(s):
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=2, keepdims=True)
+
+
+def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                     *, scale: float, causal: bool, rate: float):
+    p = _softmax(_scores(q_ref[:], k_ref[:], bias_ref[:], scale=scale, causal=causal))
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_keep(p.shape, rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    out = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref,
+                     *, scale: float, causal: bool, rate: float):
+    q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]
+    p = _softmax(_scores(q, k, bias_ref[:], scale=scale, causal=causal))
+    if rate > 0.0:
+        # SAME seed schedule as the forward pass → identical keep mask
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_keep(p.shape, rate)
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p * inv, 0.0)
+    else:
+        pd = p
+    compute_dt = v.dtype
+
+    # dv[b, kv, d] = Σ_q pd[b, q, kv] · do[b, q, d]
+    dv = jax.lax.dot_general(
+        pd.astype(compute_dt), do,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # dpd[b, q, kv] = Σ_d do[b, q, d] · v[b, kv, d]
+    dpd = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+    ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
+    ds = (ds * scale).astype(compute_dt)
+    # dq[b, q, d] = Σ_kv ds[b, q, kv] · k[b, kv, d]
+    dq = jax.lax.dot_general(
+        ds, k,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # dk[b, kv, d] = Σ_q ds[b, q, kv] · q[b, q, d]
+    dk = jax.lax.dot_general(
+        ds, q,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _pick_block_bh(bh: int, lp: int) -> int:
+    """Largest block keeping the f32 score tile ≤ ~2 MB of VMEM."""
+    budget = (2 * 1024 * 1024) // (lp * lp * 4)
+    blk = max(8, min(128, budget))
+    while bh % blk:
+        blk //= 2
+        if blk < 1:
+            return bh
+    return blk
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attention_core(q, k, v, bias, seed, scale, causal, rate, interpret):
+    out, _ = _attention_core_fwd(q, k, v, bias, seed, scale, causal, rate, interpret)
+    return out
+
+
+def _attention_core_fwd(q, k, v, bias, seed, scale, causal, rate, interpret):
+    bh, lp, hd = q.shape
+    blk = _pick_block_bh(bh, lp)
+    grid = (bh // blk,)
+    spec3 = pl.BlockSpec((blk, lp, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_bias = pl.BlockSpec((blk, lp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_attn_fwd_kernel, scale=scale, causal=causal, rate=rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[spec3, spec3, spec3, spec_bias],
+            out_specs=spec3,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, lp, hd), v.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lp * lp * hd,
+            bytes_accessed=4 * bh * lp * hd * q.dtype.itemsize,
+            transcendentals=bh * lp * lp,
+        ),
+    )(seed, q, k, v, bias)
+    return out, (q, k, v, bias, seed)
+
+
+def _attention_core_bwd(scale, causal, rate, interpret, residuals, do):
+    q, k, v, bias, seed = residuals
+    bh, lp, hd = q.shape
+    blk = _pick_block_bh(bh, lp)
+    grid = (bh // blk,)
+    spec3 = pl.BlockSpec((blk, lp, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_bias = pl.BlockSpec((blk, lp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        partial(_attn_bwd_kernel, scale=scale, causal=causal, rate=rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[spec3, spec3, spec3, spec_bias, spec3],
+            out_specs=[spec3, spec3, spec3],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lp, hd), q.dtype),
+            jax.ShapeDtypeStruct((bh, lp, hd), k.dtype),
+            jax.ShapeDtypeStruct((bh, lp, hd), v.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * lp * lp * hd,
+            bytes_accessed=7 * bh * lp * hd * q.dtype.itemsize,
+            transcendentals=bh * lp * lp,
+        ),
+    )(seed, q, k, v, bias, do.astype(v.dtype))
+    return dq, dk, dv, jnp.zeros_like(bias), None
+
+
+_attention_core.defvjp(_attention_core_fwd, _attention_core_bwd)
+
+
+def fused_attention(
+    q: jnp.ndarray,  # [BH, L, hd]
+    k: jnp.ndarray,  # [BH, L, hd]
+    v: jnp.ndarray,  # [BH, L, hd]
+    key_bias: jnp.ndarray,  # [BH, L] additive f32 (0 = attend, NEG = masked)
+    *,
+    causal: bool,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_key=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q·kᵀ·scale + bias [+ causal]) [→ dropout] · v, fused.
+
+    Heads are pre-merged into the leading dim ([B·H, L, hd] — the layout the
+    XLA path already uses).  L is padded to a multiple of 64 internally;
+    padded KEY lanes are masked via ``key_bias``, padded QUERY rows produce
+    sliced-off garbage (their upstream gradient is exactly zero because no
+    real output attends to them).
+
+    :param dropout_rate: attention-weight dropout (reference torch
+        MultiheadAttention semantics).  Mask bits come from the TPU core
+        PRNG seeded with (fold(dropout_key) + program_id) — reproducible
+        for a fixed key, regenerated identically in the backward pass.
+    """
+    bh, length, hd = q.shape
+    lp = _round_up(length, 64)
+    blk = _pick_block_bh(bh, lp)
+    bh_pad = _round_up(bh, blk)
+    rate = float(dropout_rate)
+
+    def pad3(x):
+        return jnp.pad(x, ((0, bh_pad - bh), (0, lp - length), (0, 0)))
+
+    qp, kp, vp = pad3(q), pad3(k), pad3(v)
+    bias = jnp.pad(
+        key_bias.astype(jnp.float32),
+        ((0, bh_pad - bh), (0, lp - length)),
+        constant_values=NEG_INF,
+    )
+    if rate > 0.0:
+        if dropout_key is None:
+            msg = "dropout_rate > 0 requires dropout_key"
+            raise ValueError(msg)
+        seed = jax.random.randint(
+            dropout_key, (1,), minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    out = _attention_core(qp, kp, vp, bias, seed, scale, causal, rate, interpret)
+    return out[:bh, :length, :]
+
+
+def attention_reference(q, k, v, key_bias, *, causal, scale):
+    """Pure-XLA reference of the fused kernel's math (no dropout) for
+    parity tests."""
+    s = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
+    s = s + key_bias[:, None, :].astype(jnp.float32)
+    if causal:
+        length = q.shape[1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (length, length), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (length, length), 1)
+        s = jnp.where((col <= row)[None], s, NEG_INF)
+    s = jnp.maximum(s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)

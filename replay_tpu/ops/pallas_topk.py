@@ -265,6 +265,170 @@ def fused_topk(
     return top_vals, top_idx
 
 
+def _budget_for(k: int, grid_n: int, budget) -> int:
+    """Per-tile candidate budget P for :func:`fused_topk_budget`.
+
+    Needs ``grid_n * P >= k`` (the pool must be able to hold a full top-k)
+    plus slack so the exactness certificate rarely trips: under a
+    random-order catalog the count of global-top-k members per tile is
+    ~Poisson(k / grid_n), so ``4·k/grid_n + 8`` puts the overflow
+    probability astronomically low while keeping P ≪ k.
+    """
+    if budget is not None:
+        p = int(budget)
+    else:
+        p = max(8, -(-4 * k // grid_n) + 8)
+    p = max(p, -(-k // grid_n))  # pool must cover k
+    p = min(p, 126)  # slot P+1 must fit the 128-lane candidate block
+    if grid_n * p < k:
+        return k  # pool cannot cover a top-k → caller takes the plain path
+    return p
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "block_n", "block_b", "budget", "interpret", "fallback"),
+)
+def fused_topk_budget(
+    queries: jnp.ndarray,  # [B, D]
+    items: jnp.ndarray,  # [N, D]
+    k: int,
+    block_n: int = 4096,
+    block_b: int = 256,
+    budget: int = None,
+    interpret: bool = False,
+    fallback: str = "iterative",
+):
+    """Exact large-k top-k of Q·Wᵀ at small-k cost (reference serving hot
+    loop: replay/nn/lightning/callback/predictions_callback.py:80,
+    scala/.../ReplayALS.scala:417 blocked GEMM top-k).
+
+    The iterative kernel's per-tile selection costs one masked-argmax pass
+    per extracted candidate, so at k=100 it loses to XLA dense.  This
+    wrapper runs the SAME proven kernel with a small per-tile budget
+    ``P ≪ k`` (P+1 extraction passes) and restores exactness with a
+    threshold certificate computed outside the kernel:
+
+    - slot ``P`` of each tile's candidate block holds the (P+1)-th tile
+      max — i.e. the max of everything the tile did NOT surface;
+    - ``τ`` = k-th largest of the pooled candidates.  The pool trivially
+      holds ≥ k elements ≥ τ, so if every tile's remaining max is < τ,
+      every hidden element is < τ and the pool top-k is a valid exact
+      top-k (values included);
+    - otherwise a ``lax.cond`` falls back to the exact full-budget path
+      (``fallback="iterative"``: the fused kernel with P=k;
+      ``"dense"``: XLA dense logits + top_k).
+
+    Under a random-order catalog the per-tile count of global top-k
+    members is ~Poisson(k/grid) and the default budget makes the fallback
+    probability negligible; adversarially clustered catalogs (e.g. sorted
+    by popularity) still get the exact answer, just at fallback speed —
+    pre-permuting the item table once restores the fast path.
+
+    No new Mosaic patterns: this compiles exactly the kernel the k≤32
+    serving path already uses (no rolls, no bitonic network), so the
+    round-3 bitonic compile hang cannot recur here.
+
+    :returns: (values [B, k] float32, indices [B, k] int32).
+    """
+    b, _ = queries.shape
+    n = items.shape[0]
+    grid_n = -(-n // block_n)
+    p = _budget_for(k, grid_n, budget)
+    if p >= k or grid_n == 1:
+        # budget offers no saving — the plain kernel is already optimal
+        return fused_topk(
+            queries, items, k, block_n=block_n, block_b=block_b,
+            interpret=interpret, method="iterative",
+        )
+
+    # kernel with k=P+1: slots [0, P) are the tile's top-P candidates in
+    # order, slot P is the remaining max (the certificate input).  Skip
+    # the wrapper's global merge by requesting the raw per-tile blocks.
+    vals, idxs = _fused_topk_raw(
+        queries, items, p + 1, block_n=block_n, block_b=block_b,
+        interpret=interpret,
+    )
+    kpad = vals.shape[1] // grid_n
+    vals3 = vals.reshape(b, grid_n, kpad)
+    idx3 = idxs.reshape(b, grid_n, kpad)
+    remaining = vals3[:, :, p]  # [B, grid_n]
+    cand_vals = vals3[:, :, :p].reshape(b, grid_n * p)
+    cand_idx = idx3[:, :, :p].reshape(b, grid_n * p)
+    valid = cand_idx < n
+    cand_vals = jnp.where(valid, cand_vals, NEG_INF)
+
+    top_vals, pool_pos = jax.lax.top_k(cand_vals, k)
+    top_idx = jnp.take_along_axis(cand_idx, pool_pos, axis=1)
+    tau = top_vals[:, k - 1]  # [B]
+    overflow = jnp.any(remaining >= tau[:, None])
+
+    def exact_path(_):
+        if fallback == "dense":
+            v, i = topk_reference(queries, items, k)
+        else:
+            v, i = fused_topk(
+                queries, items, k, block_n=block_n, block_b=block_b,
+                interpret=interpret, method="iterative",
+            )
+        return v, i
+
+    return jax.lax.cond(
+        overflow, exact_path, lambda _: (top_vals, top_idx), operand=None
+    )
+
+
+def _fused_topk_raw(queries, items, k, block_n, block_b, interpret):
+    """The fused kernel without the global merge: per-tile candidate
+    blocks as [B, grid_n·kpad] (kpad = lane-padded k), padded catalog rows
+    pre-masked to NEG_INF inside the kernel."""
+    b, d = queries.shape
+    n = items.shape[0]
+    if n % block_n:
+        pad = block_n - n % block_n
+        items = jnp.concatenate(
+            [items, jnp.zeros((pad, d), dtype=items.dtype)], axis=0
+        )
+    n_padded = items.shape[0]
+    block_b = min(block_b, b)
+    if b % block_b:
+        bpad = block_b - b % block_b
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((bpad, d), dtype=queries.dtype)], axis=0
+        )
+    b_padded = queries.shape[0]
+    grid_b = b_padded // block_b
+    grid_n = n_padded // block_n
+    k_eff = min(k, block_n)
+    kpad = max(128, -(-k_eff // 128) * 128)
+
+    kernel = partial(_topk_tile_kernel, k=k_eff, block_n=block_n, n=n)
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid=(grid_b, grid_n),
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, kpad), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, kpad), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_padded, grid_n * kpad), jnp.float32),
+            jax.ShapeDtypeStruct((b_padded, grid_n * kpad), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_padded * n_padded * d,
+            bytes_accessed=grid_b * n_padded * d * items.dtype.itemsize
+            + b_padded * grid_n * kpad * 8,
+            transcendentals=0,
+        ),
+    )(queries, items)
+    return vals[:b], idxs[:b]
+
+
 def topk_reference(queries, items, k):
     """XLA baseline: full logits then top_k (for tests/benchmarks)."""
     logits = jnp.dot(queries, items.T, preferred_element_type=jnp.float32)
@@ -279,25 +443,42 @@ _FUSED_BROKEN: set = set()
 
 
 def auto_topk(queries, items, k, block_n: int = 4096, allow_bitonic: bool = False):
-    """Dispatch: fused_topk (iterative in-tile selection) on TPU for k≤32,
-    XLA dense path otherwise and on non-TPU backends (pallas CPU =
-    interpret only).
+    """Dispatch the serving top-k:
 
-    The bitonic variant (32<k≤128) is exact and wins its microbenchmarks,
-    but on the current remote-compile toolchain its Mosaic compile can HANG
-    rather than fail (observed 2026-08-19 round 3, any shape) — an
-    exception guard cannot catch a hang, so it is opt-in via
-    ``allow_bitonic`` until the toolchain moves; the serving default for
-    k>32 is XLA's dense top-k.
+    - k ≤ 32 on TPU → ``fused_topk`` (iterative in-tile selection);
+    - 32 < k ≤ 512 on TPU → ``fused_topk_budget`` (small per-tile budget +
+      exactness certificate; compiles the SAME kernel, so no new Mosaic
+      exposure) when the catalog spans ≥ 4 tiles — below that the plain
+      kernel/XLA dense is already optimal;
+    - everything else (and non-TPU backends; pallas CPU = interpret only)
+      → XLA dense logits + top_k.
+
+    The bitonic variant is retained for study via ``allow_bitonic`` but is
+    never the default: on the round-3 remote-compile toolchain its Mosaic
+    compile HANGS rather than fails (any shape), and an exception guard
+    cannot catch a hang.
 
     A Mosaic lowering FAILURE of a fused variant (toolchain drift)
     downgrades that variant to the XLA path once, instead of breaking the
     serving call site."""
-    if is_tpu() and k <= (128 if allow_bitonic else 32):
-        method = "iterative" if k <= 32 else "bitonic"
-        if method not in _FUSED_BROKEN:
-            try:
-                return fused_topk(queries, items, k, block_n=block_n, method=method)
-            except Exception:  # pragma: no cover - compiler-dependent
-                _FUSED_BROKEN.add(method)
+    if is_tpu() and allow_bitonic and 32 < k <= 128 and "bitonic" not in _FUSED_BROKEN:
+        try:
+            return fused_topk(queries, items, k, block_n=block_n, method="bitonic")
+        except Exception:  # pragma: no cover - compiler-dependent
+            _FUSED_BROKEN.add("bitonic")
+    if is_tpu() and k <= 32 and "iterative" not in _FUSED_BROKEN:
+        try:
+            return fused_topk(queries, items, k, block_n=block_n, method="iterative")
+        except Exception:  # pragma: no cover - compiler-dependent
+            _FUSED_BROKEN.add("iterative")
+    if (
+        is_tpu()
+        and 32 < k <= 512
+        and items.shape[0] >= 4 * block_n
+        and "iterative" not in _FUSED_BROKEN
+    ):
+        try:
+            return fused_topk_budget(queries, items, k, block_n=block_n)
+        except Exception:  # pragma: no cover - compiler-dependent
+            _FUSED_BROKEN.add("iterative")
     return topk_reference(queries, items, k)

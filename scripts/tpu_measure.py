@@ -124,6 +124,45 @@ def bench_topk(quick=False):
         print(row)
 
 
+def bench_topk_budget(quick=False):
+    """Round-4 large-k kernel: fused_topk_budget vs XLA dense vs iterative
+    at k=100/128, 1M items.  Weights GENERATED on device (the tunnel's
+    host→device path cannot move 1 GB — round-3 note)."""
+    import jax
+    import jax.numpy as jnp
+
+    from replay_tpu.ops.pallas_topk import (
+        fused_topk,
+        fused_topk_budget,
+        topk_reference,
+    )
+
+    key = jax.random.PRNGKey(0)
+    b, n, d = 256, 1_000_000, 256
+    for dtype in ([jnp.float32] if quick else [jnp.float32, jnp.bfloat16]):
+        q = jax.random.normal(key, (b, d), dtype=dtype)
+        w = jax.random.normal(jax.random.fold_in(key, 1), (n, d), dtype=dtype)
+        for k in [100, 128] if not quick else [100]:
+            t_ref = timed(topk_reference, q, w, k, iters=3)
+            row = f"| topk B={b} N={n} D={d} k={k} {jnp.dtype(dtype).name} | XLA {t_ref*1000:.1f} ms |"
+            try:
+                t_b = timed(fused_topk_budget, q, w, k, iters=3)
+                row += f" budget {t_b*1000:.1f} ms ({t_ref/t_b:.2f}x) |"
+            except Exception as exc:
+                row += f" budget FAILED ({type(exc).__name__}) |"
+            try:
+                t_i = timed(fused_topk, q, w, k, method="iterative", iters=3)
+                row += f" iterative {t_i*1000:.1f} ms ({t_ref/t_i:.2f}x) |"
+            except Exception as exc:
+                row += f" iterative FAILED ({type(exc).__name__}) |"
+            print(row)
+        # small-k sanity: does budget also beat the plain kernel at k<=32?
+        for k in [10]:
+            t_i = timed(fused_topk, q, w, k, method="iterative", iters=3)
+            t_b = timed(fused_topk_budget, q, w, k, budget=4, iters=3)
+            print(f"| topk k={k} {jnp.dtype(dtype).name} | iterative {t_i*1000:.1f} ms | budget(4) {t_b*1000:.1f} ms |")
+
+
 def bench_classical(quick=False):
     import pandas as pd
 
@@ -174,7 +213,7 @@ def main():
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--only", default=None,
                         choices=[None, "sasrec", "step_losses", "ce", "topk",
-                                 "classical"])
+                                 "topk_budget", "classical"])
     args = parser.parse_args()
     import jax
 
@@ -184,6 +223,7 @@ def main():
         "step_losses": bench_train_step_losses,
         "ce": bench_tiled_ce,
         "topk": bench_topk,
+        "topk_budget": bench_topk_budget,
         "classical": bench_classical,
     }
     for name, fn in suites.items():
