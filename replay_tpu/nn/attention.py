@@ -16,14 +16,29 @@ Implementation notes:
   full-catalog scoring kernels instead (replay_tpu/ops).
 """
 
-from typing import Optional
+import os
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from replay_tpu.nn.dtypes import resolve_dtype
 
 NEG_INF = -1e9
+
+
+class AttentionBiasParts(NamedTuple):
+    """Broadcastable attention-bias factors plus the static causality flag.
+
+    Carrying ``causal`` lets :class:`MultiHeadSelfAttention` route to the
+    fused Pallas kernel (ops/pallas_attention.py), which rebuilds the causal
+    band from iotas in-kernel instead of reading a [L, L] bias tensor.
+    """
+
+    key_bias: jnp.ndarray  # [B, 1, 1, L] additive f32
+    band_bias: Optional[jnp.ndarray]  # [1, 1, L, L] | None
+    causal: bool
 
 
 def build_attention_bias(
@@ -41,7 +56,7 @@ def build_attention_bias(
     [B, 1, L, L] buffer (82 MB at batch 4096 · L 50) — the dense form stays
     for external callers that index or inspect the mask.
     """
-    key_bias, band_bias = build_attention_bias_parts(padding_mask, causal)
+    key_bias, band_bias, _ = build_attention_bias_parts(padding_mask, causal)
     batch, length = padding_mask.shape
     bias = jnp.broadcast_to(key_bias, (batch, 1, length, length))
     if band_bias is not None:
@@ -67,7 +82,7 @@ def build_attention_bias_parts(padding_mask: jnp.ndarray, causal: bool):
     if causal:
         band = jnp.tril(jnp.ones((length, length), dtype=jnp.bool_))
         band_bias = jnp.where(band, 0.0, NEG_INF).astype(jnp.float32)[None, None]
-    return key_bias, band_bias
+    return AttentionBiasParts(key_bias, band_bias, causal)
 
 
 def apply_attention_bias(scores: jnp.ndarray, attn_bias) -> jnp.ndarray:
@@ -76,7 +91,7 @@ def apply_attention_bias(scores: jnp.ndarray, attn_bias) -> jnp.ndarray:
     if attn_bias is None:
         return scores
     if isinstance(attn_bias, tuple):
-        key_bias, band_bias = attn_bias
+        key_bias, band_bias = attn_bias[0], attn_bias[1]
         scores = scores + key_bias
         if band_bias is not None:
             scores = scores + band_bias
@@ -85,11 +100,21 @@ def apply_attention_bias(scores: jnp.ndarray, attn_bias) -> jnp.ndarray:
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """Standard MHA over [B, L, D] with additive attention bias."""
+    """Standard MHA over [B, L, D] with additive attention bias.
+
+    ``fused=None`` (auto) routes the attention core through the fused Pallas
+    kernel (ops/pallas_attention.py: scores→bias→softmax→dropout→PV in one
+    VMEM-resident pass) on TPU whenever ``attn_bias`` is the
+    :class:`AttentionBiasParts` form the models build — the kernel needs the
+    static ``causal`` flag plus the [B, L] key bias, not a dense [B,1,L,L]
+    tensor.  ``fused=False`` forces the XLA einsum path; ``fused=True``
+    forces the kernel (interpreted off-TPU — for parity tests).
+    """
 
     num_heads: int
     dropout_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -123,6 +148,46 @@ class MultiHeadSelfAttention(nn.Module):
         qm = q.transpose(0, 2, 1, 3).reshape(bh, length, head_dim)
         km = k.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim)
         vm = v.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim)
+
+        fusable = isinstance(attn_bias, AttentionBiasParts) and kv_len == length
+        flag = self.fused
+        if flag is None:
+            # operator override: REPLAY_TPU_FUSED_ATTENTION=1 forces the
+            # kernel (interpreted off-TPU), =0 is the kill switch
+            env = os.environ.get("REPLAY_TPU_FUSED_ATTENTION")
+            if env is not None:
+                flag = env not in ("0", "false", "False")
+        use_fused = (
+            fusable
+            if flag
+            else (flag is None and fusable and jax.default_backend() == "tpu")
+        )
+        if use_fused:
+            from replay_tpu.ops.pallas_attention import fused_attention
+
+            rate = 0.0 if deterministic else self.dropout_rate
+            key_bias = jnp.repeat(
+                attn_bias.key_bias.reshape(batch, kv_len), self.num_heads, axis=0
+            )
+            out = fused_attention(
+                qm, km, vm, key_bias,
+                causal=attn_bias.causal,
+                scale=1.0 / float(head_dim) ** 0.5,
+                dropout_rate=rate,
+                dropout_key=self.make_rng("dropout") if rate > 0.0 else None,
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out.reshape(batch, self.num_heads, length, head_dim).transpose(
+                0, 2, 1, 3
+            )
+            return nn.DenseGeneral(
+                features=dim,
+                axis=(-2, -1),
+                dtype=resolve_dtype(self.dtype),
+                param_dtype=jnp.float32,
+                name="out",
+            )(out)
+
         scores = jnp.einsum("bqd,bkd->bqk", qm, km).astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(head_dim))
         scores = apply_attention_bias(

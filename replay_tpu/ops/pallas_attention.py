@@ -13,8 +13,9 @@ in VMEM end to end:
 
 - forward: one grid pass over B·H blocks; batched MXU GEMMs, f32 softmax,
   causal/key-padding masks from iotas/bias lanes, and attention-weight
-  dropout from the on-core PRNG (``pltpu.prng_seed`` folded with the
-  program id — this is the feature that rules out stock flash kernels);
+  dropout from a counter-based in-kernel hash (murmur3 finalizer of the
+  element's global index ⊕ seed — this is the feature that rules out stock
+  flash kernels);
 - backward: recomputes the weight tile from q/k/v (cheap — scores FLOPs ≪
   HBM cost of saving [B·H, L, L]) and regenerates the SAME dropout mask
   from the same seed, then forms dv/dp/ds/dq/dk with batched GEMMs.
@@ -40,11 +41,31 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _dropout_keep(shape, rate: float):
-    """Keep-mask from the on-core PRNG: uint32 bits ≥ rate·2³² keep."""
-    bits = pltpu.prng_random_bits(shape)
+def _hash_bits(idx: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer over (element index ⊕ seed) → uint32 noise.
+
+    Counter-based so the backward pass regenerates the forward's mask from
+    the same (seed, index) pair, and portable — plain integer VPU ops that
+    run identically under the TPU interpreter (whose ``pltpu.prng_*`` stub
+    returns zeros) and on hardware."""
+    h = idx.astype(jnp.uint32) ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _dropout_keep(shape, rate: float, seed, elem_offset):
+    """Keep-mask: hash bits ≥ rate·2³² keep.  ``elem_offset`` is the global
+    linear index of this block's first element (program-id dependent)."""
+    b = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    l = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    idx = elem_offset + (b * shape[1] + q) * shape[2] + l
     threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    return bits.astype(jnp.uint32) >= threshold
+    return _hash_bits(idx, seed) >= threshold
 
 
 def _scores(q, k, bias, *, scale: float, causal: bool):
@@ -72,8 +93,8 @@ def _attn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
                      *, scale: float, causal: bool, rate: float):
     p = _softmax(_scores(q_ref[:], k_ref[:], bias_ref[:], scale=scale, causal=causal))
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _dropout_keep(p.shape, rate)
+        blk_elems = p.shape[0] * p.shape[1] * p.shape[2]
+        keep = _dropout_keep(p.shape, rate, seed_ref[0], pl.program_id(0) * blk_elems)
         p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
     out = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:],
@@ -89,9 +110,9 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]
     p = _softmax(_scores(q, k, bias_ref[:], scale=scale, causal=causal))
     if rate > 0.0:
-        # SAME seed schedule as the forward pass → identical keep mask
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _dropout_keep(p.shape, rate)
+        # SAME (seed, index) schedule as the forward pass → identical mask
+        blk_elems = p.shape[0] * p.shape[1] * p.shape[2]
+        keep = _dropout_keep(p.shape, rate, seed_ref[0], pl.program_id(0) * blk_elems)
         inv = 1.0 / (1.0 - rate)
         pd = jnp.where(keep, p * inv, 0.0)
     else:
@@ -151,8 +172,12 @@ def _attention_core_fwd(q, k, v, bias, seed, scale, causal, rate, interpret):
     bh, lp, hd = q.shape
     blk = _pick_block_bh(bh, lp)
     grid = (bh // blk,)
-    spec3 = pl.BlockSpec((blk, lp, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_bias = pl.BlockSpec((blk, lp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec3 = pl.BlockSpec(
+        (blk, lp, hd), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_bias = pl.BlockSpec(
+        (blk, lp), lambda i, _seed: (i, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         partial(_attn_fwd_kernel, scale=scale, causal=causal, rate=rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -177,8 +202,12 @@ def _attention_core_bwd(scale, causal, rate, interpret, residuals, do):
     bh, lp, hd = q.shape
     blk = _pick_block_bh(bh, lp)
     grid = (bh // blk,)
-    spec3 = pl.BlockSpec((blk, lp, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_bias = pl.BlockSpec((blk, lp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec3 = pl.BlockSpec(
+        (blk, lp, hd), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_bias = pl.BlockSpec(
+        (blk, lp), lambda i, _seed: (i, 0), memory_space=pltpu.VMEM
+    )
     dq, dk, dv = pl.pallas_call(
         partial(_attn_bwd_kernel, scale=scale, causal=causal, rate=rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -226,9 +255,10 @@ def fused_attention(
     real output attends to them).
 
     :param dropout_rate: attention-weight dropout (reference torch
-        MultiheadAttention semantics).  Mask bits come from the TPU core
-        PRNG seeded with (fold(dropout_key) + program_id) — reproducible
-        for a fixed key, regenerated identically in the backward pass.
+        MultiheadAttention semantics).  Mask bits come from a counter-based
+        hash of (seed derived from ``dropout_key``, global element index) —
+        reproducible for a fixed key, regenerated identically in the
+        backward pass, portable across backends.
     """
     bh, length, hd = q.shape
     lp = _round_up(length, 64)

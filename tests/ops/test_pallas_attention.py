@@ -1,0 +1,149 @@
+"""Interpret-mode parity tests for the fused attention kernel.
+
+The fused kernel (ops/pallas_attention.py) must match the pure-XLA attention
+math (the path MultiHeadSelfAttention lowers to) in forward AND backward, and
+its in-kernel dropout must be deterministic per key and Bernoulli(1-rate).
+Reference hot loop: replay/nn/sequential/sasrec/model.py:85-113.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from replay_tpu.ops.pallas_attention import attention_reference, fused_attention
+
+
+def _make_inputs(key, bh, length, hd, dtype=jnp.float32, pad_tail=0):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (bh, length, hd), dtype)
+    k = jax.random.normal(kk, (bh, length, hd), dtype)
+    v = jax.random.normal(kv, (bh, length, hd), dtype)
+    key_bias = np.zeros((bh, length), np.float32)
+    if pad_tail:
+        # left-padded sequences: first pad_tail key positions masked
+        key_bias[:, :pad_tail] = -2.3e38
+    return q, k, v, jnp.asarray(key_bias)
+
+
+def _valid_rows(bias, length, causal, pad_tail):
+    """Rows with ≥1 attendable key.  Fully-masked rows (left-padding under a
+    causal band) are uniform-softmax garbage in BOTH implementations — never
+    consumed downstream (loss + real-query attention both mask them) — and
+    differ only by lane count, so parity holds everywhere else."""
+    if not causal:
+        return np.ones(length, bool)
+    return np.arange(length) >= pad_tail
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("length,hd", [(50, 32), (64, 64), (33, 16)])
+def test_forward_matches_reference(causal, length, hd):
+    q, k, v, bias = _make_inputs(jax.random.PRNGKey(0), 12, length, hd, pad_tail=7)
+    scale = 1.0 / np.sqrt(hd)
+    got = fused_attention(q, k, v, bias, causal=causal, scale=scale, interpret=True)
+    want = attention_reference(q, k, v, bias, causal=causal, scale=scale)
+    rows = _valid_rows(bias, length, causal, pad_tail=7)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, rows], np.asarray(want)[:, rows], atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_backward_matches_reference(causal):
+    q, k, v, bias = _make_inputs(jax.random.PRNGKey(1), 8, 50, 32, pad_tail=5)
+    scale = 1.0 / np.sqrt(32)
+    rows = jnp.asarray(_valid_rows(bias, 50, causal, pad_tail=5), jnp.float32)
+
+    def loss_fused(q, k, v):
+        out = fused_attention(q, k, v, bias, causal=causal, scale=scale, interpret=True)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)) * rows[None, :, None])
+
+    def loss_ref(q, k, v):
+        out = attention_reference(q, k, v, bias, causal=causal, scale=scale)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)) * rows[None, :, None])
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-4, rtol=2e-4)
+
+
+def test_bf16_forward_close():
+    q, k, v, bias = _make_inputs(
+        jax.random.PRNGKey(2), 8, 50, 32, dtype=jnp.bfloat16, pad_tail=3
+    )
+    scale = 1.0 / np.sqrt(32)
+    got = fused_attention(q, k, v, bias, causal=True, scale=scale, interpret=True)
+    want = attention_reference(q, k, v, bias, causal=True, scale=scale)
+    assert got.dtype == jnp.bfloat16
+    rows = _valid_rows(bias, 50, True, pad_tail=3)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:, rows],
+        np.asarray(want, np.float32)[:, rows],
+        atol=3e-2,
+    )
+
+
+def test_dropout_deterministic_and_bernoulli():
+    q, k, v, bias = _make_inputs(jax.random.PRNGKey(3), 8, 64, 32)
+    scale = 1.0 / np.sqrt(32)
+    rate = 0.5
+    key = jax.random.PRNGKey(7)
+    a = fused_attention(
+        q, k, v, bias, causal=False, scale=scale,
+        dropout_rate=rate, dropout_key=key, interpret=True,
+    )
+    b = fused_attention(
+        q, k, v, bias, causal=False, scale=scale,
+        dropout_rate=rate, dropout_key=key, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = fused_attention(
+        q, k, v, bias, causal=False, scale=scale,
+        dropout_rate=rate, dropout_key=jax.random.PRNGKey(8), interpret=True,
+    )
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    # expectation preserved: mean over many heads ≈ no-dropout mean
+    no_drop = fused_attention(q, k, v, bias, causal=False, scale=scale, interpret=True)
+    assert abs(float(jnp.mean(a)) - float(jnp.mean(no_drop))) < 0.05
+
+
+def test_dropout_backward_uses_same_mask():
+    """grad through the dropout path must regenerate the forward's mask:
+    output positions dropped in fwd contribute exactly zero gradient."""
+    q, k, v, bias = _make_inputs(jax.random.PRNGKey(4), 8, 64, 32)
+    scale = 1.0 / np.sqrt(32)
+    key = jax.random.PRNGKey(11)
+
+    def f(v):
+        out = fused_attention(
+            q, k, v, bias, causal=False, scale=scale,
+            dropout_rate=0.3, dropout_key=key, interpret=True,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    # finite-difference check along a random direction: same mask in the
+    # re-evaluations (same key) means fd ≈ analytic
+    g = jax.grad(f)(v)
+    direction = jax.random.normal(jax.random.PRNGKey(12), v.shape, v.dtype)
+    eps = 1e-3
+    fd = (f(v + eps * direction) - f(v - eps * direction)) / (2 * eps)
+    analytic = jnp.sum(g * direction)
+    np.testing.assert_allclose(float(fd), float(analytic), rtol=2e-2)
+
+
+def test_fully_masked_rows_are_finite():
+    q, k, v, _ = _make_inputs(jax.random.PRNGKey(5), 8, 16, 32)
+    bias = jnp.full((8, 16), -2.3e38, jnp.float32)  # everything masked
+    out = fused_attention(q, k, v, bias, causal=True, scale=0.25, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    def loss(q):
+        return jnp.sum(
+            fused_attention(q, k, v, bias, causal=True, scale=0.25, interpret=True)
+            .astype(jnp.float32)
+        )
+
+    g = jax.grad(loss)(q)
+    assert bool(jnp.all(jnp.isfinite(g)))
