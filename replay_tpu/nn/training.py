@@ -300,6 +300,12 @@ class Trainer:
         return out
 
     def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        if jax.process_count() > 1:
+            # multi-process: this host's batch is its ReplicasInfo shard of
+            # the global batch — assemble without cross-host copies
+            from replay_tpu.parallel.multihost import place_local_batch
+
+            return place_local_batch(batch, self.mesh)
         out = {}
         for k, v in batch.items():
             arr = jnp.asarray(v)

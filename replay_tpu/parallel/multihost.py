@@ -44,3 +44,30 @@ def make_global_mesh(model: int = 1, axis_names: Sequence[str] = ("data", "model
 def local_replica_info():
     """(replica_id, num_replicas) for host-side data sharding."""
     return jax.process_index(), jax.process_count()
+
+
+def place_local_batch(batch, mesh, axis: str = "data"):
+    """Assemble per-process batch shards into global arrays.
+
+    Each process passes the rows ITS loader produced (the ReplicasInfo
+    parquet shard); the result is one global array whose leading dim is
+    sharded over ``axis`` — process p's rows live on process p's devices,
+    so no batch data ever crosses hosts.  Leaves whose leading dim is not
+    divisible by the local device count along ``axis`` (scalars, per-batch
+    flags) are replicated — they must be identical across processes.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    local_in_axis = max(1, mesh.shape[axis] // jax.process_count())
+
+    def place(leaf):
+        import numpy as np
+
+        arr = np.asarray(leaf)
+        if arr.ndim >= 1 and arr.shape[0] % local_in_axis == 0:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, replicated)
+
+    return jax.tree_util.tree_map(place, batch)

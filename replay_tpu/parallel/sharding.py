@@ -43,6 +43,48 @@ def infer_param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def embedding_lookup(
+    table: Any,
+    ids: Any,
+    mesh: Mesh,
+    schedule: str = "auto",
+    axis: str = "model",
+) -> Any:
+    """Row-sharded embedding lookup with a selectable collective schedule.
+
+    - ``"auto"``/``"xla"``: plain ``take`` on the annotated table — XLA
+      lowers the gather-on-sharded-operand itself (the default the models
+      use via ``nn.Embed``).
+    - ``"psum"``: explicit masked-gather + psum
+      (:func:`replay_tpu.parallel.sharded_embedding.sharded_lookup`) —
+      replicated ids, ~2·n·D bytes/device.
+    - ``"a2a"``: the north-star all-to-all ID exchange
+      (:func:`replay_tpu.parallel.sharded_embedding.a2a_sharded_lookup`) —
+      ids sharded over ``axis``, ~2·n·D/S bytes/device with an exactness
+      fallback for skewed batches.  BASELINE.json north-star schedule.
+
+    ``ids`` may be any shape; they are flattened for the explicit schedules
+    and the result is reshaped to ``ids.shape + (D,)``.
+    """
+    import jax.numpy as jnp
+
+    if schedule in ("auto", "xla"):
+        return jnp.take(table, ids, axis=0)
+    from replay_tpu.parallel.sharded_embedding import (
+        a2a_sharded_lookup,
+        sharded_lookup,
+    )
+
+    if schedule == "psum":
+        return sharded_lookup(table, ids, mesh, axis=axis)
+    if schedule == "a2a":
+        flat = ids.reshape(-1)
+        out = a2a_sharded_lookup(table, flat, mesh, axis=axis)
+        return out.reshape(*ids.shape, table.shape[1])
+    msg = f"unknown embedding lookup schedule: {schedule!r}"
+    raise ValueError(msg)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batches shard their leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P("data"))
