@@ -185,11 +185,21 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         index_builder=None,
         num_item_blocks: Optional[int] = None,
         num_query_blocks: Optional[int] = None,
+        mesh=None,
     ):
         """``num_item_blocks`` / ``num_query_blocks`` are the reference's
         Spark ALS partitioning knobs (reference: replay/models/als.py:76-82);
         here blocking is cell-budgeted automatically from ``block_size``, so
-        they are accepted for drop-in compatibility and ignored."""
+        they are accepted for drop-in compatibility and ignored.
+
+        ``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis mesh-shards
+        the fit — each solve block's rows (independent normal-equation /
+        CG problems) shard over the axis while the other side's factors
+        stay replicated, the TPU-native equivalent of the reference's
+        blocked distributed ALS (``ReplayALS.scala``: factor blocks
+        partitioned across executors, other-side factors broadcast each
+        sweep — here XLA's sharded batched solve + implicit all-gather).
+        Factors produced are identical to the single-device fit."""
         if solver not in ("cg", "cholesky"):
             msg = f"solver must be 'cg' or 'cholesky', got {solver!r}"
             raise ValueError(msg)
@@ -203,6 +213,7 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         self.block_size = block_size
         self.solver = solver
         self.cg_steps = cg_steps
+        self.mesh = mesh
         self.query_factors: Optional[np.ndarray] = None
         self.item_factors: Optional[np.ndarray] = None
 
@@ -289,13 +300,35 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         inv_i = np.empty(n_i, dtype=np.int32)
         inv_i[i_order] = np.arange(n_i, dtype=np.int32)
 
+        n_shards = self.mesh.shape.get("model", 1) if self.mesh is not None else 1
+
         def to_dev(blocks, remap):
             out, start = [], 0
             for rows, idx, val, msk in blocks:
-                out.append(
-                    (start, jnp.asarray(remap[idx]), jnp.asarray(val), jnp.asarray(msk))
-                )
-                start += len(rows)
+                b_real = len(rows)
+                idx, val, msk = remap[idx], val, msk
+                if n_shards > 1:
+                    # pad rows to the shard count and shard the solve batch:
+                    # every row is an independent least-squares problem, so
+                    # P('model') on the row dim partitions the sweep across
+                    # the mesh (padded rows solve to 0 and are sliced off)
+                    pad = -b_real % n_shards
+                    if pad:
+                        idx = np.pad(idx, ((0, pad), (0, 0)))
+                        val = np.pad(val, ((0, pad), (0, 0)))
+                        msk = np.pad(msk, ((0, pad), (0, 0)))
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    sh = NamedSharding(self.mesh, P("model", None))
+                    dev = (
+                        jax.device_put(jnp.asarray(idx), sh),
+                        jax.device_put(jnp.asarray(val), sh),
+                        jax.device_put(jnp.asarray(msk), sh),
+                    )
+                else:
+                    dev = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(msk))
+                out.append((start, b_real, *dev))
+                start += b_real
             return out
 
         q_blocks = to_dev(q_blocks, inv_i)
@@ -317,19 +350,19 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         else:
             gram = jnp.zeros((self.rank, self.rank), dtype=jnp.float32)
         sols = []
-        for start, idx, val, msk in blocks:
+        for start, b_real, idx, val, msk in blocks:
+            b_padded = idx.shape[0]
             if use_cg:
-                x0 = jax.lax.dynamic_slice_in_dim(prev_dev, start, idx.shape[0])
-                sols.append(
-                    _cg_block(other_dev, gram, x0, idx, val, msk, reg, alpha,
-                              cg_steps=self.cg_steps)
-                )
+                x0 = jax.lax.dynamic_slice_in_dim(prev_dev, start, b_real)
+                if b_padded != b_real:
+                    x0 = jnp.pad(x0, ((0, b_padded - b_real), (0, 0)))
+                sol = _cg_block(other_dev, gram, x0, idx, val, msk, reg, alpha,
+                                cg_steps=self.cg_steps)
             else:
-                sols.append(
-                    _solve_block(
-                        other_dev, gram, idx, val, msk, reg, alpha, self.implicit_prefs
-                    )
+                sol = _solve_block(
+                    other_dev, gram, idx, val, msk, reg, alpha, self.implicit_prefs
                 )
+            sols.append(sol[:b_real] if b_padded != b_real else sol)
         return jnp.concatenate(sols, axis=0)
 
     def _predict(self, dataset, k, queries, items, filter_seen_items=True):

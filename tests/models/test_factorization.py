@@ -307,3 +307,46 @@ def test_get_features_none_for_factorless_models(block_dataset):
     model = PopRec()
     model.fit(block_dataset)
     assert model.get_features(pd.DataFrame({"item_id": [0]})) is None
+
+
+@pytest.mark.mesh
+@pytest.mark.parametrize("solver", ["cg", "cholesky"])
+def test_mesh_sharded_fit_matches_single_device(block_dataset, solver):
+    """mesh= shards every solve block's rows over the model axis (the
+    ReplayALS blocked-distributed fit, reference: replay/models/als.py:76-82,
+    ReplayALS.scala); factors must match the single-device fit."""
+    from replay_tpu.parallel import make_mesh
+
+    single = ALSWrap(rank=8, seed=7, num_iterations=3, solver=solver,
+                     block_size=64)
+    single.fit(block_dataset)
+    sharded = ALSWrap(rank=8, seed=7, num_iterations=3, solver=solver,
+                      block_size=64, mesh=make_mesh(data=1, model=8))
+    sharded.fit(block_dataset)
+    np.testing.assert_allclose(
+        sharded.query_factors, single.query_factors, rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        sharded.item_factors, single.item_factors, rtol=2e-4, atol=2e-5
+    )
+    r1 = single.predict(block_dataset, k=5)
+    r2 = sharded.predict(block_dataset, k=5)
+    pd.testing.assert_frame_equal(
+        r1.sort_values(["user_id", "item_id"]).reset_index(drop=True)[["user_id", "item_id"]],
+        r2.sort_values(["user_id", "item_id"]).reset_index(drop=True)[["user_id", "item_id"]],
+    )
+
+
+@pytest.mark.mesh
+def test_mesh_sharded_explicit_fit_matches(block_dataset):
+    from replay_tpu.parallel import make_mesh
+
+    single = ALSWrap(rank=8, seed=7, num_iterations=2, implicit_prefs=False,
+                     block_size=64)
+    single.fit(block_dataset)
+    sharded = ALSWrap(rank=8, seed=7, num_iterations=2, implicit_prefs=False,
+                      block_size=64, mesh=make_mesh(data=1, model=8))
+    sharded.fit(block_dataset)
+    np.testing.assert_allclose(
+        sharded.item_factors, single.item_factors, rtol=2e-4, atol=2e-5
+    )
