@@ -1,10 +1,17 @@
 """Full model-comparison protocol (analog of reference
 examples/02_models_comparison.ipynb): time split → hyperparameter search on
 a validation split → fit/predict with timing → Experiment table over the
-whole classical zoo.
+whole classical zoo + SasRec/TwoTower.
 
-    python examples/04_models_comparison.py                    # synthetic log
+    python examples/04_models_comparison.py                    # small synthetic log
+    python examples/04_models_comparison.py --synthetic-ml1m   # ML-1M statistics
     python examples/04_models_comparison.py --ratings ml-1m/ratings.dat
+
+``--synthetic-ml1m`` runs the complete protocol at MovieLens-1M's published
+scale and marginals (replay_tpu.data.synthetic: 6040 users × ~3880 movies,
+~1M ratings, real demographics/genres from the reference's shipped
+metadata files, published per-user/per-item/rating distributions) — the
+strongest quality table this image permits (QUALITY.md).
 
 With ``--ratings`` the REAL MovieLens-1M protocol runs (the quality-parity
 run QUALITY.md is waiting on; the file is not vendorable in the zero-egress
@@ -37,19 +44,23 @@ from replay_tpu.data.schema import (
     FeatureSource,
     FeatureType,
 )
-from replay_tpu.metrics import MAP, MRR, NDCG, Coverage, Experiment, HitRate
+from replay_tpu.metrics import MAP, MRR, NDCG, Coverage, Experiment, HitRate, Surprisal
 from replay_tpu.models import (
     ALSWrap,
     ItemKNN,
     PopRec,
     RandomRec,
     SLIM,
-    ThompsonSampling,
     UCB,
     Wilson,
     Word2VecRec,
 )
 from replay_tpu.splitters import TimeSplitter
+
+K = 10
+K_LIST = [1, 5, 10]
+BUDGET = 5
+SEED = 42
 
 
 def synthetic_ml(n_users=800, n_items=600, seed=11) -> pd.DataFrame:
@@ -84,12 +95,114 @@ def load_ratings(path: str) -> pd.DataFrame:
     return frame[cols]
 
 
+def run_neural(train, test_queries, experiment, rows, epochs, seq_len, batch):
+    """SasRec + TwoTower rows for the comparison table (reference notebook
+    09/15 configs shrunk to the CPU budget; full CE over the catalog)."""
+    from replay_tpu.data.nn import (
+        SequenceTokenizer,
+        TensorFeatureInfo,
+        TensorFeatureSource,
+        TensorFeatureType,
+        TensorSchema,
+    )
+    from replay_tpu.nn.losses import CELoss
+    from replay_tpu.nn.sequential import SasRec, TwoTower
+    from replay_tpu.nn.training import OptimizerFactory, Trainer, TrainerConfig
+    from replay_tpu.nn.transforms import NextTokenTransform
+
+    schema = FeatureSchema(
+        [
+            FeatureInfo("query_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo(
+                "timestamp", FeatureType.NUMERICAL, feature_hint=FeatureHint.TIMESTAMP,
+                feature_source=FeatureSource.INTERACTIONS,
+            ),
+        ]
+    )
+    n_items = train["item_id"].nunique()
+    tensor_schema = TensorSchema(
+        TensorFeatureInfo(
+            "item_id",
+            TensorFeatureType.CATEGORICAL,
+            is_seq=True,
+            feature_hint=FeatureHint.ITEM_ID,
+            feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+            cardinality=n_items,
+            embedding_dim=64,
+            padding_value=n_items,
+        )
+    )
+    tokenizer = SequenceTokenizer(tensor_schema)
+    train_seq = tokenizer.fit_transform(
+        Dataset(schema, train[["query_id", "item_id", "timestamp"]], check_consistency=False)
+    )
+    inv_q = tokenizer.query_id_encoder.inverse_mapping["query_id"]
+    inv_i = tokenizer.item_id_encoder.inverse_mapping["item_id"]
+    inv_q_arr = np.array([inv_q[c] for c in range(len(inv_q))])
+    inv_i_arr = np.array([inv_i[c] for c in range(len(inv_i))])
+    test_set = set(test_queries)
+
+    configs = [
+        ("SasRec", SasRec(schema=tensor_schema, max_sequence_length=seq_len,
+                          num_blocks=2, num_heads=2, dropout_rate=0.2)),
+        ("TwoTower", TwoTower(schema=tensor_schema, max_sequence_length=seq_len,
+                              num_blocks=2)),
+    ]
+    for name, model in configs:
+        trainer = Trainer(
+            model,
+            CELoss(),
+            optimizer=OptimizerFactory(1e-3),
+            transform=NextTokenTransform(),
+            config=TrainerConfig(
+                max_epochs=epochs, batch_size=batch,
+                max_sequence_length=seq_len, seed=7,
+            ),
+        )
+        t0 = time.perf_counter()
+        history = trainer.fit(train_seq)
+        fit_t = time.perf_counter() - t0
+        print(f"{name}: loss {history[0]['loss']:.3f} -> {history[-1]['loss']:.3f}")
+        t0 = time.perf_counter()
+        ids, items, scores = trainer.predict_topk(train_seq, k=10)
+        pred_t = time.perf_counter() - t0
+        k = items.shape[1]
+        recs = pd.DataFrame(
+            {
+                "query_id": np.repeat(inv_q_arr[ids], k),
+                "item_id": inv_i_arr[np.minimum(items, len(inv_i_arr) - 1)].ravel(),
+                "rating": scores.ravel().astype(np.float64),
+            }
+        )
+        recs = recs[recs["query_id"].isin(test_set)]
+        experiment.add_result(name, recs)
+        rows.append((name, fit_t, pred_t))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ratings", default=None,
                         help="path to MovieLens ratings (runs the real ML-1M protocol)")
+    parser.add_argument("--synthetic-ml1m", action="store_true",
+                        help="statistics-matched synthetic ML-1M (full scale)")
+    parser.add_argument("--scale", type=float, default=1.0,
+                        help="shrink factor for --synthetic-ml1m quick runs")
+    parser.add_argument("--no-neural", action="store_true",
+                        help="skip the SasRec/TwoTower rows")
+    parser.add_argument("--epochs", type=int, default=5,
+                        help="neural training epochs")
     args = parser.parse_args()
-    log = load_ratings(args.ratings) if args.ratings else synthetic_ml()
+    if args.ratings:
+        log = load_ratings(args.ratings)
+    elif args.synthetic_ml1m:
+        from replay_tpu.data.synthetic import synthetic_ml1m
+
+        log, _, _ = synthetic_ml1m(scale=args.scale)
+        print(f"synthetic ML-1M: {len(log)} interactions, "
+              f"{log['query_id'].nunique()} users, {log['item_id'].nunique()} items")
+    else:
+        log = synthetic_ml()
     schema = FeatureSchema(
         [
             FeatureInfo("query_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
@@ -104,52 +217,77 @@ def main():
             ),
         ]
     )
-    splitter = TimeSplitter(time_threshold=0.2, query_column="query_id")
-    train, test = splitter.split(log)
+    # --- the notebook-02 protocol, step for step -----------------------------
+    # ratings >= 3 are positive feedback with rating := 1 (cell 17)
+    positives = log[log["rating"] >= 3].copy()
+    positives["rating"] = 1.0
+    splitter = TimeSplitter(
+        time_threshold=0.2, drop_cold_items=True, drop_cold_users=True,
+        query_column="query_id",
+    )
+    train, test = splitter.split(positives)  # (cell 18)
     opt_train, opt_val = splitter.split(train)
+    # negatives (< 3, rating := 0) before the test window join the
+    # Wilson/UCB train (cell 22)
+    test_start = test["timestamp"].min()
+    negatives = log[(log["rating"] < 3) & (log["timestamp"] < test_start)].copy()
+    negatives["rating"] = 0.0
+    pos_neg_train = pd.concat([train, negatives], ignore_index=True)
+
     train_ds = Dataset(schema, train, check_consistency=False)
+    train_neg_ds = Dataset(schema, pos_neg_train, check_consistency=False)
     opt_train_ds = Dataset(schema, opt_train, check_consistency=False)
     opt_val_ds = Dataset(schema, opt_val, check_consistency=False)
     test_queries = test["query_id"].unique()
+    print(f"train: {len(train)} rows, test: {len(test)} rows, "
+          f"{len(test_queries)} test users", flush=True)
 
     experiment = Experiment(
-        [NDCG(10), MAP(10), MRR(10), HitRate(10), Coverage(10)],
+        [MAP(K), NDCG(K), HitRate(K_LIST), Coverage(K), Surprisal(K), MRR(K)],
         test,
         train,
     )
 
-    # bandit models need binary rewards (reference notebook binarizes >=3)
-    binary = train.copy()
-    binary["rating"] = (binary["rating"] >= 3).astype(float)
-    binary_ds = Dataset(schema, binary, check_consistency=False)
-
+    # (name, model, uses_negatives, optimize: None=default space,
+    #  dict=param_borders, "no_opt")  — notebook cells 32 & 38
     models = [
-        ("PopRec", PopRec(), False),
-        ("ItemKNN", ItemKNN(), True),
-        ("ALS", ALSWrap(rank=32, seed=7), False),
-        ("SLIM", SLIM(), False),
-        ("Word2Vec", Word2VecRec(rank=32, window_size=3, max_iter=5, seed=7), False),
-        ("Wilson", Wilson(), "binary"),
-        ("ThompsonSampling", ThompsonSampling(seed=7), "binary"),
-        ("UCB", UCB(), "binary"),
-        ("RandomRec(popularity)", RandomRec(distribution="popular_based", seed=7), False),
-        ("RandomRec(uniform)", RandomRec(seed=7), False),
+        ("Popular", PopRec(), False, "no_opt"),
+        ("Random (uniform)", RandomRec(seed=SEED, distribution="uniform"), False, "no_opt"),
+        ("Random (popularity-based)", RandomRec(seed=SEED, distribution="popular_based"),
+         False, {"alpha": [-0.5, 100]}),
+        ("UCB", UCB(exploration_coef=0.5), True, "no_opt"),
+        ("Wilson", Wilson(), True, "no_opt"),
+        ("Implicit ALS", ALSWrap(seed=SEED), False, None),
+        ("Explicit ALS", ALSWrap(seed=SEED, implicit_prefs=False), False, None),
+        ("ItemKNN", ItemKNN(), False, None),
+        ("SLIM", SLIM(seed=SEED), False, None),
+        ("Word2Vec", Word2VecRec(seed=SEED), False, None),
     ]
     rows = []
-    for name, model, mode in models:
-        fit_ds = binary_ds if mode == "binary" else train_ds
-        if mode is True and model._search_space:
-            best = model.optimize(opt_train_ds, opt_val_ds, budget=5)
+    for name, model, use_neg, opt in models:
+        fit_ds = train_neg_ds if use_neg else train_ds
+        if opt != "no_opt" and getattr(model, "_search_space", None):
+            borders = opt if isinstance(opt, dict) else None
+            best = model.optimize(
+                opt_train_ds, opt_val_ds, param_borders=borders, budget=BUDGET
+            )
             model.set_params(**best)
-            print(f"{name}: tuned params {best}")
+            print(f"{name}: tuned params {best}", flush=True)
         t0 = time.perf_counter()
         model.fit(fit_ds)
         fit_t = time.perf_counter() - t0
         t0 = time.perf_counter()
-        recs = model.predict(fit_ds, k=10, queries=test_queries)
+        recs = model.predict(fit_ds, k=K, queries=test_queries)
         pred_t = time.perf_counter() - t0
         experiment.add_result(name, recs)
         rows.append((name, fit_t, pred_t))
+        print(f"{name}: fit {fit_t:.1f}s predict {pred_t:.1f}s", flush=True)
+
+    if not args.no_neural and (args.synthetic_ml1m or args.ratings):
+        neural_seq_len = 128 if args.scale >= 0.5 else 32
+        neural_batch = 64
+        run_neural(train, test_queries, experiment, rows,
+                   epochs=args.epochs, seq_len=neural_seq_len, batch=neural_batch)
 
     table = experiment.results
     timing = pd.DataFrame(rows, columns=["model", "fit_time", "predict_time"]).set_index("model")

@@ -162,6 +162,17 @@ class SLIM(NeighbourRec):
         counts = np.bincount(act_col, minlength=n_i)
         col_ptr = np.concatenate([[0], np.cumsum(counts)])
 
+        # a loose screen (tiny λ₁, few users, popularity-heavy data) keeps
+        # nearly every entry: the tiered solves then cost Σ padded_size² per
+        # FISTA step vs the whole-Gram path's flat n_i².  Dispatch on the
+        # modeled cost — the two paths produce the same solution
+        # (tests/models/test_factorization.py::test_slim_active_set_matches
+        # _whole_gram), whole-Gram just batches all columns at once.
+        padded = np.maximum(32, 2 ** np.ceil(np.log2(np.maximum(counts, 1))))
+        if np.sum(padded.astype(np.float64) ** 2) > float(n_i) ** 2:
+            self._fit_whole_gram(mat)
+            return
+
         sim = np.zeros((n_i, n_i), dtype=np.float32)
         nonzero_cols = np.nonzero(counts)[0]
         if len(nonzero_cols) == 0:
