@@ -153,7 +153,7 @@ def run_neural(train, test_queries, experiment, rows, epochs, seq_len, batch):
         trainer = Trainer(
             model,
             CELoss(),
-            optimizer=OptimizerFactory(1e-3),
+            optimizer=OptimizerFactory(3e-3),
             transform=NextTokenTransform(),
             config=TrainerConfig(
                 max_epochs=epochs, batch_size=batch,

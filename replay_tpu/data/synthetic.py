@@ -214,9 +214,13 @@ def synthetic_ml1m(
         start = end
 
     # ---- timestamps: early-heavy arrivals, bursty sessions ----------------
-    arrival = SPAN_START + (SPAN_END - SPAN_START - 200 * 86400) * rng.beta(
-        1.1, 3.0, n_users
-    )
+    # early-heavy arrivals with a genuine late tail (the real log keeps
+    # accumulating users into 2002-2003, which is what a 0.2 time split's
+    # test window catches)
+    span = SPAN_END - SPAN_START - 200 * 86400
+    early = rng.beta(1.1, 3.0, n_users)
+    late = rng.uniform(0.0, 1.0, n_users)
+    arrival = SPAN_START + span * np.where(rng.random(n_users) < 0.75, early, late)
     ts = np.empty(len(pref), np.int64)
     pos = 0
     final_counts = np.bincount(u_idx, minlength=n_users)

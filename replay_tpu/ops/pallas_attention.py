@@ -152,8 +152,14 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
 
 
 def _pick_block_bh(bh: int, lp: int) -> int:
-    """Largest block keeping the f32 score tile ≤ ~2 MB of VMEM."""
-    budget = (2 * 1024 * 1024) // (lp * lp * 4)
+    """Largest block keeping the f32 score tile ≤ ~512 KB of VMEM.
+
+    The kernel holds ~5 live [blk, lp, lp] f32 temporaries (scores, exp,
+    softmax, dropout bits, dropped weights) plus double-buffered q/k/v/o
+    blocks; a 512 KB score tile keeps the Mosaic stack ≈ 3-4 MB, well
+    under the 16 MB scoped-vmem limit (measured: 2 MB tiles → 22.3 MB
+    stack → compile-time OOM at BH=8192, lp=64)."""
+    budget = (512 * 1024) // (lp * lp * 4)
     blk = max(8, min(128, budget))
     while bh % blk:
         blk //= 2
