@@ -193,6 +193,18 @@ def bench_torch() -> float:
     return TORCH_BATCH / times[len(times) // 2]
 
 
+# torch baseline measured on this box while IDLE (no concurrent training
+# runs; median of 5 steps).  vs_baseline divides by the MAX of this and the
+# live in-run measurement, so a loaded box at bench time can only make the
+# reported ratio SMALLER, never inflate it (round-3 verdict weak #1: the
+# live-only denominator once rode a 51 ex/s loaded-box sample vs ~330 idle).
+PINNED_TORCH_IDLE = {
+    "value": 330.0,
+    "unit": "examples/s",
+    "measured": "2026-08-19 idle 4-core box (PERF.md round-3 note)",
+}
+
+
 def main():
     global BATCH
     backend = _ensure_live_backend()
@@ -204,11 +216,14 @@ def main():
         torch_rate = bench_torch()
     except Exception:
         torch_rate = None
+    denom = max(torch_rate or 0.0, PINNED_TORCH_IDLE["value"])
     result = {
         "metric": "sasrec_train_examples_per_s_per_chip",
         "value": round(jax_rate, 1),
         "unit": "examples/s",
-        "vs_baseline": round(jax_rate / torch_rate, 2) if torch_rate else None,
+        "vs_baseline": round(jax_rate / denom, 2) if denom else None,
+        "torch_live": round(torch_rate, 1) if torch_rate else None,
+        "torch_idle_pinned": PINNED_TORCH_IDLE["value"],
         "backend": backend,
     }
     if "tpu" not in backend:

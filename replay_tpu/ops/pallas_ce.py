@@ -127,6 +127,40 @@ def _dw_kernel(h_ref, w_ref, lse_ref, g_ref, dw_ref, dw_s, *, n, block_n,
         dw_ref[:] = dw_s[:]
 
 
+def _dhw_kernel(h_ref, w_ref, lse_ref, g_ref, dh_part_ref, dw_ref, dw_s,
+                *, n, block_n, m_steps, compute_dtype):
+    """Combined backward, grid (n, m) m innermost — ONE logits/exp recompute
+    feeds both grads.  dW accumulates in scratch over m (the _dw_kernel
+    pattern); dh is emitted as per-n partial blocks ([n_steps, M, D], summed
+    by XLA outside) so no output block is ever revisited.  Used when
+    n_steps is small: the headline catalog (N≈4k, n_steps 2) is
+    transcendental-bound — 2.5 G exps across fwd+dh+dW was ~⅔ of the CE
+    time — and this removes a full exp+GEMM pass."""
+    ni = pl.program_id(0)
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _init():
+        dw_s[:] = jnp.zeros_like(dw_s[:])
+
+    logits, h, w = _masked_logits(
+        h_ref, w_ref, ni, n=n, block_n=block_n, compute_dtype=compute_dtype
+    )
+    p = jnp.exp(logits - lse_ref[:][:, :1]) * g_ref[:][:, :1]
+    dh_part_ref[:] = jax.lax.dot_general(
+        p.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[None]
+    dw_s[:] = dw_s[:] + jax.lax.dot_general(
+        p.astype(h.dtype), h, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(mi == m_steps - 1)
+    def _fin():
+        dw_ref[:] = dw_s[:]
+
+
 def _pad_rows(x, multiple):
     m = x.shape[0]
     padded = -(-m // multiple) * multiple
@@ -222,6 +256,34 @@ def flash_softmax_grads(flat_h, item_weights, lse_panel, g, block_m: int = 512,
     ]
     n_steps = n_pad // block_n
     m_steps = m_pad // block_m
+    # small catalogs (few n-steps): one combined kernel recomputes the
+    # logits/exp ONCE for both grads; dh partials cost n_steps·M·D·4 extra
+    # HBM bytes, cheap next to the saved exp+GEMM pass
+    if n_steps <= 4 and n_steps * m_pad * d * 4 <= (1 << 29):
+        dh_parts, dw = pl.pallas_call(
+            partial(_dhw_kernel, n=n, block_n=block_n, m_steps=m_steps,
+                    compute_dtype=compute_dtype),
+            grid=(n_steps, m_steps),
+            in_specs=in_specs_nm,
+            out_specs=[
+                pl.BlockSpec((1, block_m, d), lambda ni, mi: (ni, mi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_n, d), lambda ni, mi: (ni, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_steps, m_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_n, d), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=6 * m_pad * n_pad * d,
+                bytes_accessed=(n_steps * m_pad * 2 + n_pad + m_pad) * d * 4,
+                transcendentals=m_pad * n_pad,
+            ),
+        )(h_p, w_p, lse_p, g_p)
+        return jnp.sum(dh_parts, axis=0)[:m], dw[:n]
     dh = pl.pallas_call(
         partial(_dh_kernel, n=n, block_n=block_n, n_steps=n_steps,
                 compute_dtype=compute_dtype),

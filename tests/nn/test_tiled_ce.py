@@ -173,3 +173,42 @@ class TestFlashCE:
         ), argnums=(0, 1))(h16, weights)
         assert g[0].dtype == jnp.bfloat16 and g[1].dtype == jnp.float32
         assert np.isfinite(np.asarray(g[1], dtype=np.float32)).all()
+
+
+class TestFlashBackwardPaths:
+    """Both backward schedules must match dense grads: the combined
+    single-recompute kernel (n_steps <= 4) and the split dh/dW kernels
+    (large catalogs)."""
+
+    def _grads(self, n_items, block_n):
+        from replay_tpu.nn.losses import CELoss
+        from replay_tpu.nn.tiled_ce import _masked_mean, _safe_labels, flash_ce_nll
+
+        rng = jax.random.PRNGKey(3)
+        B, L, D = 3, 4, 16
+        hidden = jax.random.normal(rng, (B, L, D), jnp.float32)
+        weights = jax.random.normal(jax.random.PRNGKey(4), (n_items, D), jnp.float32)
+        labels = jax.random.randint(rng, (B, L), 0, n_items)
+        mask = jnp.ones((B, L), jnp.int8)
+
+        def flash_loss(h, w):
+            nll = flash_ce_nll(
+                h, _safe_labels(labels, mask), w, 8, block_n, None, True
+            )
+            return _masked_mean(nll, mask)
+
+        ref = jax.grad(
+            lambda h, w: CELoss()(h, labels, mask, w), argnums=(0, 1)
+        )(hidden, weights)
+        got = jax.grad(flash_loss, argnums=(0, 1))(hidden, weights)
+        return ref, got
+
+    @pytest.mark.parametrize(
+        "n_items,block_n",
+        [(200, 128), (900, 128)],  # n_steps 2 (combined) and 8 (split)
+        ids=["combined_kernel", "split_kernels"],
+    )
+    def test_both_paths_match_dense(self, n_items, block_n):
+        ref, got = self._grads(n_items, block_n)
+        np.testing.assert_allclose(ref[0], got[0], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(ref[1], got[1], rtol=1e-4, atol=1e-6)
