@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from replay_tpu.nn.dtypes import resolve_dtype
+from replay_tpu.nn.dropout import HashDropout
 
 NEG_INF = -1e9
 
@@ -194,7 +195,7 @@ class MultiHeadSelfAttention(nn.Module):
             scores.reshape(batch, self.num_heads, length, kv_len), attn_bias
         )
         weights = nn.softmax(scores, axis=-1).astype(resolve_dtype(self.dtype))
-        weights = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
+        weights = HashDropout(self.dropout_rate)(weights, deterministic=deterministic)
 
         out = jnp.einsum(
             "bqk,bkd->bqd", weights.reshape(bh, length, kv_len), vm
@@ -263,7 +264,7 @@ class MultiHeadDifferentialAttention(nn.Module):
             return nn.softmax(scores, axis=-1)
 
         weights = attn(q1, k1) - lam[None, :, None, None] * attn(q2, k2)
-        weights = nn.Dropout(self.dropout_rate)(
+        weights = HashDropout(self.dropout_rate)(
             weights.astype(resolve_dtype(self.dtype)), deterministic=deterministic
         )
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)

@@ -10,6 +10,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from replay_tpu.nn.dtypes import resolve_dtype
+from replay_tpu.nn.dropout import HashDropout
 
 
 class PointWiseFeedForward(nn.Module):
@@ -31,9 +32,9 @@ class PointWiseFeedForward(nn.Module):
         )
         h = nn.Dense(self.hidden_dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="fc1")(x)
         h = act(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = HashDropout(self.dropout_rate)(h, deterministic=deterministic)
         h = nn.Dense(dim, dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="fc2")(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = HashDropout(self.dropout_rate)(h, deterministic=deterministic)
         return h
 
 
@@ -60,7 +61,7 @@ class SwiGLU(nn.Module):
         gate = dense(self.hidden_dim, "w_gate")(x)
         up = dense(self.hidden_dim, "w_up")(x)
         h = nn.silu(gate) * up
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = HashDropout(self.dropout_rate)(h, deterministic=deterministic)
         return dense(dim, "w_down")(h)
 
 

@@ -29,6 +29,7 @@ from replay_tpu.nn.attention import build_attention_bias_parts
 from replay_tpu.nn.embedding import PositionalEmbedding, SequenceEmbedding
 from replay_tpu.nn.head import tying_logits
 from replay_tpu.nn.sequential.sasrec import SasRecTransformerLayer
+from replay_tpu.nn.dropout import HashDropout
 
 
 def mask_token_id(schema: TensorSchema) -> int:
@@ -69,7 +70,7 @@ class Bert4RecBody(nn.Module):
             epsilon=self.layer_norm_eps, dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32, name="input_norm",
         )
-        self.input_dropout = nn.Dropout(self.dropout_rate)
+        self.input_dropout = HashDropout(self.dropout_rate)
         self.layers = [
             SasRecTransformerLayer(
                 num_heads=self.num_heads,

@@ -38,6 +38,7 @@ from replay_tpu.nn.attention import (
 from replay_tpu.nn.embedding import PositionalEmbedding, SequenceEmbedding
 from replay_tpu.nn.ffn import PointWiseFeedForward, SwiGLU
 from replay_tpu.nn.head import tying_logits
+from replay_tpu.nn.dropout import HashDropout
 
 
 class SasRecTransformerLayer(nn.Module):
@@ -86,9 +87,9 @@ class SasRecTransformerLayer(nn.Module):
             )
         if self.variant == "kang":
             a = attn(h, attn_bias, deterministic=deterministic, kv=x)
-            x = h + nn.Dropout(self.dropout_rate)(a, deterministic=deterministic)
+            x = h + HashDropout(self.dropout_rate)(a, deterministic=deterministic)
         else:
-            x = x + nn.Dropout(self.dropout_rate)(
+            x = x + HashDropout(self.dropout_rate)(
                 attn(h, attn_bias, deterministic=deterministic),
                 deterministic=deterministic,
             )
@@ -142,7 +143,7 @@ class SasRecBody(nn.Module):
             dtype=resolve_dtype(self.dtype),
             name="pos",
         )
-        self.input_dropout = nn.Dropout(self.dropout_rate)
+        self.input_dropout = HashDropout(self.dropout_rate)
         self.layers = [
             SasRecTransformerLayer(
                 num_heads=self.num_heads,

@@ -22,6 +22,7 @@ from replay_tpu.nn.attention import apply_attention_bias, build_attention_bias_p
 from replay_tpu.nn.embedding import PositionalEmbedding, SequenceEmbedding
 from replay_tpu.nn.ffn import PointWiseFeedForward
 from replay_tpu.nn.head import tying_logits
+from replay_tpu.nn.dropout import HashDropout
 
 
 def relative_intervals(timestamps: jnp.ndarray, time_span: int) -> jnp.ndarray:
@@ -69,14 +70,14 @@ class TiSasRecLayer(nn.Module):
         scores = scores + jnp.einsum("bqhd,bqkd->bhqk", q, r_k).astype(jnp.float32)
         scores = apply_attention_bias(scores / jnp.sqrt(jnp.float32(head_dim)), attn_bias)
         weights = nn.softmax(scores, axis=-1).astype(resolve_dtype(self.dtype))
-        weights = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
+        weights = HashDropout(self.dropout_rate)(weights, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out + jnp.einsum("bhqk,bqkd->bqhd", weights, r_v)
         out = nn.DenseGeneral(
             features=dim, axis=(-2, -1), dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="out"
         )(out)
-        x = x + nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        x = x + HashDropout(self.dropout_rate)(out, deterministic=deterministic)
         h = nn.LayerNorm(dtype=resolve_dtype(self.dtype), param_dtype=jnp.float32, name="ln_ffn")(x)
         return x + PointWiseFeedForward(
             self.hidden_dim, self.dropout_rate, dtype=resolve_dtype(self.dtype), name="ffn"
@@ -109,7 +110,7 @@ class TiSasRec(nn.Module):
         self.pos_embedding = PositionalEmbedding(
             max_len=self.max_sequence_length, embedding_dim=dim, dtype=resolve_dtype(self.dtype), name="pos"
         )
-        self.input_dropout = nn.Dropout(self.dropout_rate)
+        self.input_dropout = HashDropout(self.dropout_rate)
         self.layers = [
             TiSasRecLayer(
                 num_heads=self.num_heads,

@@ -41,6 +41,7 @@ from replay_tpu.nn.embedding import (
 from replay_tpu.nn.ffn import SwiGLUEncoder
 from replay_tpu.nn.head import tying_logits
 from replay_tpu.nn.sequential.sasrec import SasRecTransformerLayer
+from replay_tpu.nn.dropout import HashDropout
 
 
 class ItemFeatureStore(nn.Module):
@@ -144,7 +145,7 @@ class TwoTowerBody(nn.Module):
         self.pos_embedding = PositionalEmbedding(
             max_len=self.max_sequence_length, embedding_dim=dim, dtype=resolve_dtype(self.dtype), name="pos"
         )
-        self.input_dropout = nn.Dropout(self.dropout_rate)
+        self.input_dropout = HashDropout(self.dropout_rate)
         self.layers = [
             SasRecTransformerLayer(
                 num_heads=self.num_heads,

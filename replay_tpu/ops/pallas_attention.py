@@ -151,15 +151,19 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
-def _pick_block_bh(bh: int, lp: int) -> int:
+def _pick_block_bh(bh: int, lp: int, itemsize: int = 2) -> int:
     """Largest block keeping the f32 score tile ≤ ~512 KB of VMEM.
 
     The kernel holds ~5 live [blk, lp, lp] f32 temporaries (scores, exp,
     softmax, dropout bits, dropped weights) plus double-buffered q/k/v/o
     blocks; a 512 KB score tile keeps the Mosaic stack ≈ 3-4 MB, well
     under the 16 MB scoped-vmem limit (measured: 2 MB tiles → 22.3 MB
-    stack → compile-time OOM at BH=8192, lp=64)."""
+    stack → compile-time OOM at BH=8192, lp=64).  f32 inputs double the
+    q/k/v/dq/dk/dv block bytes → halve the block (measured: f32 at blk=32
+    → 18.6 MB backward stack → OOM)."""
     budget = (512 * 1024) // (lp * lp * 4)
+    if itemsize >= 4:
+        budget //= 2
     blk = max(8, min(128, budget))
     while bh % blk:
         blk //= 2
@@ -176,7 +180,7 @@ def _attention_core(q, k, v, bias, seed, scale, causal, rate, interpret):
 
 def _attention_core_fwd(q, k, v, bias, seed, scale, causal, rate, interpret):
     bh, lp, hd = q.shape
-    blk = _pick_block_bh(bh, lp)
+    blk = _pick_block_bh(bh, lp, q.dtype.itemsize)
     grid = (bh // blk,)
     spec3 = pl.BlockSpec(
         (blk, lp, hd), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
@@ -206,7 +210,7 @@ def _attention_core_fwd(q, k, v, bias, seed, scale, causal, rate, interpret):
 def _attention_core_bwd(scale, causal, rate, interpret, residuals, do):
     q, k, v, bias, seed = residuals
     bh, lp, hd = q.shape
-    blk = _pick_block_bh(bh, lp)
+    blk = _pick_block_bh(bh, lp, q.dtype.itemsize)
     grid = (bh // blk,)
     spec3 = pl.BlockSpec(
         (blk, lp, hd), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
@@ -268,7 +272,7 @@ def fused_attention(
     """
     bh, length, hd = q.shape
     lp = _round_up(length, 64)
-    blk = _pick_block_bh(bh, lp)
+    blk = _pick_block_bh(bh, lp, q.dtype.itemsize)
     bh_pad = _round_up(bh, blk)
     rate = float(dropout_rate)
 
@@ -285,9 +289,14 @@ def fused_attention(
         if dropout_key is None:
             msg = "dropout_rate > 0 requires dropout_key"
             raise ValueError(msg)
-        seed = jax.random.randint(
-            dropout_key, (1,), minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32
-        )
+        # seed from the KEY DATA (deterministic across compilations), not
+        # from generated bits — rbg bit generation may differ between
+        # compilations of the same program (jax PRNG docs), which would
+        # break multi-step-dispatch bitwise equality
+        data = jax.random.key_data(dropout_key).astype(jnp.uint32).reshape(-1)
+        seed = jax.lax.reduce(
+            data, jnp.uint32(0), jax.lax.bitwise_xor, (0,)
+        ).astype(jnp.int32)[None]
     else:
         seed = jnp.zeros((1,), jnp.int32)
     out = _attention_core(qp, kp, vp, bias, seed, scale, causal, rate, interpret)

@@ -81,4 +81,10 @@ def test_steps_per_dispatch_matches_one_step_path(seq_dataset):
     flat1 = jax.tree_util.tree_leaves(params1)
     flat2 = jax.tree_util.tree_leaves(params2)
     for a, b in zip(flat1, flat2):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the RNG streams are identical by construction (losses match
+        # exactly); k_disp=1 and k_disp=2 are however DIFFERENT XLA
+        # programs, and fusion may reassociate one reduction a few ulps
+        # (observed: a single LayerNorm-scale element off by 6e-8).
+        # Same-program bitwise reproducibility is asserted above in
+        # test_same_seed_bitwise_reproducible.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=5e-7)

@@ -130,7 +130,9 @@ def test_dropout_backward_uses_same_mask():
     eps = 1e-3
     fd = (f(v + eps * direction) - f(v - eps * direction)) / (2 * eps)
     analytic = jnp.sum(g * direction)
-    np.testing.assert_allclose(float(fd), float(analytic), rtol=2e-2)
+    # fd on f32 sums of ~50k terms carries a few % noise; a WRONG mask in
+    # the backward (the failure this guards) produces O(30%+) error
+    np.testing.assert_allclose(float(fd), float(analytic), rtol=6e-2)
 
 
 def test_fully_masked_rows_are_finite():
