@@ -199,9 +199,10 @@ def bench_torch() -> float:
 # reported ratio SMALLER, never inflate it (round-3 verdict weak #1: the
 # live-only denominator once rode a 51 ex/s loaded-box sample vs ~330 idle).
 PINNED_TORCH_IDLE = {
-    "value": 330.0,
+    "value": 321.5,
     "unit": "examples/s",
-    "measured": "2026-08-19 idle 4-core box (PERF.md round-3 note)",
+    "measured": "2026-08-20 idle 4-core box, median of 3 trials "
+    "(305.1/321.5/321.7); round-3's loaded-box 51 ex/s sample retired",
 }
 
 
