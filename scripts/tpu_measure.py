@@ -208,12 +208,59 @@ def bench_classical(quick=False):
         print(f"| {name} | fit {fit_t:.1f}s | predict k=10 {pred_t:.1f}s |")
 
 
+def bench_als_ml20m(quick=False):
+    """ALS at ML-20M catalog scale (26,744 items × synthetic users) — the
+    configuration BASELINE.json lists for the reference's blocked
+    distributed ALS (ReplayALS.scala; replay/models/als.py:76-82).  One
+    chip; the mesh= sharded fit is equivalence-tested on the virtual mesh
+    (tests/models/test_factorization.py)."""
+    import pandas as pd
+
+    from replay_tpu.data.dataset import Dataset
+    from replay_tpu.data.schema import (
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureSource,
+        FeatureType,
+    )
+    from replay_tpu.models import ALSWrap
+
+    rng = np.random.default_rng(0)
+    n_u = 20_000 if quick else 138_000
+    n_i = 26_744
+    n_rows = 1_500_000 if quick else 12_000_000
+    u = rng.integers(0, n_u, n_rows)
+    i = (rng.zipf(1.2, n_rows) - 1) % n_i
+    df = pd.DataFrame({"user_id": u, "item_id": i, "rating": 1.0}).drop_duplicates(
+        ["user_id", "item_id"]
+    )
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, feature_hint=FeatureHint.RATING,
+                        feature_source=FeatureSource.INTERACTIONS),
+        ]
+    )
+    ds = Dataset(schema, df)
+    print(f"log: {len(df)} rows, {df.user_id.nunique()} users, "
+          f"{df.item_id.nunique()} items")
+    model = ALSWrap(rank=64, seed=0, num_iterations=10)
+    t0 = time.perf_counter()
+    model.fit(ds)
+    print(f"| ALS rank=64 it=10 ML-20M scale | fit {time.perf_counter()-t0:.1f}s |")
+    t0 = time.perf_counter()
+    model.predict(ds, k=10, queries=df.user_id.unique()[:8192])
+    print(f"| ALS predict k=10, 8192 queries | {time.perf_counter()-t0:.1f}s |")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--only", default=None,
                         choices=[None, "sasrec", "step_losses", "ce", "topk",
-                                 "topk_budget", "classical"])
+                                 "topk_budget", "classical", "als20m"])
     args = parser.parse_args()
     import jax
 
@@ -225,6 +272,7 @@ def main():
         "topk": bench_topk,
         "topk_budget": bench_topk_budget,
         "classical": bench_classical,
+        "als20m": bench_als_ml20m,
     }
     for name, fn in suites.items():
         if args.only and name != args.only:
