@@ -212,3 +212,30 @@ def test_uniform_batching_tiles(n, batch):
         first, last = ub[b]
         seen.extend(range(first, last))
     assert seen == list(range(n))
+
+
+@given(
+    ids=st.lists(st.integers(0, 63), min_size=16, max_size=16),
+    capacity=st.integers(min_value=1, max_value=16),
+)
+@_settings
+def test_a2a_lookup_exact_for_any_ids_and_capacity(ids, capacity):
+    """The a2a ID-exchange embedding lookup must equal a dense take for
+    ANY id distribution and ANY per-peer capacity — skewed batches trip
+    the overflow certificate and must still be exact."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from replay_tpu.parallel import a2a_sharded_lookup, make_mesh
+
+    mesh = make_mesh(data=1, model=8)
+    table = jnp.arange(64 * 4, dtype=jnp.float32).reshape(64, 4)
+    sharded = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ids_dev = jax.device_put(
+        jnp.asarray(ids, jnp.int32), NamedSharding(mesh, P("model"))
+    )
+    got = a2a_sharded_lookup(sharded, ids_dev, mesh, capacity=capacity)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(table)[np.asarray(ids)]
+    )
