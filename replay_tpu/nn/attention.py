@@ -161,7 +161,16 @@ class MultiHeadSelfAttention(nn.Module):
         use_fused = (
             fusable
             if flag
-            else (flag is None and fusable and jax.default_backend() == "tpu")
+            else (
+                flag is None
+                and fusable
+                # single-device only: pallas_call has no SPMD partitioning
+                # rule, so under a multi-chip mesh the auto path stays on
+                # the einsum form (which GSPMD shards cleanly); forcing
+                # fused=True remains available for shard_map callers
+                and jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+            )
         )
         if use_fused:
             from replay_tpu.ops.pallas_attention import fused_attention

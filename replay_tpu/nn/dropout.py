@@ -27,21 +27,18 @@ import jax.numpy as jnp
 
 
 def hash_keep_mask(shape, rate: float, seed: jnp.ndarray) -> jnp.ndarray:
-    """Bernoulli(1-rate) keep mask from a murmur3 finalizer over the
-    element's linear index ⊕ seed.  ``seed``: uint32/int32 scalar."""
+    """Bernoulli(1-rate) keep mask from the shared murmur3 noise core
+    (ops/hashing.py — the fused attention kernel uses the same family)
+    over the element's linear index ⊕ seed.  ``seed``: uint32/int32
+    scalar."""
+    from replay_tpu.ops.hashing import keep_threshold, murmur_bits
+
     idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     for axis in range(1, len(shape)):
         idx = idx * jnp.uint32(shape[axis]) + jax.lax.broadcasted_iota(
             jnp.uint32, shape, axis
         )
-    h = idx ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    return h >= threshold
+    return murmur_bits(idx, seed) >= keep_threshold(rate)
 
 
 class HashDropout(nn.Module):

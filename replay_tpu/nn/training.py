@@ -286,17 +286,31 @@ class Trainer:
 
     def _place_stacked(self, group):
         """Host-stack a list of batches into [K, B, ...] arrays, sharding
-        the BATCH (second) axis over the data mesh axis."""
+        the BATCH (second) axis over the data mesh axis.  Multi-process:
+        each host's group holds its ReplicasInfo shard rows — assemble the
+        global stacked array from process-local data, mirroring
+        ``_place_batch`` (review r4: the k_disp>1 path previously
+        device_put LOCAL rows as if global)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         stacked_shard = NamedSharding(self.mesh, P(None, "data"))
+        replicated = NamedSharding(self.mesh, P())
+        multiproc = jax.process_count() > 1
+        local_in_axis = max(1, self.mesh.shape["data"] // jax.process_count())
         out = {}
         for k in group[0]:
-            arr = jnp.asarray(np.stack([b[k] for b in group]))
-            if arr.ndim >= 2 and arr.shape[1] % self.mesh.shape["data"] == 0:
-                out[k] = jax.device_put(arr, stacked_shard)
+            arr = np.stack([np.asarray(b[k]) for b in group])
+            if multiproc:
+                if arr.ndim >= 2 and arr.shape[1] % local_in_axis == 0:
+                    out[k] = jax.make_array_from_process_local_data(
+                        stacked_shard, arr
+                    )
+                else:
+                    out[k] = jax.device_put(arr, replicated)
+            elif arr.ndim >= 2 and arr.shape[1] % self.mesh.shape["data"] == 0:
+                out[k] = jax.device_put(jnp.asarray(arr), stacked_shard)
             else:
-                out[k] = arr
+                out[k] = jnp.asarray(arr)
         return out
 
     def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:

@@ -41,31 +41,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _hash_bits(idx: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
-    """murmur3 finalizer over (element index ⊕ seed) → uint32 noise.
-
-    Counter-based so the backward pass regenerates the forward's mask from
-    the same (seed, index) pair, and portable — plain integer VPU ops that
-    run identically under the TPU interpreter (whose ``pltpu.prng_*`` stub
-    returns zeros) and on hardware."""
-    h = idx.astype(jnp.uint32) ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    return h
-
-
 def _dropout_keep(shape, rate: float, seed, elem_offset):
-    """Keep-mask: hash bits ≥ rate·2³² keep.  ``elem_offset`` is the global
-    linear index of this block's first element (program-id dependent)."""
+    """Keep-mask: hash bits ≥ rate·2³² keep (shared noise family with
+    nn.dropout.HashDropout — ops/hashing.py).  ``elem_offset`` is the
+    global linear index of this block's first element (program-id
+    dependent), so the backward pass regenerates the forward's mask."""
+    from replay_tpu.ops.hashing import keep_threshold, murmur_bits
+
     b = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     q = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     l = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     idx = elem_offset + (b * shape[1] + q) * shape[2] + l
-    threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    return _hash_bits(idx, seed) >= threshold
+    return murmur_bits(idx, seed) >= keep_threshold(rate)
 
 
 def _scores(q, k, bias, *, scale: float, causal: bool):

@@ -199,70 +199,11 @@ def fused_topk(
         # bitonic path keeps one 128-lane segment and needs a power-of-two
         # segment count for the merge tree
         method = "iterative"
-    b, d = queries.shape
     n = items.shape[0]
-    if n % block_n:
-        pad = block_n - n % block_n
-        items = jnp.concatenate(
-            [items, jnp.zeros((pad, d), dtype=items.dtype)], axis=0
-        )
-        # padding rows are dropped after the merge via the idx < n mask
-        n_padded = n + pad
-    else:
-        n_padded = n
-    block_b = min(block_b, b)
-    if b % block_b:
-        bpad = block_b - b % block_b
-        queries = jnp.concatenate(
-            [queries, jnp.zeros((bpad, d), dtype=queries.dtype)], axis=0
-        )
-        b_padded = b + bpad
-    else:
-        b_padded = b
-    grid_b = b_padded // block_b
-    grid_n = n_padded // block_n
-    k_eff = min(k, block_n)
-    kpad = max(128, -(-k_eff // 128) * 128)  # lane-aligned candidate slot
-
-    if method == "bitonic":
-        kernel = partial(_topk_tile_kernel_bitonic, block_n=block_n, n=n, seg=kpad)
-        scratch = [pltpu.VMEM((block_b, block_n), jnp.int32)]
-    else:
-        kernel = partial(_topk_tile_kernel, k=k_eff, block_n=block_n, n=n)
-        scratch = []
-    vals, idxs = pl.pallas_call(
-        kernel,
-        grid=(grid_b, grid_n),
-        scratch_shapes=scratch,
-        in_specs=[
-            pl.BlockSpec((block_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_b, kpad), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, kpad), lambda bi, ni: (bi, ni), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_padded, grid_n * kpad), jnp.float32),
-            jax.ShapeDtypeStruct((b_padded, grid_n * kpad), jnp.int32),
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b_padded * n_padded * d,
-            bytes_accessed=grid_b * n_padded * d * items.dtype.itemsize
-            + b_padded * grid_n * kpad * 8,
-            transcendentals=0,
-        ),
-    )(queries, items)
-    vals = vals[:b]
-    idxs = idxs[:b]
-
-    # drop padded-row candidates, then merge the grid·k pool exactly
-    valid = idxs < n
-    vals = jnp.where(valid, vals, NEG_INF)
-    top_vals, pool_pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
-    top_idx = jnp.take_along_axis(idxs, pool_pos, axis=1)
-    return top_vals, top_idx
+    vals, idxs = _fused_topk_raw(
+        queries, items, k, block_n, block_b, interpret, method=method
+    )
+    return _merge_pool(vals, idxs, n, k)
 
 
 def _budget_for(k: int, grid_n: int, budget) -> int:
@@ -378,10 +319,24 @@ def fused_topk_budget(
     )
 
 
-def _fused_topk_raw(queries, items, k, block_n, block_b, interpret):
+
+def _merge_pool(vals, idxs, n, k):
+    """Exact global merge of per-tile candidate pools: drop padded-row
+    candidates, top-k over the [B, grid_n·kpad] pool."""
+    valid = idxs < n
+    vals = jnp.where(valid, vals, NEG_INF)
+    top_vals, pool_pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    top_idx = jnp.take_along_axis(idxs, pool_pos, axis=1)
+    return top_vals, top_idx
+
+
+def _fused_topk_raw(queries, items, k, block_n, block_b, interpret,
+                    method: str = "iterative"):
     """The fused kernel without the global merge: per-tile candidate
     blocks as [B, grid_n·kpad] (kpad = lane-padded k), padded catalog rows
-    pre-masked to NEG_INF inside the kernel."""
+    pre-masked to NEG_INF inside the kernel.  One copy of the
+    padding/grid/pallas plumbing serves both per-tile selection methods
+    and the budget kernel (review r4)."""
     b, d = queries.shape
     n = items.shape[0]
     if n % block_n:
@@ -402,10 +357,16 @@ def _fused_topk_raw(queries, items, k, block_n, block_b, interpret):
     k_eff = min(k, block_n)
     kpad = max(128, -(-k_eff // 128) * 128)
 
-    kernel = partial(_topk_tile_kernel, k=k_eff, block_n=block_n, n=n)
+    if method == "bitonic":
+        kernel = partial(_topk_tile_kernel_bitonic, block_n=block_n, n=n, seg=kpad)
+        scratch = [pltpu.VMEM((block_b, block_n), jnp.int32)]
+    else:
+        kernel = partial(_topk_tile_kernel, k=k_eff, block_n=block_n, n=n)
+        scratch = []
     vals, idxs = pl.pallas_call(
         kernel,
         grid=(grid_b, grid_n),
+        scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec((block_b, d), lambda bi, ni: (bi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, d), lambda bi, ni: (ni, 0), memory_space=pltpu.VMEM),

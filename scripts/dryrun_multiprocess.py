@@ -50,7 +50,8 @@ def write_train_parquet(path: str, n_users: int = 64, seed: int = 5) -> None:
     pd.DataFrame(rows, columns=["query_id", "item_id"]).to_parquet(path)
 
 
-def run(tmpdir: str, epochs: int = 2, timeout: int = 600) -> dict:
+def run(tmpdir: str, epochs: int = 2, timeout: int = 600,
+        steps_per_dispatch: int = 1) -> dict:
     import numpy as np
 
     train = os.path.join(tmpdir, "train.parquet")
@@ -70,6 +71,7 @@ def run(tmpdir: str, epochs: int = 2, timeout: int = 600) -> dict:
                 "--process-id", str(i), "--num-processes", "2",
                 "--port", str(port), "--train", train,
                 "--out", outs[i], "--epochs", str(epochs),
+                "--steps-per-dispatch", str(steps_per_dispatch),
             ],
             env=env,
             stdout=subprocess.PIPE,
@@ -97,6 +99,7 @@ def run(tmpdir: str, epochs: int = 2, timeout: int = 600) -> dict:
             sys.executable, worker,
             "--num-processes", "1", "--emulate-shards", "2",
             "--train", train, "--out", ref_out, "--epochs", str(epochs),
+            "--steps-per-dispatch", str(steps_per_dispatch),
         ],
         env=ref_env,
         capture_output=True,
@@ -120,6 +123,7 @@ def run(tmpdir: str, epochs: int = 2, timeout: int = 600) -> dict:
     np.testing.assert_allclose(p0["__losses__"], r["__losses__"], rtol=1e-5)
     return {
         "ok": True,
+        "steps_per_dispatch": steps_per_dispatch,
         "processes": 2,
         "devices": 8,
         "param_leaves": len(keys),

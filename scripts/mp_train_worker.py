@@ -59,7 +59,7 @@ def build_module(train_path: str, local_batch: int, replica=None):
     )
 
 
-def build_trainer(mesh):
+def build_trainer(mesh, steps_per_dispatch: int = 1):
     from replay_tpu.data.nn.schema import (
         TensorFeatureInfo,
         TensorFeatureSource,
@@ -96,7 +96,8 @@ def build_trainer(mesh):
         optimizer=OptimizerFactory(1e-1, algorithm="sgd"),
         transform=NextTokenTransform(),
         config=TrainerConfig(
-            max_epochs=2, batch_size=GLOBAL_BATCH, max_sequence_length=MAX_LEN, seed=0
+            max_epochs=2, batch_size=GLOBAL_BATCH, max_sequence_length=MAX_LEN,
+            seed=0, steps_per_dispatch=steps_per_dispatch,
         ),
         mesh=mesh,
     )
@@ -146,6 +147,7 @@ def main(argv=None):
     p.add_argument("--train", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--steps-per-dispatch", type=int, default=1)
     p.add_argument(
         "--emulate-shards", type=int, default=0,
         help="single-process reference: rebuild the N-shard global batch "
@@ -179,7 +181,7 @@ def main(argv=None):
         assert ds._replica == (args.process_id, args.num_processes), ds._replica
 
     mesh = make_global_mesh(model=1)
-    trainer = build_trainer(mesh)
+    trainer = build_trainer(mesh, args.steps_per_dispatch)
     history = trainer.fit_loader(module, max_epochs=args.epochs)
     out = flatten_params(trainer.state.params)
     out["__losses__"] = np.asarray([h["loss"] for h in history], np.float64)

@@ -26,3 +26,13 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert result["ok"]
     assert result["processes"] == 2
     assert result["max_abs_diff_vs_single_process"] < 2e-5
+
+
+def test_two_process_multistep_dispatch(tmp_path):
+    """steps_per_dispatch > 1 must assemble global stacked batches from
+    process-local shards too (_place_stacked multihost path)."""
+    import dryrun_multiprocess
+
+    result = dryrun_multiprocess.run(str(tmp_path), epochs=1, steps_per_dispatch=2)
+    assert result["ok"]
+    assert result["steps_per_dispatch"] == 2
