@@ -77,11 +77,23 @@ def _pad_list_batch(flat, lengths, starts, meta):
     """Vectorized left-pad of ragged rows described by (flat values,
     per-row lengths, per-row start offsets) → (array [B, L], mask).
 
-    Copy-lean: the flat buffer is cast to the target dtype ONCE (so the
-    [B, L] gather lands directly in the output dtype) and padding is an
-    in-place masked fill — ~1.5 large copies instead of 3 (gather, where,
-    astype), which matters when fresh pages are expensive."""
+    Fast path: the native padder (native/pad.cpp — one contiguous memcpy
+    per row, GIL RELEASED so loader worker threads overlap with device
+    steps).  Fallback below is copy-lean numpy: the flat buffer is cast to
+    the target dtype ONCE (so the [B, L] gather lands directly in the
+    output dtype) and padding is an in-place masked fill — ~1.5 large
+    copies instead of 3 (gather, where, astype)."""
     length = meta.shape[0]
+    try:
+        from replay_tpu.data.nn.parquet.native.pad import native_pad_list
+
+        native = native_pad_list(
+            flat, lengths, starts, length, meta.padding, meta.dtype
+        )
+        if native is not None:
+            return native
+    except Exception:  # pragma: no cover - build/toolchain failures
+        pass
     ends = starts + lengths
     col = np.arange(length)
     src = ends[:, None] - (length - col)[None, :]
