@@ -231,8 +231,8 @@ def main():
         # disclose the last verified on-chip measurement so a tunnel outage
         # at bench time doesn't erase the real number (PERF.md has details)
         result["last_verified_tpu"] = {
-            "value": 114240.1, "unit": "examples/s", "batch": 4096,
-            "measured": "2026-08-19, forced-transfer timing, flash CE + rbg dropout + merged-head attention",
+            "value": 122887.4, "unit": "examples/s", "batch": 4096,
+            "measured": "2026-08-20, forced-transfer timing, flash CE (combined bwd) + fused attention + hash dropout",
         }
     print(json.dumps(result))
 
