@@ -141,15 +141,7 @@ class MultiHeadSelfAttention(nn.Module):
         k = dense("key")(src)
         v = dense("value")(src)
 
-        # heads merged into the batch dim: [(B·H), L, hd] batched GEMMs beat
-        # the 4-D "bqhd,bkhd->bhqk" lowering by ~20% at hd=32 on TPU
-        # (PERF.md round-3 attention ablation); reshapes are layout-free
-        bh = batch * self.num_heads
         kv_len = src.shape[1]
-        qm = q.transpose(0, 2, 1, 3).reshape(bh, length, head_dim)
-        km = k.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim)
-        vm = v.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim)
-
         fusable = isinstance(attn_bias, AttentionBiasParts) and kv_len == length
         flag = self.fused
         if flag is None:
@@ -173,22 +165,24 @@ class MultiHeadSelfAttention(nn.Module):
             )
         )
         if use_fused:
-            from replay_tpu.ops.pallas_attention import fused_attention
+            from replay_tpu.ops.pallas_attention import fused_attention_packed
 
             rate = 0.0 if deterministic else self.dropout_rate
-            key_bias = jnp.repeat(
-                attn_bias.key_bias.reshape(batch, kv_len), self.num_heads, axis=0
-            )
-            out = fused_attention(
-                qm, km, vm, key_bias,
+            # PACKED layout: the [B,L,H,hd]→[B,L,D] reshape is layout-free
+            # (features are h-major), so q/k/v/o reach the kernel with ZERO
+            # transposes — the kernel slices heads off the lane axis
+            # internally (round-4 'fold the transposes into the kernel').
+            out = fused_attention_packed(
+                q.reshape(batch, length, dim),
+                k.reshape(batch, kv_len, dim),
+                v.reshape(batch, kv_len, dim),
+                attn_bias.key_bias.reshape(batch, kv_len),
+                num_heads=self.num_heads,
                 causal=attn_bias.causal,
                 scale=1.0 / float(head_dim) ** 0.5,
                 dropout_rate=rate,
                 dropout_key=self.make_rng("dropout") if rate > 0.0 else None,
                 interpret=jax.default_backend() != "tpu",
-            )
-            out = out.reshape(batch, self.num_heads, length, head_dim).transpose(
-                0, 2, 1, 3
             )
             return nn.DenseGeneral(
                 features=dim,
@@ -196,7 +190,15 @@ class MultiHeadSelfAttention(nn.Module):
                 dtype=resolve_dtype(self.dtype),
                 param_dtype=jnp.float32,
                 name="out",
-            )(out)
+            )(out.reshape(batch, length, self.num_heads, head_dim))
+
+        # heads merged into the batch dim: [(B·H), L, hd] batched GEMMs beat
+        # the 4-D "bqhd,bkhd->bhqk" lowering by ~20% at hd=32 on TPU
+        # (PERF.md round-3 attention ablation); reshapes are layout-free
+        bh = batch * self.num_heads
+        qm = q.transpose(0, 2, 1, 3).reshape(bh, length, head_dim)
+        km = k.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim)
+        vm = v.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim)
 
         scores = jnp.einsum("bqd,bkd->bqk", qm, km).astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(head_dim))

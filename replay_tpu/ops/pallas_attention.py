@@ -159,6 +159,268 @@ def _pick_block_bh(bh: int, lp: int, itemsize: int = 2) -> int:
     return blk
 
 
+def _packed_head_slices(ref, num_heads: int):
+    """[blk, lp, H·hd] block → per-head [blk, lp, hd] value slices (static
+    lane slices — Mosaic-safe, unlike a >2-D reshape of the lane axis)."""
+    blk, lp, d = ref.shape
+    hd = d // num_heads
+    x = ref[:]
+    return [x[:, :, h * hd : (h + 1) * hd] for h in range(num_heads)]
+
+
+def _packed_dropout_idx(shape, num_heads: int, head: int, lp: int, blk_b: int):
+    """Global element index matching the merged-head kernel's schedule:
+    idx = ((b_global·H + h)·lp + q)·lp + l — the packed and [B·H] layouts
+    are the SAME noise family for the same seed."""
+    b = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + pl.program_id(0) * blk_b
+    q = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    l = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return ((b * num_heads + head) * lp + q) * lp + l
+
+
+def _attn_fwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                            *, scale: float, causal: bool, rate: float,
+                            num_heads: int):
+    from replay_tpu.ops.hashing import keep_threshold, murmur_bits
+
+    qs = _packed_head_slices(q_ref, num_heads)
+    ks = _packed_head_slices(k_ref, num_heads)
+    vs = _packed_head_slices(v_ref, num_heads)
+    blk_b, lp, _ = q_ref.shape
+    outs = []
+    for h in range(num_heads):
+        p = _softmax(_scores(qs[h], ks[h], bias_ref[:], scale=scale, causal=causal))
+        if rate > 0.0:
+            idx = _packed_dropout_idx(p.shape, num_heads, h, lp, blk_b)
+            keep = murmur_bits(idx, seed_ref[0]) >= keep_threshold(rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(vs[h].dtype), vs[h],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[:] = jnp.concatenate(outs, axis=2).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                            dq_ref, dk_ref, dv_ref,
+                            *, scale: float, causal: bool, rate: float,
+                            num_heads: int):
+    from replay_tpu.ops.hashing import keep_threshold, murmur_bits
+
+    qs = _packed_head_slices(q_ref, num_heads)
+    ks = _packed_head_slices(k_ref, num_heads)
+    vs = _packed_head_slices(v_ref, num_heads)
+    dos = _packed_head_slices(do_ref, num_heads)
+    blk_b, lp, _ = q_ref.shape
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        q, k, v, do = qs[h], ks[h], vs[h], dos[h]
+        p = _softmax(_scores(q, k, bias_ref[:], scale=scale, causal=causal))
+        if rate > 0.0:
+            idx = _packed_dropout_idx(p.shape, num_heads, h, lp, blk_b)
+            keep = murmur_bits(idx, seed_ref[0]) >= keep_threshold(rate)
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            pd = p
+        compute_dt = v.dtype
+        dv = jax.lax.dot_general(
+            pd.astype(compute_dt), do,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dpd = jax.lax.dot_general(
+            do, v,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
+        ds = (ds * scale).astype(compute_dt)
+        dqs.append(
+            jax.lax.dot_general(
+                ds, k,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dks.append(
+            jax.lax.dot_general(
+                ds, q,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dvs.append(dv)
+    dq_ref[:] = jnp.concatenate(dqs, axis=2).astype(dq_ref.dtype)
+    dk_ref[:] = jnp.concatenate(dks, axis=2).astype(dk_ref.dtype)
+    dv_ref[:] = jnp.concatenate(dvs, axis=2).astype(dv_ref.dtype)
+
+
+def _pick_block_b_packed(b: int, lp: int, num_heads: int, itemsize: int) -> int:
+    """Per-head score tiles ≤ ~512 KB AND input blocks no bigger than the
+    merged-head kernel's: divide the [B·H] block budget by H."""
+    budget = (512 * 1024) // (lp * lp * 4)
+    if itemsize >= 4:
+        budget //= 2
+    budget = max(1, budget // num_heads)
+    blk = max(8, min(128, budget))
+    while b % blk:
+        blk //= 2
+        if blk < 1:
+            return b
+    return blk
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _attention_core_packed(q, k, v, bias, seed, scale, causal, rate,
+                           num_heads, interpret):
+    out, _ = _attention_core_packed_fwd(
+        q, k, v, bias, seed, scale, causal, rate, num_heads, interpret
+    )
+    return out
+
+
+def _attention_core_packed_fwd(q, k, v, bias, seed, scale, causal, rate,
+                               num_heads, interpret):
+    b, lp, d = q.shape
+    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize)
+    grid = (b // blk,)
+    spec3 = pl.BlockSpec(
+        (blk, lp, d), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_bias = pl.BlockSpec(
+        (blk, lp), lambda i, _seed: (i, 0), memory_space=pltpu.VMEM
+    )
+    hd = d // num_heads
+    out = pl.pallas_call(
+        partial(_attn_fwd_kernel_packed, scale=scale, causal=causal,
+                rate=rate, num_heads=num_heads),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[spec3, spec3, spec3, spec_bias],
+            out_specs=spec3,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), v.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * lp * lp * hd,
+            bytes_accessed=4 * b * lp * d * q.dtype.itemsize,
+            transcendentals=b * num_heads * lp * lp,
+        ),
+    )(seed, q, k, v, bias)
+    return out, (q, k, v, bias, seed)
+
+
+def _attention_core_packed_bwd(scale, causal, rate, num_heads, interpret,
+                               residuals, do):
+    q, k, v, bias, seed = residuals
+    b, lp, d = q.shape
+    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize)
+    grid = (b // blk,)
+    spec3 = pl.BlockSpec(
+        (blk, lp, d), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_bias = pl.BlockSpec(
+        (blk, lp), lambda i, _seed: (i, 0), memory_space=pltpu.VMEM
+    )
+    hd = d // num_heads
+    dq, dk, dv = pl.pallas_call(
+        partial(_attn_bwd_kernel_packed, scale=scale, causal=causal,
+                rate=rate, num_heads=num_heads),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[spec3, spec3, spec3, spec_bias, spec3],
+            out_specs=[spec3, spec3, spec3],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lp, d), q.dtype),
+            jax.ShapeDtypeStruct((b, lp, d), k.dtype),
+            jax.ShapeDtypeStruct((b, lp, d), v.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * lp * lp * hd,
+            bytes_accessed=7 * b * lp * d * q.dtype.itemsize,
+            transcendentals=b * num_heads * lp * lp,
+        ),
+    )(seed, q, k, v, bias, do.astype(v.dtype))
+    return dq, dk, dv, jnp.zeros_like(bias), None
+
+
+_attention_core_packed.defvjp(_attention_core_packed_fwd, _attention_core_packed_bwd)
+
+
+def _seed_from_key(dropout_key) -> jnp.ndarray:
+    """Scalar int32 seed from the KEY DATA (deterministic across
+    compilations — rbg bit GENERATION may differ between compilations of
+    the same program, jax PRNG docs), XOR-folded."""
+    data = jax.random.key_data(dropout_key).astype(jnp.uint32).reshape(-1)
+    return jax.lax.reduce(
+        data, jnp.uint32(0), jax.lax.bitwise_xor, (0,)
+    ).astype(jnp.int32)[None]
+
+
+def fused_attention_packed(
+    q: jnp.ndarray,  # [B, L, D]  (D = H·hd, head-major)
+    k: jnp.ndarray,  # [B, L, D]
+    v: jnp.ndarray,  # [B, L, D]
+    key_bias: jnp.ndarray,  # [B, L] additive f32 (0 = attend, NEG = masked)
+    *,
+    num_heads: int,
+    causal: bool,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_key=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`fused_attention` on the PACKED [B, L, H·hd] layout — the
+    natural output of the q/k/v projections — with a static in-kernel head
+    loop over lane slices.
+
+    Against the [B·H, L, hd] entry point this removes the four
+    [B,L,H,hd]↔[B·H,L,hd] transposes and the per-head key-bias repeat the
+    caller otherwise pays per attention layer (the round-4 step profile's
+    'layout' slice): q/k/v/o move through HBM exactly once, in the layout
+    the surrounding GEMMs already use.  Dropout masks are bitwise the same
+    noise the merged-head kernel draws for the same key.
+    """
+    b, length, d = q.shape
+    if d % num_heads:
+        msg = f"model dim {d} not divisible by num_heads {num_heads}"
+        raise ValueError(msg)
+    lp = _round_up(length, 64)
+    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize)
+    b_pad = _round_up(b, blk)
+    rate = float(dropout_rate)
+
+    def pad3(x):
+        return jnp.pad(x, ((0, b_pad - b), (0, lp - length), (0, 0)))
+
+    qp, kp, vp = pad3(q), pad3(k), pad3(v)
+    bias = jnp.pad(
+        key_bias.astype(jnp.float32),
+        ((0, b_pad - b), (0, lp - length)),
+        constant_values=NEG_INF,
+    )
+    if rate > 0.0:
+        if dropout_key is None:
+            msg = "dropout_rate > 0 requires dropout_key"
+            raise ValueError(msg)
+        seed = _seed_from_key(dropout_key)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    out = _attention_core_packed(
+        qp, kp, vp, bias, seed, scale, causal, rate, num_heads, interpret
+    )
+    return out[:b, :length, :]
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _attention_core(q, k, v, bias, seed, scale, causal, rate, interpret):
     out, _ = _attention_core_fwd(q, k, v, bias, seed, scale, causal, rate, interpret)
@@ -276,14 +538,7 @@ def fused_attention(
         if dropout_key is None:
             msg = "dropout_rate > 0 requires dropout_key"
             raise ValueError(msg)
-        # seed from the KEY DATA (deterministic across compilations), not
-        # from generated bits — rbg bit generation may differ between
-        # compilations of the same program (jax PRNG docs), which would
-        # break multi-step-dispatch bitwise equality
-        data = jax.random.key_data(dropout_key).astype(jnp.uint32).reshape(-1)
-        seed = jax.lax.reduce(
-            data, jnp.uint32(0), jax.lax.bitwise_xor, (0,)
-        ).astype(jnp.int32)[None]
+        seed = _seed_from_key(dropout_key)
     else:
         seed = jnp.zeros((1,), jnp.int32)
     out = _attention_core(qp, kp, vp, bias, seed, scale, causal, rate, interpret)

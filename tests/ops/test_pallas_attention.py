@@ -11,7 +11,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from replay_tpu.ops.pallas_attention import attention_reference, fused_attention
+from replay_tpu.ops.pallas_attention import (
+    attention_reference,
+    fused_attention,
+    fused_attention_packed,
+)
 
 
 def _make_inputs(key, bh, length, hd, dtype=jnp.float32, pad_tail=0):
@@ -133,6 +137,133 @@ def test_dropout_backward_uses_same_mask():
     # fd on f32 sums of ~50k terms carries a few % noise; a WRONG mask in
     # the backward (the failure this guards) produces O(30%+) error
     np.testing.assert_allclose(float(fd), float(analytic), rtol=6e-2)
+
+
+def _pack(x, batch, num_heads):
+    """[B·H, L, hd] (h-fastest within batch groups of H) → [B, L, H·hd]."""
+    bh, length, hd = x.shape
+    return (
+        jnp.reshape(x, (batch, num_heads, length, hd))
+        .transpose(0, 2, 1, 3)
+        .reshape(batch, length, num_heads * hd)
+    )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("num_heads,length,hd", [(2, 50, 32), (4, 33, 16), (1, 64, 64)])
+def test_packed_forward_matches_reference(causal, num_heads, length, hd):
+    batch = 6
+    q, k, v, bias = _make_inputs(
+        jax.random.PRNGKey(20), batch * num_heads, length, hd, pad_tail=7
+    )
+    # bias must be per-BATCH-row constant across heads for the packed form
+    bias = jnp.repeat(bias[::num_heads][:batch], num_heads, axis=0)
+    scale = 1.0 / np.sqrt(hd)
+    got = fused_attention_packed(
+        _pack(q, batch, num_heads), _pack(k, batch, num_heads),
+        _pack(v, batch, num_heads), bias[::num_heads],
+        num_heads=num_heads, causal=causal, scale=scale, interpret=True,
+    )
+    want = _pack(
+        attention_reference(q, k, v, bias, causal=causal, scale=scale),
+        batch, num_heads,
+    )
+    rows = _valid_rows(bias, length, causal, pad_tail=7)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, rows], np.asarray(want)[:, rows], atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_packed_backward_matches_reference(causal):
+    batch, num_heads, length, hd = 4, 2, 50, 32
+    q, k, v, bias = _make_inputs(
+        jax.random.PRNGKey(21), batch * num_heads, length, hd, pad_tail=5
+    )
+    scale = 1.0 / np.sqrt(hd)
+    rows = jnp.asarray(_valid_rows(bias, length, causal, pad_tail=5), jnp.float32)
+    qp, kp, vp = (_pack(t, batch, num_heads) for t in (q, k, v))
+    bias_b = bias[::num_heads]
+
+    def loss_packed(q, k, v):
+        out = fused_attention_packed(
+            q, k, v, bias_b, num_heads=num_heads, causal=causal,
+            scale=scale, interpret=True,
+        )
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)) * rows[None, :, None])
+
+    def loss_ref(q, k, v):
+        out = _pack(
+            attention_reference(q, k, v, bias, causal=causal, scale=scale),
+            batch, num_heads,
+        )
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)) * rows[None, :, None])
+
+    g_packed = jax.grad(loss_packed, argnums=(0, 1, 2))(qp, kp, vp)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gp, gr in zip(g_packed, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(_pack(gr, batch, num_heads)),
+            atol=2e-4, rtol=2e-4,
+        )
+
+
+def test_packed_dropout_same_noise_family_as_merged():
+    """Same key ⇒ the packed kernel draws bitwise the SAME attention-weight
+    dropout mask as the merged-head kernel (idx = ((b·H+h)·L+q)·L+l both)."""
+    batch, num_heads, length, hd = 4, 2, 64, 32
+    q, k, v, bias = _make_inputs(
+        jax.random.PRNGKey(22), batch * num_heads, length, hd
+    )
+    scale, rate = 1.0 / np.sqrt(hd), 0.4
+    key = jax.random.PRNGKey(23)
+    merged = fused_attention(
+        q, k, v, bias, causal=False, scale=scale,
+        dropout_rate=rate, dropout_key=key, interpret=True,
+    )
+    packed = fused_attention_packed(
+        _pack(q, batch, num_heads), _pack(k, batch, num_heads),
+        _pack(v, batch, num_heads), bias[::num_heads],
+        num_heads=num_heads, causal=False, scale=scale,
+        dropout_rate=rate, dropout_key=key, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed), np.asarray(_pack(merged, batch, num_heads))
+    )
+
+
+def test_packed_dropout_backward_matches_merged_grads():
+    """The packed backward must regenerate the same dropout mask as its
+    forward.  The merged-head kernel's fwd/bwd mask agreement is verified
+    by finite differences above, and the packed forward is bitwise the
+    merged forward for the same key — so packed grads must equal merged
+    grads up to layout."""
+    batch, num_heads, length, hd = 4, 2, 64, 32
+    q, k, v, bias = _make_inputs(
+        jax.random.PRNGKey(24), batch * num_heads, length, hd
+    )
+    qp, kp, vp = (_pack(t, batch, num_heads) for t in (q, k, v))
+    key = jax.random.PRNGKey(25)
+    kwargs = dict(causal=False, scale=1.0 / np.sqrt(hd),
+                  dropout_rate=0.3, dropout_key=key, interpret=True)
+
+    def f_packed(q, k, v):
+        out = fused_attention_packed(
+            q, k, v, bias[::num_heads], num_heads=num_heads, **kwargs
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def f_merged(q, k, v):
+        out = fused_attention(q, k, v, bias, **kwargs)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_packed = jax.grad(f_packed, argnums=(0, 1, 2))(qp, kp, vp)
+    g_merged = jax.grad(f_merged, argnums=(0, 1, 2))(q, k, v)
+    for gp, gm in zip(g_packed, g_merged):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(_pack(gm, batch, num_heads)),
+            atol=1e-5, rtol=1e-5,
+        )
 
 
 def test_fully_masked_rows_are_finite():
