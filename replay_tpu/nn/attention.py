@@ -165,32 +165,64 @@ class MultiHeadSelfAttention(nn.Module):
             )
         )
         if use_fused:
-            from replay_tpu.ops.pallas_attention import fused_attention_packed
+            from replay_tpu.ops.pallas_attention import (
+                _round_up,
+                fused_attention,
+                fused_attention_packed,
+                packed_supported,
+            )
 
             rate = 0.0 if deterministic else self.dropout_rate
-            # PACKED layout: the [B,L,H,hd]→[B,L,D] reshape is layout-free
-            # (features are h-major), so q/k/v/o reach the kernel with ZERO
-            # transposes — the kernel slices heads off the lane axis
-            # internally (round-4 'fold the transposes into the kernel').
-            out = fused_attention_packed(
-                q.reshape(batch, length, dim),
-                k.reshape(batch, kv_len, dim),
-                v.reshape(batch, kv_len, dim),
-                attn_bias.key_bias.reshape(batch, kv_len),
-                num_heads=self.num_heads,
-                causal=attn_bias.causal,
-                scale=1.0 / float(head_dim) ** 0.5,
-                dropout_rate=rate,
-                dropout_key=self.make_rng("dropout") if rate > 0.0 else None,
-                interpret=jax.default_backend() != "tpu",
-            )
+            dropout_key = self.make_rng("dropout") if rate > 0.0 else None
+            scale = 1.0 / float(head_dim) ** 0.5
+            interpret = jax.default_backend() != "tpu"
+            key_bias = attn_bias.key_bias.reshape(batch, kv_len)
+            if packed_supported(
+                _round_up(length, 64), self.num_heads, q.dtype.itemsize
+            ):
+                # PACKED layout: the [B,L,H,hd]→[B,L,D] reshape is
+                # layout-free (features are h-major), so q/k/v/o reach the
+                # kernel with ZERO transposes — heads are sliced off the
+                # lane axis in-kernel (headline bench 122.9k→156.6k ex/s).
+                out = fused_attention_packed(
+                    q.reshape(batch, length, dim),
+                    k.reshape(batch, kv_len, dim),
+                    v.reshape(batch, kv_len, dim),
+                    key_bias,
+                    num_heads=self.num_heads,
+                    causal=attn_bias.causal,
+                    scale=scale,
+                    dropout_rate=rate,
+                    dropout_key=dropout_key,
+                    interpret=interpret,
+                )
+                out = out.reshape(batch, length, self.num_heads, head_dim)
+            else:
+                # long-L × many-heads: packed per-head score tiles blow the
+                # scoped-VMEM stack; merged-head blocks stay small and the
+                # transpose cost is noise next to the d≥256 GEMMs
+                bh = batch * self.num_heads
+                out = fused_attention(
+                    q.transpose(0, 2, 1, 3).reshape(bh, length, head_dim),
+                    k.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim),
+                    v.transpose(0, 2, 1, 3).reshape(bh, kv_len, head_dim),
+                    jnp.repeat(key_bias, self.num_heads, axis=0),
+                    causal=attn_bias.causal,
+                    scale=scale,
+                    dropout_rate=rate,
+                    dropout_key=dropout_key,
+                    interpret=interpret,
+                )
+                out = out.reshape(batch, self.num_heads, length, head_dim).transpose(
+                    0, 2, 1, 3
+                )
             return nn.DenseGeneral(
                 features=dim,
                 axis=(-2, -1),
                 dtype=resolve_dtype(self.dtype),
                 param_dtype=jnp.float32,
                 name="out",
-            )(out.reshape(batch, length, self.num_heads, head_dim))
+            )(out)
 
         # heads merged into the batch dim: [(B·H), L, hd] batched GEMMs beat
         # the 4-D "bqhd,bkhd->bhqk" lowering by ~20% at hd=32 on TPU

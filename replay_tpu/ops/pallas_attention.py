@@ -260,14 +260,27 @@ def _attn_bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     dv_ref[:] = jnp.concatenate(dvs, axis=2).astype(dv_ref.dtype)
 
 
-def _pick_block_b_packed(b: int, lp: int, num_heads: int, itemsize: int) -> int:
-    """Per-head score tiles ≤ ~512 KB AND input blocks no bigger than the
-    merged-head kernel's: divide the [B·H] block budget by H."""
+def _packed_block_budget(lp: int, num_heads: int, itemsize: int) -> int:
+    """Batch rows per block keeping per-head f32 score tiles ≤ ~512 KB.
+    The head loop is unrolled, so all H score tiles can be live at once —
+    the merged-head budget divides by H."""
     budget = (512 * 1024) // (lp * lp * 4)
     if itemsize >= 4:
         budget //= 2
-    budget = max(1, budget // num_heads)
-    blk = max(8, min(128, budget))
+    return budget // num_heads
+
+
+def packed_supported(lp: int, num_heads: int, itemsize: int) -> bool:
+    """True when the packed layout fits the scoped-VMEM envelope at a block
+    of ≥ 8 batch rows.  Below that (long sequences × many heads — e.g.
+    lp=256, H=4 measured 24.6 MB stack > the 16 MB limit when the block
+    floor forced blk=8) callers should use the merged-head entry point,
+    where the transposes it pays are noise next to the d≥256 GEMMs."""
+    return _packed_block_budget(lp, num_heads, itemsize) >= 8
+
+
+def _pick_block_b_packed(b: int, lp: int, num_heads: int, itemsize: int) -> int:
+    blk = max(1, min(128, _packed_block_budget(lp, num_heads, itemsize)))
     while b % blk:
         blk //= 2
         if blk < 1:

@@ -266,6 +266,18 @@ def test_packed_dropout_backward_matches_merged_grads():
         )
 
 
+def test_packed_supported_routing():
+    """Production-shape guard: lp=256 × 4 heads measured a 24.6 MB scoped-
+    VMEM stack (> 16 MB limit) — packed must be refused there and allowed
+    at the headline shape."""
+    from replay_tpu.ops.pallas_attention import packed_supported
+
+    assert packed_supported(64, 2, 2)          # headline: d=64, L=50→64
+    assert packed_supported(64, 4, 2)
+    assert not packed_supported(256, 4, 2)     # production: d=256, L=200→256
+    assert not packed_supported(128, 4, 4)     # f32 halves the budget
+
+
 def test_fully_masked_rows_are_finite():
     q, k, v, _ = _make_inputs(jax.random.PRNGKey(5), 8, 16, 32)
     bias = jnp.full((8, 16), -2.3e38, jnp.float32)  # everything masked
