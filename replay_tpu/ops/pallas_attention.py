@@ -261,12 +261,15 @@ def _attn_bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
 
 
 def _packed_block_budget(lp: int, num_heads: int, itemsize: int) -> int:
-    """Batch rows per block keeping per-head f32 score tiles ≤ ~512 KB.
-    The head loop is unrolled, so all H score tiles can be live at once —
-    the merged-head budget divides by H."""
-    budget = (512 * 1024) // (lp * lp * 4)
+    """Batch rows per block for bf16 inputs: ~1 MB of f32 score tile per
+    head (chip sweep at lp=64/H=2: blk 8 → 5.25 ms, 16 → 4.93, 32 → 4.84
+    fwd+bwd, 64 → compile OOM — so target the 32-row point).  The head
+    loop is unrolled, so all H score tiles can be live at once — the
+    budget divides by H.  f32 inputs double every block and temporary:
+    keep their budget at the conservative 512 KB/2 point."""
+    budget = (1024 * 1024) // (lp * lp * 4)
     if itemsize >= 4:
-        budget //= 2
+        budget //= 4
     return budget // num_heads
 
 
@@ -279,8 +282,10 @@ def packed_supported(lp: int, num_heads: int, itemsize: int) -> bool:
     return _packed_block_budget(lp, num_heads, itemsize) >= 8
 
 
-def _pick_block_b_packed(b: int, lp: int, num_heads: int, itemsize: int) -> int:
-    blk = max(1, min(128, _packed_block_budget(lp, num_heads, itemsize)))
+def _pick_block_b_packed(
+    b: int, lp: int, num_heads: int, itemsize: int, block_rows: int = 0
+) -> int:
+    blk = block_rows or max(1, min(128, _packed_block_budget(lp, num_heads, itemsize)))
     while b % blk:
         blk //= 2
         if blk < 1:
@@ -288,19 +293,20 @@ def _pick_block_b_packed(b: int, lp: int, num_heads: int, itemsize: int) -> int:
     return blk
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _attention_core_packed(q, k, v, bias, seed, scale, causal, rate,
-                           num_heads, interpret):
+                           num_heads, interpret, block_rows=0):
     out, _ = _attention_core_packed_fwd(
-        q, k, v, bias, seed, scale, causal, rate, num_heads, interpret
+        q, k, v, bias, seed, scale, causal, rate, num_heads, interpret,
+        block_rows
     )
     return out
 
 
 def _attention_core_packed_fwd(q, k, v, bias, seed, scale, causal, rate,
-                               num_heads, interpret):
+                               num_heads, interpret, block_rows=0):
     b, lp, d = q.shape
-    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize)
+    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize, block_rows)
     grid = (b // blk,)
     spec3 = pl.BlockSpec(
         (blk, lp, d), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
@@ -330,10 +336,10 @@ def _attention_core_packed_fwd(q, k, v, bias, seed, scale, causal, rate,
 
 
 def _attention_core_packed_bwd(scale, causal, rate, num_heads, interpret,
-                               residuals, do):
+                               block_rows, residuals, do):
     q, k, v, bias, seed = residuals
     b, lp, d = q.shape
-    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize)
+    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize, block_rows)
     grid = (b // blk,)
     spec3 = pl.BlockSpec(
         (blk, lp, d), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
@@ -391,6 +397,7 @@ def fused_attention_packed(
     dropout_rate: float = 0.0,
     dropout_key=None,
     interpret: bool = False,
+    block_rows: int = 0,
 ) -> jnp.ndarray:
     """:func:`fused_attention` on the PACKED [B, L, H·hd] layout — the
     natural output of the q/k/v projections — with a static in-kernel head
@@ -408,7 +415,7 @@ def fused_attention_packed(
         msg = f"model dim {d} not divisible by num_heads {num_heads}"
         raise ValueError(msg)
     lp = _round_up(length, 64)
-    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize)
+    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize, block_rows)
     b_pad = _round_up(b, blk)
     rate = float(dropout_rate)
 
@@ -429,7 +436,8 @@ def fused_attention_packed(
     else:
         seed = jnp.zeros((1,), jnp.int32)
     out = _attention_core_packed(
-        qp, kp, vp, bias, seed, scale, causal, rate, num_heads, interpret
+        qp, kp, vp, bias, seed, scale, causal, rate, num_heads, interpret,
+        block_rows
     )
     return out[:b, :length, :]
 
