@@ -1,4 +1,13 @@
-"""Step bisect at headline config with packed attention (round-4 late)."""
+"""Step bisect of the headline train step (PERF.md profile tool).
+
+Times the full train step at the bench.py config with 2/1/0 transformer
+blocks and with a zero-cost loss, separating CE / per-block / embed+opt
+slices.  Run from the repo root on a TPU host: `python scripts/step_bisect.py`.
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import time
 import numpy as np
 
