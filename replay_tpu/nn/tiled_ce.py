@@ -204,6 +204,79 @@ def _flash_bwd(block_m, block_n, compute_dtype, interpret, residuals, g):
 flash_ce_nll.defvjp(_flash_fwd, _flash_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_ce_mean(hidden, labels, mask, item_weights, block_m: int = 128,
+                  compute_dtype=None, interpret: bool = False):
+    """Masked-mean CE via the ONE-PASS eager-grad kernel
+    (ops/pallas_ce.py::flash_lse_and_grads): the forward computes the loss
+    AND both softmax gradients in a single exp sweep; the backward merely
+    scales the saved grads by the scalar upstream cotangent.
+
+    Exact same value as ``_masked_mean(flash_ce_nll(...), mask)`` — but CE
+    at small catalogs is transcendental-bound (PERF.md round-4 bisect: the
+    exp sweeps ARE the cost), and the two-pass formulation pays exp twice.
+    Valid because the masked mean's cotangent w.r.t. this scalar is a
+    scalar — per-row weights mask/Σmask are known at forward time.
+    """
+    loss, _ = _eager_forward(
+        hidden, labels, mask, item_weights, block_m, compute_dtype, interpret
+    )
+    return loss
+
+
+def _eager_forward(hidden, labels, mask, item_weights, block_m,
+                   compute_dtype, interpret):
+    from replay_tpu.ops.pallas_ce import flash_lse_and_grads
+
+    flat_h = hidden.reshape(-1, hidden.shape[-1])
+    flat_labels = labels.reshape(-1)
+    mask_f = mask.astype(jnp.float32).reshape(-1)
+    # EXACT _masked_mean semantics: numerator selects rows with mask > 0,
+    # denominator sums the raw float mask
+    g_rows = jnp.where(mask_f > 0, 1.0, 0.0) / jnp.maximum(
+        jnp.sum(mask_f), 1.0
+    )
+    lse_panel, dh_soft, dw_soft = flash_lse_and_grads(
+        flat_h, item_weights, g_rows, block_m=block_m,
+        interpret=interpret, compute_dtype=compute_dtype,
+    )
+    pos_w = jnp.take(item_weights, flat_labels, axis=0)
+    h_for_pos = flat_h
+    if compute_dtype is not None:
+        pos_w = pos_w.astype(compute_dtype)
+        h_for_pos = flat_h.astype(compute_dtype)
+    pos_logit = jnp.einsum(
+        "md,md->m", h_for_pos, pos_w, preferred_element_type=jnp.float32
+    )
+    loss = jnp.sum((lse_panel[:, 0] - pos_logit) * g_rows)
+    dh = dh_soft - g_rows[:, None] * pos_w.astype(jnp.float32)
+    dw = dw_soft.at[flat_labels].add(
+        -g_rows[:, None] * flat_h.astype(jnp.float32)
+    )
+    return loss, (dh, dw)
+
+
+def _eager_fwd(hidden, labels, mask, item_weights, block_m, compute_dtype,
+               interpret):
+    loss, (dh, dw) = _eager_forward(
+        hidden, labels, mask, item_weights, block_m, compute_dtype, interpret
+    )
+    # residuals pre-shaped/typed as the primal cotangents (shape/dtype are
+    # static and cannot ride in the residual pytree)
+    return loss, (
+        dh.reshape(hidden.shape).astype(hidden.dtype),
+        dw.astype(item_weights.dtype),
+    )
+
+
+def _eager_bwd(block_m, compute_dtype, interpret, residuals, g):
+    dh, dw = residuals
+    return (g.astype(dh.dtype) * dh, None, None, g.astype(dw.dtype) * dw)
+
+
+flash_ce_mean.defvjp(_eager_fwd, _eager_bwd)
+
+
 class CELossTiled:
     """Exact full-softmax CE with streaming tiles (drop-in for CELoss).
 
@@ -232,10 +305,23 @@ class CELossTiled:
         impl = self.impl
         if impl == "auto":
             impl = "flash" if jax.default_backend() == "tpu" else "scan"
+        compute_dtype = self.compute_dtype
         if impl == "flash":
+            from replay_tpu.ops.pallas_ce import eager_ce_supported
+
+            n, d = item_weights.shape
+            if eager_ce_supported(n, d):
+                # small catalog: the whole [N, D] table fits VMEM — the
+                # one-pass eager-grad kernel computes loss AND grads with a
+                # single exp sweep (the two-pass flash path pays exp twice;
+                # CE is transcendental-bound here, PERF.md round-4 bisect)
+                return flash_ce_mean(
+                    hidden, labels, mask, item_weights,
+                    128, compute_dtype, False,
+                )
             nll = flash_ce_nll(
                 hidden, labels, item_weights,
-                512, min(self.tile, 2048), self.compute_dtype, False,
+                512, min(self.tile, 2048), compute_dtype, False,
             )
         else:
             nll = tiled_ce_nll(

@@ -173,6 +173,111 @@ def _dhw_kernel(h_ref, w_ref, bias_ref, lse_ref, g_ref, dh_part_ref, dw_ref,
         dw_ref[:] = dw_s[:]
 
 
+def _eager_kernel(h_ref, w_ref, bias_ref, g_ref, lse_ref, dh_ref, dw_ref,
+                  dw_s, *, m_steps, compute_dtype):
+    """Single-pass value+grad: per m-block, the WHOLE catalog's logit row
+    lives in VMEM, so exp is computed exactly once for loss statistics AND
+    both softmax-term gradients.  The two-pass kernels above pay that exp
+    twice (flash_lse forward + recompute in the backward) — at small
+    catalogs CE is transcendental-bound, so this halves its cost.  Only
+    valid when the cotangent of the downstream reduction is a SCALAR
+    (masked mean): ``g_ref`` carries the per-row weight mask/Σmask and the
+    caller's backward just scales the saved grads."""
+    mi = pl.program_id(0)
+
+    @pl.when(mi == 0)
+    def _init():
+        dw_s[:] = jnp.zeros_like(dw_s[:])
+
+    logits, h, w = _masked_logits(
+        h_ref, w_ref, bias_ref, compute_dtype=compute_dtype
+    )
+    mx = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - mx)  # the ONE exp sweep
+    s = jnp.sum(e, axis=1, keepdims=True)
+    lse_ref[:] = jnp.broadcast_to(mx + jnp.log(s), lse_ref.shape)
+    p = (e * (g_ref[:][:, :1] / s)).astype(w.dtype)  # softmax · row grad
+    dh_ref[:] = jax.lax.dot_general(
+        p, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw_s[:] = dw_s[:] + jax.lax.dot_general(
+        p, h, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(mi == m_steps - 1)
+    def _fin():
+        dw_ref[:] = dw_s[:]
+
+
+def eager_ce_supported(n: int, d: int, block_m: int = 128,
+                       itemsize: int = 4) -> bool:
+    """True when the one-pass kernel's VMEM footprint fits: full [N_pad, D]
+    table + dW scratch + [block_m, N_pad] logits/exp tiles ≤ ~8 MB."""
+    n_pad = -(-n // LANES) * LANES
+    table = n_pad * d * (itemsize + 4)      # w block + f32 dW scratch
+    tiles = 3 * block_m * n_pad * 4         # logits, exp, p
+    return table + tiles <= (8 << 20)
+
+
+@partial(jax.jit, static_argnames=("block_m", "interpret", "compute_dtype"))
+def flash_lse_and_grads(flat_h, item_weights, g_rows, block_m: int = 128,
+                        interpret: bool = False, compute_dtype=None):
+    """One fused pass: lse panel + softmax-term dh/dW for a scalar-cotangent
+    reduction (``g_rows`` = per-row weights of the masked mean).
+
+    :returns: (lse [M, LANES] f32, dh [M, D] f32, dW [N, D] f32) — the
+        softmax terms only; the caller subtracts the positive-label parts.
+    """
+    m, d = flat_h.shape
+    n = item_weights.shape[0]
+    w_p, n_pad = _pad_rows(item_weights, LANES)
+    block_m = min(block_m, -(-m // 8) * 8)
+    h_p, m_pad = _pad_rows(flat_h, block_m)
+    g_p, _ = _pad_rows(
+        jnp.broadcast_to(g_rows.reshape(-1, 1).astype(jnp.float32), (m, LANES)),
+        block_m,
+    )
+    bias = _col_bias(n, n_pad)
+    grid = (m_pad // block_m,)
+    lse, dh, dw = pl.pallas_call(
+        partial(_eager_kernel, m_steps=grid[0], compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, d), lambda mi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_pad), lambda mi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, LANES), lambda mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, LANES), lambda mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, d), lambda mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, d), lambda mi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n_pad, d), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * m_pad * n_pad * d,
+            bytes_accessed=(m_pad * 2 + n_pad * 2) * d * 4,
+            transcendentals=m_pad * n_pad,
+        ),
+    )(h_p, w_p, bias, g_p)
+    return lse[:m], dh[:m], dw[:n]
+
+
 def _pad_rows(x, multiple):
     m = x.shape[0]
     padded = -(-m // multiple) * multiple

@@ -212,3 +212,87 @@ class TestFlashBackwardPaths:
         ref, got = self._grads(n_items, block_n)
         np.testing.assert_allclose(ref[0], got[0], rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(ref[1], got[1], rtol=1e-4, atol=1e-6)
+
+
+class TestEagerFlashCE:
+    """One-pass eager-grad CE (flash_ce_mean, interpret mode on CPU): exact
+    same scalar and gradients as the dense/masked-mean formulation."""
+
+    def _mean(self, hidden, labels, mask, weights, **kw):
+        from replay_tpu.nn.tiled_ce import flash_ce_mean
+        from replay_tpu.nn.losses import _safe_labels
+
+        return flash_ce_mean(
+            hidden, _safe_labels(labels, mask), mask, weights,
+            kw.get("block_m", 16), kw.get("compute_dtype"), True,
+        )
+
+    def test_loss_matches_dense(self, inputs):
+        hidden, labels, mask, weights = inputs
+        dense = CELoss()(hidden, labels, mask, weights)
+        got = self._mean(hidden, labels, mask, weights)
+        np.testing.assert_allclose(dense, got, rtol=1e-5)
+
+    def test_gradients_match_dense(self, inputs):
+        hidden, labels, mask, weights = inputs
+        ref = jax.grad(
+            lambda h, w: CELoss()(h, labels, mask, w), argnums=(0, 1)
+        )(hidden, weights)
+        got = jax.grad(
+            lambda h, w: self._mean(h, labels, mask, w), argnums=(0, 1)
+        )(hidden, weights)
+        np.testing.assert_allclose(ref[0], got[0], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(ref[1], got[1], rtol=1e-4, atol=1e-6)
+
+    def test_scalar_cotangent_scales_grads(self, inputs):
+        """The backward only scales saved grads — any scalar upstream
+        factor (loss combinations, lr-scaled losses) must flow exactly."""
+        hidden, labels, mask, weights = inputs
+        g1 = jax.grad(lambda h: self._mean(h, labels, mask, weights))(hidden)
+        g3 = jax.grad(
+            lambda h: 3.0 * self._mean(h, labels, mask, weights)
+        )(hidden)
+        np.testing.assert_allclose(np.asarray(g3), 3.0 * np.asarray(g1),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_duplicate_labels_and_poisoned_padding(self, inputs):
+        hidden, _, mask, weights = inputs
+        labels = jnp.zeros((B, L), jnp.int32)  # every row the same label
+        poisoned = jnp.where(mask > 0, labels, N + 7)
+        ref = jax.grad(
+            lambda w: CELoss()(hidden, labels, mask, w)
+        )(weights)
+        got = jax.grad(
+            lambda w: self._mean(hidden, poisoned, mask, w)
+        )(weights)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_all_masked_is_finite(self, inputs):
+        hidden, labels, _, weights = inputs
+        mask = jnp.zeros((B, L), jnp.float32)
+        val, grad = jax.value_and_grad(
+            lambda h: self._mean(h, labels, mask, weights)
+        )(hidden)
+        assert np.isfinite(float(val))
+        assert bool(jnp.all(jnp.isfinite(grad)))
+
+    def test_dispatched_from_celosstiled(self, inputs, monkeypatch):
+        """CELossTiled(impl='flash') routes small catalogs to the eager
+        path; value must stay identical to the scan path."""
+        hidden, labels, mask, weights = inputs
+        from replay_tpu.ops.pallas_ce import eager_ce_supported
+
+        assert eager_ce_supported(N, D)
+        assert not eager_ce_supported(2_000_000, 64)
+        # interpret-mode equivalence of the two call paths on CPU
+        scan = CELossTiled(tile=32, impl="scan")(hidden, labels, mask, weights)
+        eager = self._mean(hidden, labels, mask, weights)
+        np.testing.assert_allclose(scan, eager, rtol=1e-5)
+
+    def test_bf16_compute_close(self, inputs):
+        hidden, labels, mask, weights = inputs
+        f32 = self._mean(hidden, labels, mask, weights)
+        bf16 = self._mean(hidden, labels, mask, weights,
+                          compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(float(f32), float(bf16), rtol=2e-2)
