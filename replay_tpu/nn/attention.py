@@ -184,10 +184,11 @@ class MultiHeadSelfAttention(nn.Module):
                 # layout-free (features are h-major), so q/k/v/o reach the
                 # kernel with ZERO transposes — heads are sliced off the
                 # lane axis in-kernel (headline bench 122.9k→156.6k ex/s).
+                hd_total = self.num_heads * head_dim  # == dim when divisible
                 out = fused_attention_packed(
-                    q.reshape(batch, length, dim),
-                    k.reshape(batch, kv_len, dim),
-                    v.reshape(batch, kv_len, dim),
+                    q.reshape(batch, length, hd_total),
+                    k.reshape(batch, kv_len, hd_total),
+                    v.reshape(batch, kv_len, hd_total),
                     key_bias,
                     num_heads=self.num_heads,
                     causal=attn_bias.causal,
