@@ -218,10 +218,35 @@ def flash_ce_mean(hidden, labels, mask, item_weights, block_m: int = 128,
     Valid because the masked mean's cotangent w.r.t. this scalar is a
     scalar — per-row weights mask/Σmask are known at forward time.
     """
-    loss, _ = _eager_forward(
-        hidden, labels, mask, item_weights, block_m, compute_dtype, interpret
+    # undifferentiated call: value-only kernel with the SAME reduction order
+    # (bitwise-equal loss), none of the eager-grad work — eval/metric-logging
+    # paths skip the dh/dW GEMMs entirely.  The eager kernel runs only in
+    # _eager_fwd, i.e. under differentiation.
+    from replay_tpu.ops.pallas_ce import eager_lse
+
+    flat_h = hidden.reshape(-1, hidden.shape[-1])
+    lse_panel = eager_lse(
+        flat_h, item_weights, block_m=block_m, interpret=interpret,
+        compute_dtype=compute_dtype,
     )
-    return loss
+    # same summation order as _eager_forward (Σ nll·g, g pre-divided) so
+    # eval- and train-path loss values agree to the kernel's ulp
+    mask_f = mask.astype(jnp.float32).reshape(-1)
+    g_rows = jnp.where(mask_f > 0, 1.0, 0.0) / jnp.maximum(
+        jnp.sum(mask_f), 1.0
+    )
+    pos_logit = _pos_logit(flat_h, labels, item_weights, compute_dtype)
+    return jnp.sum((lse_panel[:, 0] - pos_logit) * g_rows)
+
+
+def _pos_logit(flat_h, labels, item_weights, compute_dtype):
+    pos_w = jnp.take(item_weights, labels.reshape(-1), axis=0)
+    if compute_dtype is not None:
+        pos_w = pos_w.astype(compute_dtype)
+        flat_h = flat_h.astype(compute_dtype)
+    return jnp.einsum(
+        "md,md->m", flat_h, pos_w, preferred_element_type=jnp.float32
+    )
 
 
 def _eager_forward(hidden, labels, mask, item_weights, block_m,
@@ -240,16 +265,13 @@ def _eager_forward(hidden, labels, mask, item_weights, block_m,
         flat_h, item_weights, g_rows, block_m=block_m,
         interpret=interpret, compute_dtype=compute_dtype,
     )
-    pos_w = jnp.take(item_weights, flat_labels, axis=0)
-    h_for_pos = flat_h
-    if compute_dtype is not None:
-        pos_w = pos_w.astype(compute_dtype)
-        h_for_pos = flat_h.astype(compute_dtype)
-    pos_logit = jnp.einsum(
-        "md,md->m", h_for_pos, pos_w, preferred_element_type=jnp.float32
-    )
+    pos_logit = _pos_logit(flat_h, labels, item_weights, compute_dtype)
     loss = jnp.sum((lse_panel[:, 0] - pos_logit) * g_rows)
-    dh = dh_soft - g_rows[:, None] * pos_w.astype(jnp.float32)
+    # gradient terms stay FULL f32 regardless of the GEMM compute dtype —
+    # matching _flash_bwd (a bf16-rounded pos_w here would silently change
+    # grad precision between the eager and two-pass sub-paths)
+    pos_w = jnp.take(item_weights, flat_labels, axis=0).astype(jnp.float32)
+    dh = dh_soft - g_rows[:, None] * pos_w
     dw = dw_soft.at[flat_labels].add(
         -g_rows[:, None] * flat_h.astype(jnp.float32)
     )
@@ -299,6 +321,9 @@ class CELossTiled:
         self.compute_dtype = (
             jnp.dtype(compute_dtype) if compute_dtype is not None else None
         )
+        # test hook: impl="flash" off-TPU runs the Pallas kernels in
+        # interpret mode, letting CPU tests drive the REAL dispatch branch
+        self._interpret = False
 
     def __call__(self, hidden, labels, mask, item_weights, *, key=None):
         labels = _safe_labels(labels, mask)
@@ -317,11 +342,11 @@ class CELossTiled:
                 # CE is transcendental-bound here, PERF.md round-4 bisect)
                 return flash_ce_mean(
                     hidden, labels, mask, item_weights,
-                    128, compute_dtype, False,
+                    128, compute_dtype, self._interpret,
                 )
             nll = flash_ce_nll(
                 hidden, labels, item_weights,
-                512, min(self.tile, 2048), compute_dtype, False,
+                512, min(self.tile, 2048), compute_dtype, self._interpret,
             )
         else:
             nll = tiled_ce_nll(

@@ -151,12 +151,10 @@ def _pick_block_bh(bh: int, lp: int, itemsize: int = 2) -> int:
     budget = (512 * 1024) // (lp * lp * 4)
     if itemsize >= 4:
         budget //= 2
-    blk = max(8, min(128, budget))
-    while bh % blk:
-        blk //= 2
-        if blk < 1:
-            return bh
-    return blk
+    # callers pad bh UP to a multiple of the returned block (bh_pad) — do
+    # not shrink the block toward 1 for awkward batch sizes, which would
+    # under-fill the MXU with 1-row grid steps
+    return min(max(8, min(128, budget)), -(-bh // 8) * 8)
 
 
 def _packed_head_slices(ref, num_heads: int):
@@ -285,12 +283,11 @@ def packed_supported(lp: int, num_heads: int, itemsize: int) -> bool:
 def _pick_block_b_packed(
     b: int, lp: int, num_heads: int, itemsize: int, block_rows: int = 0
 ) -> int:
+    """Callers pad b UP to a multiple of the returned block (b_pad) — the
+    budgeted block size is kept even for awkward batch sizes rather than
+    collapsing toward 1-row grid steps."""
     blk = block_rows or max(1, min(128, _packed_block_budget(lp, num_heads, itemsize)))
-    while b % blk:
-        blk //= 2
-        if blk < 1:
-            return b
-    return blk
+    return min(blk, -(-b // 8) * 8)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))

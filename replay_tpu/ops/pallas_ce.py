@@ -211,6 +211,20 @@ def _eager_kernel(h_ref, w_ref, bias_ref, g_ref, lse_ref, dh_ref, dw_ref,
         dw_ref[:] = dw_s[:]
 
 
+def _eager_lse_kernel(h_ref, w_ref, bias_ref, g_ref, lse_ref, *,
+                      compute_dtype):
+    """Value-only variant of :func:`_eager_kernel` — IDENTICAL reduction
+    order (whole-row max over the full catalog), so the primal call of
+    ``flash_ce_mean`` returns bitwise the same loss as the eager fwd while
+    skipping the grad GEMMs/outputs that eval-only callers don't need."""
+    logits, _, _ = _masked_logits(
+        h_ref, w_ref, bias_ref, compute_dtype=compute_dtype
+    )
+    mx = jnp.max(logits, axis=1, keepdims=True)
+    s = jnp.sum(jnp.exp(logits - mx), axis=1, keepdims=True)
+    lse_ref[:] = jnp.broadcast_to(mx + jnp.log(s), lse_ref.shape)
+
+
 def eager_ce_supported(n: int, d: int, block_m: int = 128,
                        itemsize: int = 4) -> bool:
     """True when the one-pass kernel's VMEM footprint fits: full [N_pad, D]
@@ -219,6 +233,27 @@ def eager_ce_supported(n: int, d: int, block_m: int = 128,
     table = n_pad * d * (itemsize + 4)      # w block + f32 dW scratch
     tiles = 3 * block_m * n_pad * 4         # logits, exp, p
     return table + tiles <= (8 << 20)
+
+
+def _eager_operands(flat_h, item_weights, g_rows, block_m):
+    m, d = flat_h.shape
+    n = item_weights.shape[0]
+    w_p, n_pad = _pad_rows(item_weights, LANES)
+    block_m = min(block_m, -(-m // 8) * 8)
+    h_p, m_pad = _pad_rows(flat_h, block_m)
+    g_p, _ = _pad_rows(
+        jnp.broadcast_to(g_rows.reshape(-1, 1).astype(jnp.float32), (m, LANES)),
+        block_m,
+    )
+    bias = _col_bias(n, n_pad)
+    specs = [
+        pl.BlockSpec((block_m, d), lambda mi: (mi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_pad, d), lambda mi: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, n_pad), lambda mi: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, LANES), lambda mi: (mi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return (h_p, w_p, bias, g_p), specs, block_m, m_pad, n_pad
 
 
 @partial(jax.jit, static_argnames=("block_m", "interpret", "compute_dtype"))
@@ -232,28 +267,14 @@ def flash_lse_and_grads(flat_h, item_weights, g_rows, block_m: int = 128,
     """
     m, d = flat_h.shape
     n = item_weights.shape[0]
-    w_p, n_pad = _pad_rows(item_weights, LANES)
-    block_m = min(block_m, -(-m // 8) * 8)
-    h_p, m_pad = _pad_rows(flat_h, block_m)
-    g_p, _ = _pad_rows(
-        jnp.broadcast_to(g_rows.reshape(-1, 1).astype(jnp.float32), (m, LANES)),
-        block_m,
+    ops, in_specs, block_m, m_pad, n_pad = _eager_operands(
+        flat_h, item_weights, g_rows, block_m
     )
-    bias = _col_bias(n, n_pad)
     grid = (m_pad // block_m,)
     lse, dh, dw = pl.pallas_call(
         partial(_eager_kernel, m_steps=grid[0], compute_dtype=compute_dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, d), lambda mi: (mi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, d), lambda mi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_pad), lambda mi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, LANES), lambda mi: (mi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((block_m, LANES), lambda mi: (mi, 0),
                          memory_space=pltpu.VMEM),
@@ -274,8 +295,36 @@ def flash_lse_and_grads(flat_h, item_weights, g_rows, block_m: int = 128,
             bytes_accessed=(m_pad * 2 + n_pad * 2) * d * 4,
             transcendentals=m_pad * n_pad,
         ),
-    )(h_p, w_p, bias, g_p)
+    )(*ops)
     return lse[:m], dh[:m], dw[:n]
+
+
+@partial(jax.jit, static_argnames=("block_m", "interpret", "compute_dtype"))
+def eager_lse(flat_h, item_weights, block_m: int = 128,
+              interpret: bool = False, compute_dtype=None):
+    """Value-only twin of :func:`flash_lse_and_grads` with the SAME
+    whole-row reduction order — bitwise-equal lse, none of the grad work.
+    Used for the primal (undifferentiated) call of ``flash_ce_mean``."""
+    m, d = flat_h.shape
+    g_dummy = jnp.zeros((m,), jnp.float32)
+    ops, in_specs, block_m, m_pad, n_pad = _eager_operands(
+        flat_h, item_weights, g_dummy, block_m
+    )
+    lse = pl.pallas_call(
+        partial(_eager_lse_kernel, compute_dtype=compute_dtype),
+        grid=(m_pad // block_m,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, LANES), lambda mi: (mi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * d,
+            bytes_accessed=(m_pad + n_pad) * d * 4,
+            transcendentals=m_pad * n_pad,
+        ),
+    )(*ops)
+    return lse[:m]
 
 
 def _pad_rows(x, multiple):

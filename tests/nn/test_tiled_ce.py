@@ -277,18 +277,33 @@ class TestEagerFlashCE:
         assert np.isfinite(float(val))
         assert bool(jnp.all(jnp.isfinite(grad)))
 
-    def test_dispatched_from_celosstiled(self, inputs, monkeypatch):
-        """CELossTiled(impl='flash') routes small catalogs to the eager
-        path; value must stay identical to the scan path."""
+    def test_dispatched_from_celosstiled(self, inputs):
+        """Drive CELossTiled's REAL flash->eager dispatch branch (via the
+        interpret hook) — value AND grads must match the scan path, so a
+        mis-wired argument in the dispatch call cannot stay green."""
         hidden, labels, mask, weights = inputs
         from replay_tpu.ops.pallas_ce import eager_ce_supported
 
         assert eager_ce_supported(N, D)
         assert not eager_ce_supported(2_000_000, 64)
-        # interpret-mode equivalence of the two call paths on CPU
-        scan = CELossTiled(tile=32, impl="scan")(hidden, labels, mask, weights)
-        eager = self._mean(hidden, labels, mask, weights)
-        np.testing.assert_allclose(scan, eager, rtol=1e-5)
+        flash = CELossTiled(tile=32, impl="flash")
+        flash._interpret = True
+        scan_v, scan_g = jax.value_and_grad(
+            lambda h, w: CELossTiled(tile=32, impl="scan")(h, labels, mask, w),
+            argnums=(0, 1),
+        )(hidden, weights)
+        got_v, got_g = jax.value_and_grad(
+            lambda h, w: flash(h, labels, mask, w), argnums=(0, 1)
+        )(hidden, weights)
+        np.testing.assert_allclose(scan_v, got_v, rtol=1e-5)
+        for a, b in zip(scan_g, got_g):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        # value-only call (primal path, no grad work) agrees bitwise with
+        # the differentiated forward's value
+        np.testing.assert_array_equal(
+            np.asarray(flash(hidden, labels, mask, weights)),
+            np.asarray(got_v),
+        )
 
     def test_bf16_compute_close(self, inputs):
         hidden, labels, mask, weights = inputs
