@@ -1,0 +1,54 @@
+import sys, time, os
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import numpy as np
+import bench as B
+import jax, jax.numpy as jnp
+from replay_tpu.data.nn.schema import (TensorFeatureInfo, TensorFeatureSource, TensorFeatureType, TensorSchema)
+from replay_tpu.data.schema import FeatureHint, FeatureSource
+from replay_tpu.nn.sequential.sasrec import SasRec
+from replay_tpu.nn.tiled_ce import CELossTiled
+from replay_tpu.nn.training import OptimizerFactory, Trainer, TrainerConfig
+from replay_tpu.nn.transforms import NextTokenTransform
+from replay_tpu.parallel import make_mesh
+
+def run(k, fused=True, impl="auto", label=""):
+    os.environ["REPLAY_TPU_FUSED_ATTENTION"] = "1" if fused else "0"
+    schema = TensorSchema(TensorFeatureInfo(
+        "item_id", TensorFeatureType.CATEGORICAL, is_seq=True,
+        feature_hint=FeatureHint.ITEM_ID,
+        feature_sources=[TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")],
+        cardinality=B.N_ITEMS, embedding_dim=B.DIM, padding_value=B.N_ITEMS))
+    model = SasRec(schema=schema, max_sequence_length=B.SEQ_LEN, num_blocks=B.BLOCKS, num_heads=B.HEADS)
+    trainer = Trainer(model, CELossTiled(tile=2048, impl=impl),
+                      optimizer=OptimizerFactory(1e-3), transform=NextTokenTransform(),
+                      config=TrainerConfig(batch_size=B.BATCH, max_sequence_length=B.SEQ_LEN,
+                                           steps_per_dispatch=k),
+                      mesh=make_mesh())
+    rng = np.random.default_rng(0)
+    batch = {
+        "item_id": rng.integers(0, B.N_ITEMS, (B.BATCH, B.SEQ_LEN + 1)).astype(np.int32),
+        "padding_mask": np.ones((B.BATCH, B.SEQ_LEN + 1), dtype=np.int8),
+        "batch_mask": np.ones(B.BATCH, dtype=np.int8),
+        "query_id": np.arange(B.BATCH, dtype=np.int64),
+        "seq_len": np.full(B.BATCH, B.SEQ_LEN + 1, dtype=np.int32),
+    }
+    trainer.init_state(batch)
+    multi = trainer._build_train_multistep()
+    group = trainer._place_stacked([batch] * k)
+    key = jax.random.PRNGKey(0)
+    state = trainer.state
+    state, stats = multi(state, group, key, 0)
+    float(stats["loss"][-1])
+    t0 = time.perf_counter()
+    n_disp = max(2, 16 // k)
+    for i in range(n_disp):
+        state, stats = multi(state, group, key, k * (i + 1))
+    float(stats["loss"][-1])
+    dt = time.perf_counter() - t0
+    print(f"{label or f'k={k} fused={fused} impl={impl}'}: {dt / (k * n_disp) * 1e3:.2f} ms/step", flush=True)
+
+run(2)
+run(8, fused=False)
+run(8, impl="scan")
+run(8, fused=False, impl="scan", label="k=8 no-pallas-at-all")

@@ -200,7 +200,25 @@ class Trainer:
         self.extra_variables = variables  # e.g. {"constants": ...}
         shardings = infer_param_shardings(params, self.mesh)
         params = jax.device_put(params, shardings)
-        self.state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
+        state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
+        # flax seeds step=0 (python int) and optax its scalar counts as
+        # UNCOMMITTED single-device arrays; the first train step returns
+        # them committed with mesh shardings — a DIFFERENT jit signature,
+        # so every fit paid a full SECOND compile of the train step on its
+        # second dispatch (measured 10-40 s through the remote-TPU
+        # toolchain).  Commit all scalar counters replicated up front; the
+        # optimizer moments already inherit the params' shardings.
+        replicated = jax.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+
+        def _commit_scalars(leaf):
+            if isinstance(leaf, jnp.ndarray) and leaf.ndim == 0:
+                return jax.device_put(leaf, replicated)
+            return leaf
+
+        self.state = state.replace(
+            step=jax.device_put(jnp.asarray(0, jnp.int32), replicated),
+            opt_state=jax.tree_util.tree_map(_commit_scalars, state.opt_state),
+        )
         return self.state
 
     # ------------------------------------------------------------------ step

@@ -88,3 +88,31 @@ def test_steps_per_dispatch_matches_one_step_path(seq_dataset):
         # Same-program bitwise reproducibility is asserted above in
         # test_same_seed_bitwise_reproducible.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=5e-7)
+
+
+def test_train_step_compiles_exactly_once(seq_dataset):
+    """The state's scalar counters (flax step, optax count) must enter the
+    jitted step COMMITTED with mesh shardings — otherwise the second
+    dispatch sees a different input signature and silently recompiles the
+    whole train step (measured 10-40 s per fit on the remote-TPU
+    toolchain)."""
+    import jax
+
+    model = SasRec(schema=seq_dataset.schema, max_sequence_length=8,
+                   num_blocks=1, num_heads=2)
+    trainer = Trainer(
+        model,
+        CESampledLoss(8),
+        optimizer=OptimizerFactory(3e-3),
+        transform=NextTokenTransform(),
+        config=TrainerConfig(max_epochs=1, batch_size=8, max_sequence_length=8),
+    )
+    batch = next(iter(seq_dataset.batches(batch_size=8, max_sequence_length=8)))
+    trainer.init_state(batch)
+    step = trainer._build_train_step()
+    db = trainer._place_batch(batch)
+    key = jax.random.PRNGKey(0)
+    state = trainer.state
+    for i in range(3):
+        state, _ = step(state, db, jax.random.fold_in(key, i))
+    assert step._cache_size() == 1
