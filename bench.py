@@ -199,10 +199,12 @@ def bench_torch() -> float:
 # reported ratio SMALLER, never inflate it (round-3 verdict weak #1: the
 # live-only denominator once rode a 51 ex/s loaded-box sample vs ~330 idle).
 PINNED_TORCH_IDLE = {
-    "value": 321.5,
+    "value": 400.3,
     "unit": "examples/s",
-    "measured": "2026-08-20 idle 4-core box, median of 3 trials "
-    "(305.1/321.5/321.7); round-3's loaded-box 51 ex/s sample retired",
+    "measured": "2026-08-20 round-4 official bench run (BENCH_r04.json "
+    "torch_live) — the fastest verified torch-on-this-box sample, kept as "
+    "the CANONICAL denominator so docs and BENCH agree; earlier idle-box "
+    "median was 321.5",
 }
 
 

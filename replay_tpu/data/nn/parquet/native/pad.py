@@ -24,27 +24,50 @@ _FN_BY_DTYPE = {
 }
 
 
+def _build_dirs() -> list:
+    """Candidate output dirs: package dir, then a per-user cache dir (the
+    package dir may be read-only in installed environments)."""
+    dirs = [Path(__file__).parent]
+    try:
+        import os
+        cache = Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")) / "replay_tpu"
+        dirs.append(cache)
+    except Exception:  # pragma: no cover - $HOME unset edge case
+        pass
+    return dirs
+
+
+def _compile(src: Path, out: Path) -> bool:
+    """Compile to a unique temp file, then atomically rename into place so a
+    concurrent builder (multi-process training, parallel test workers) can
+    never CDLL a partially written .so."""
+    import os
+    tmp = out.with_suffix(f".tmp{os.getpid()}.so")
+    for flags in (["-march=native"], []):
+        cmd = ["g++", "-O3", *flags, "-std=c++17", "-shared", "-fPIC",
+               str(src), "-o", str(tmp), "-lpthread"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, out)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+            tmp.unlink(missing_ok=True)
+    return False
+
+
 def _build_library() -> Optional[Path]:
     src = Path(__file__).parent / "pad.cpp"
-    out = Path(__file__).parent / "libreplay_pad.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
-        return out
-    cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(src), "-o", str(out), "-lpthread",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        return out
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        if "-march=native" in cmd:
-            cmd.remove("-march=native")
-            try:
-                subprocess.run(cmd, check=True, capture_output=True)
+    for out_dir in _build_dirs():
+        out = out_dir / "libreplay_pad.so"
+        try:
+            if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
                 return out
-            except (subprocess.CalledProcessError, FileNotFoundError):
-                return None
-        return None
+            out_dir.mkdir(parents=True, exist_ok=True)
+        except OSError:
+            continue
+        if _compile(src, out):
+            return out
+    return None
 
 
 def _load():

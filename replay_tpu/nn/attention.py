@@ -149,7 +149,19 @@ class MultiHeadSelfAttention(nn.Module):
             # kernel (interpreted off-TPU), =0 is the kill switch
             env = os.environ.get("REPLAY_TPU_FUSED_ATTENTION")
             if env is not None:
-                flag = env not in ("0", "false", "False")
+                lowered = env.strip().lower()
+                if lowered in ("1", "true", "on", "yes"):
+                    flag = True
+                elif lowered in ("0", "false", "off", "no", ""):
+                    flag = False
+                else:  # typo: warn and fall through to the auto heuristic
+                    import warnings
+
+                    warnings.warn(
+                        f"REPLAY_TPU_FUSED_ATTENTION={env!r} not understood "
+                        "(use 1/0); ignoring",
+                        stacklevel=2,
+                    )
         use_fused = (
             fusable
             if flag

@@ -217,13 +217,30 @@ def flash_ce_mean(hidden, labels, mask, item_weights, block_m: int = 128,
     exp sweeps ARE the cost), and the two-pass formulation pays exp twice.
     Valid because the masked mean's cotangent w.r.t. this scalar is a
     scalar — per-row weights mask/Σmask are known at forward time.
+
+    Contract: ``mask`` is NOT differentiable here (its cotangent is None);
+    the dense CELoss path does propagate a gradient through the mask
+    denominator.  Loss masks are integral indicator arrays everywhere in
+    this framework, so nothing differentiates them — but direct callers
+    passing a learned float mask must use the dense path.  The catalog must
+    satisfy ``ops.pallas_ce.eager_ce_supported(n, d)`` (table resident in
+    VMEM); larger catalogs should go through ``flash_ce_nll`` or
+    ``CELossTiled`` which picks the two-pass fallback automatically.
     """
     # undifferentiated call: value-only kernel with the SAME reduction order
     # (bitwise-equal loss), none of the eager-grad work — eval/metric-logging
     # paths skip the dh/dW GEMMs entirely.  The eager kernel runs only in
     # _eager_fwd, i.e. under differentiation.
-    from replay_tpu.ops.pallas_ce import eager_lse
+    from replay_tpu.ops.pallas_ce import eager_ce_supported, eager_lse
 
+    n, d = item_weights.shape
+    if not eager_ce_supported(n, d):
+        msg = (
+            f"flash_ce_mean: catalog [{n}, {d}] exceeds the VMEM-resident "
+            "eager-CE budget; use flash_ce_nll (two-pass streaming) or "
+            "CELossTiled which routes automatically"
+        )
+        raise ValueError(msg)
     flat_h = hidden.reshape(-1, hidden.shape[-1])
     lse_panel = eager_lse(
         flat_h, item_weights, block_m=block_m, interpret=interpret,
@@ -251,7 +268,18 @@ def _pos_logit(flat_h, labels, item_weights, compute_dtype):
 
 def _eager_forward(hidden, labels, mask, item_weights, block_m,
                    compute_dtype, interpret):
-    from replay_tpu.ops.pallas_ce import flash_lse_and_grads
+    # guard repeated here: under jax.grad the custom_vjp routes straight to
+    # this forward, bypassing the primal's size check
+    from replay_tpu.ops.pallas_ce import eager_ce_supported, flash_lse_and_grads
+
+    n, d = item_weights.shape
+    if not eager_ce_supported(n, d):
+        msg = (
+            f"flash_ce_mean: catalog [{n}, {d}] exceeds the VMEM-resident "
+            "eager-CE budget; use flash_ce_nll (two-pass streaming) or "
+            "CELossTiled which routes automatically"
+        )
+        raise ValueError(msg)
 
     flat_h = hidden.reshape(-1, hidden.shape[-1])
     flat_labels = labels.reshape(-1)

@@ -111,6 +111,20 @@ def a2a_sharded_lookup(
     """
     n_shards = mesh.shape[axis]
     n_total = table_sharded.shape[0]
+    if n_total % n_shards:
+        msg = (
+            f"table rows ({n_total}) must divide evenly across the "
+            f"{axis!r} axis ({n_shards} shards); pad the table "
+            f"(e.g. utils.padded_rows) before sharding"
+        )
+        raise ValueError(msg)
+    if ids.ndim != 1 or ids.shape[0] % n_shards:
+        msg = (
+            f"ids must be 1-D with length divisible by the {axis!r} axis "
+            f"size {n_shards}, got shape {ids.shape}; flatten [B, L] "
+            "batches and pad with the padding id first"
+        )
+        raise ValueError(msg)
     shard_rows = n_total // n_shards
 
     def local_fn(table_local, ids_local):

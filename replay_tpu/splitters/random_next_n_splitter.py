@@ -58,20 +58,29 @@ class RandomNextNSplitter(Splitter):
         return rng.randint(0, counts)
 
     def _core_split(self, interactions: pd.DataFrame) -> SplitterReturnType:
-        df = interactions.sort_values([self.divide_column, self.timestamp_column], kind="stable").copy()
-        df["_event_rank"] = df.groupby(self.divide_column, sort=False).cumcount()
+        # Run-length formulation: after the (divide, timestamp) sort every group
+        # is one contiguous run, so per-row rank and per-row cut come from
+        # np.repeat over the run boundaries — no scratch columns needed.  The
+        # cut RNG sequence (RandomState(seed).randint(0, counts) over groups in
+        # sorted-key order) matches the reference, so splits are frame-identical.
+        ordered = interactions.sort_values([self.divide_column, self.timestamp_column], kind="stable")
+        keys = ordered[self.divide_column].to_numpy()
+        n = len(keys)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]) if n else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, n])
+        cut_per_row = np.repeat(self._sample_cuts(counts), counts)
+        rank = np.arange(n) - np.repeat(starts, counts)
 
-        counts = df.groupby(self.divide_column, sort=False).size()
-        cuts = pd.Series(self._sample_cuts(counts.values), index=counts.index)
-        df["_cut_index"] = df[self.divide_column].map(cuts)
-
+        test_flag = rank >= cut_per_row
         if self.N is not None:
-            df = df[df["_event_rank"] < df["_cut_index"] + self.N]
-
-        df["is_test"] = df["_event_rank"] >= df["_cut_index"]
+            window = rank < cut_per_row + self.N
+            ordered = ordered[window]
+            test_flag = test_flag[window]
         if self.session_id_column:
-            df = self._recalculate_with_session_id_column(df)
+            test_flag = self._recalculate_with_session_id_column(
+                ordered.assign(is_test=test_flag)
+            )["is_test"].to_numpy()
 
-        train = df[~df["is_test"]][interactions.columns]
-        test = df[df["is_test"]][interactions.columns]
+        train = ordered[~test_flag][interactions.columns]
+        test = ordered[test_flag][interactions.columns]
         return train, test
