@@ -58,8 +58,12 @@ class KFolds(Splitter):
         return self._core_split(interactions)
 
     def _core_split(self, interactions: pd.DataFrame) -> Iterator[SplitterReturnType]:
+        # default (unstable quicksort) sort kind on purpose: fold membership
+        # for a given seed is the observable contract, and the reference's
+        # tie order within a query group comes from numpy's introsort — a
+        # stable sort here would assign different folds for the same seed
         df = interactions.sample(frac=1, random_state=self.seed).sort_values(
-            self.query_column, kind="stable"
+            self.query_column
         )
         df = df.copy()
         df["_fold"] = (df.groupby(self.query_column, sort=False).cumcount() + 1) % self.n_folds

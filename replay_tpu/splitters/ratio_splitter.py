@@ -86,6 +86,14 @@ class RatioSplitter(Splitter):
                 train_count = train_count.where(
                     res["_count"] >= self.min_interactions_per_group, res["_count"]
                 )
+            else:
+                # reference guarantee (ratio_splitter.py:303-311): a group too
+                # small for even one floor-rounded test row (0 < count·ratio
+                # < 1) still contributes exactly one, as long as that leaves
+                # ≥1 train row
+                scaled = res["_count"] * self.test_size
+                force_one = (scaled > 0) & (scaled < 1) & (train_count > 1)
+                train_count = train_count.where(~force_one, train_count - 1)
             res["is_test"] = res["_row_num"] > train_count
 
         if self.session_id_column:

@@ -75,8 +75,12 @@ class TwoStageSplitter(Splitter):
 
     def _add_partition(self, df: pd.DataFrame) -> pd.DataFrame:
         if self.shuffle:
+            # default (unstable) sort kind on purpose: which items land in
+            # test for a given seed is the observable contract, and the
+            # reference's within-group order after this sort comes from
+            # numpy's introsort (same rationale as KFolds)
             res = df.sample(frac=1, random_state=self.seed).sort_values(
-                self.first_divide_column, kind="stable"
+                self.first_divide_column
             )
         else:
             res = df.sort_values(
