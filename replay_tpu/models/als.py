@@ -338,8 +338,12 @@ class ALSWrap(ANNMixin, Recommender, ItemVectorModel):
         for _ in range(self.num_iterations):
             u = self._half_sweep(q_blocks, v, u, reg, alpha)
             v = self._half_sweep(i_blocks, u, v, reg, alpha)
-        self.query_factors = np.asarray(u)[inv_q]
-        self.item_factors = np.asarray(v)[inv_i]
+        # factors may land sharded over a process-spanning mesh; to_host
+        # allgathers in that case (collective — every process reaches here)
+        from replay_tpu.parallel.multihost import to_host
+
+        self.query_factors = to_host(u)[inv_q]
+        self.item_factors = to_host(v)[inv_i]
         if self.ann_enabled:
             self._build_ann_index()
 

@@ -71,3 +71,20 @@ def place_local_batch(batch, mesh, axis: str = "data"):
         return jax.device_put(arr, replicated)
 
     return jax.tree_util.tree_map(place, batch)
+
+
+def to_host(x):
+    """Device→host that also works for arrays spanning processes.
+
+    ``np.asarray`` on a jax.Array whose shards live on another process's
+    devices raises; this allgathers such arrays first (every process must
+    call it — it is a collective in the multi-process case).  Fully
+    addressable arrays take the plain fast path.
+    """
+    import numpy as np
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -132,17 +132,98 @@ def run(tmpdir: str, epochs: int = 2, timeout: int = 600,
     }
 
 
+def run_model_axis(tmpdir: str, timeout: int = 600) -> dict:
+    """The MODEL-AXIS cross-process proof (round-4 verdict #2): spawn two
+    4-device processes whose mesh's model axis spans both, run
+    scripts/mp_model_axis_worker.py (a2a lookup fwd+bwd, forced overflow →
+    psum fallback, distributed_topk, one ALSWrap(mesh) solve), and compare
+    against a single-process 8-device run of the same worker.
+
+    Collectives must be BITWISE equal; the ALS factors are held to the same
+    rtol 2e-4 / atol 2e-5 the in-process sharded-vs-unsharded equivalence
+    test uses (f32 iterative solve — the cross-process allreduce
+    reassociates reductions)."""
+    import numpy as np
+
+    port = _free_port()
+    worker = str(REPO / "scripts" / "mp_model_axis_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    outs = [os.path.join(tmpdir, f"ma_p{i}.npz") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, worker,
+                "--process-id", str(i), "--num-processes", "2",
+                "--port", str(port), "--out", outs[i],
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=timeout)[0].decode(errors="replace") for p in procs]
+    if any(p.returncode != 0 for p in procs):
+        raise RuntimeError(
+            "model-axis worker failed:\n--- p0 ---\n" + logs[0]
+            + "\n--- p1 ---\n" + logs[1]
+        )
+
+    ref_env = dict(env)
+    ref_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    ref_out = os.path.join(tmpdir, "ma_ref.npz")
+    ref = subprocess.run(
+        [sys.executable, worker, "--num-processes", "1", "--out", ref_out],
+        env=ref_env, capture_output=True, cwd=str(REPO), timeout=timeout,
+    )
+    if ref.returncode != 0:
+        raise RuntimeError(
+            "model-axis reference failed:\n" + ref.stderr.decode(errors="replace")
+        )
+
+    p0, p1, r = (np.load(o) for o in (outs[0], outs[1], ref_out))
+    exact = {}
+    for k in sorted(p0.files):
+        np.testing.assert_array_equal(p0[k], p1[k], err_msg=f"cross-process {k}")
+        if k.startswith("als_"):
+            np.testing.assert_allclose(
+                p0[k], r[k], rtol=2e-4, atol=2e-5, err_msg=f"vs single-process {k}"
+            )
+            exact[k] = float(np.max(np.abs(p0[k] - r[k])))
+        else:
+            np.testing.assert_array_equal(
+                p0[k], r[k], err_msg=f"vs single-process {k}"
+            )
+            exact[k] = 0.0
+    return {
+        "ok": True,
+        "mode": "model-axis",
+        "processes": 2,
+        "devices": 8,
+        "model_axis_size": 8,
+        "results": sorted(p0.files),
+        "max_abs_diff_vs_single_process": exact,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tmp", default=None)
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--model-axis", action="store_true",
+                    help="run the model-axis collectives proof instead of "
+                    "the data-parallel training run")
     args = ap.parse_args()
+    fn = run_model_axis if args.model_axis else run
+    kwargs = {} if args.model_axis else {"epochs": args.epochs}
     if args.tmp:
         os.makedirs(args.tmp, exist_ok=True)
-        result = run(args.tmp, epochs=args.epochs)
+        result = fn(args.tmp, **kwargs)
     else:
         with tempfile.TemporaryDirectory() as td:
-            result = run(td, epochs=args.epochs)
+            result = fn(td, **kwargs)
     print(json.dumps(result))
     return 0
 
