@@ -179,9 +179,9 @@ class MultiHeadSelfAttention(nn.Module):
         if use_fused:
             from replay_tpu.ops.pallas_attention import (
                 _round_up,
+                auto_head_chunk,
                 fused_attention,
                 fused_attention_packed,
-                packed_supported,
             )
 
             rate = 0.0 if deterministic else self.dropout_rate
@@ -189,13 +189,17 @@ class MultiHeadSelfAttention(nn.Module):
             scale = 1.0 / float(head_dim) ** 0.5
             interpret = jax.default_backend() != "tpu"
             key_bias = attn_bias.key_bias.reshape(batch, kv_len)
-            if packed_supported(
-                _round_up(length, 64), self.num_heads, q.dtype.itemsize
-            ):
+            chunk, blk_rows = auto_head_chunk(
+                _round_up(length, 64), self.num_heads, head_dim,
+                q.dtype.itemsize,
+            )
+            if chunk >= 0:
                 # PACKED layout: the [B,L,H,hd]→[B,L,D] reshape is
                 # layout-free (features are h-major), so q/k/v/o reach the
                 # kernel with ZERO transposes — heads are sliced off the
                 # lane axis in-kernel (headline bench 122.9k→156.6k ex/s).
+                # chunk > 0 puts heads on the grid for long-L shapes that
+                # can't hold every head's score tile at once (round 5).
                 hd_total = self.num_heads * head_dim  # == dim when divisible
                 out = fused_attention_packed(
                     q.reshape(batch, length, hd_total),
@@ -208,12 +212,15 @@ class MultiHeadSelfAttention(nn.Module):
                     dropout_rate=rate,
                     dropout_key=dropout_key,
                     interpret=interpret,
+                    block_rows=blk_rows,
+                    head_chunk=chunk,
                 )
                 out = out.reshape(batch, length, self.num_heads, head_dim)
             else:
-                # long-L × many-heads: packed per-head score tiles blow the
-                # scoped-VMEM stack; merged-head blocks stay small and the
-                # transpose cost is noise next to the d≥256 GEMMs
+                # long-L × many-heads at hd<128: even per-head chunks can't
+                # make a legal ≥128-lane block that fits scoped VMEM;
+                # merged-head blocks stay small and the transpose cost is
+                # noise next to the d≥256 GEMMs
                 bh = batch * self.num_heads
                 out = fused_attention(
                     q.transpose(0, 2, 1, 3).reshape(bh, length, head_dim),

@@ -169,7 +169,9 @@ def _packed_head_slices(ref, num_heads: int):
 def _packed_dropout_idx(shape, num_heads: int, head: int, lp: int, blk_b: int):
     """Global element index matching the merged-head kernel's schedule:
     idx = ((b_global·H + h)·lp + q)·lp + l — the packed and [B·H] layouts
-    are the SAME noise family for the same seed."""
+    are the SAME noise family for the same seed.  ``head`` must be the
+    GLOBAL head index and ``num_heads`` the total head count (the chunked
+    grid adds program_id(1)·heads_per_step to its local index)."""
     b = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + pl.program_id(0) * blk_b
     q = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     l = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
@@ -178,18 +180,23 @@ def _packed_dropout_idx(shape, num_heads: int, head: int, lp: int, blk_b: int):
 
 def _attn_fwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
                             *, scale: float, causal: bool, rate: float,
-                            num_heads: int):
+                            num_heads: int, total_heads: int = 0):
+    """``num_heads`` = heads in THIS block (= chunk size on the chunked
+    grid); ``total_heads`` = model head count for the dropout schedule
+    (0 → unchunked, num_heads is total)."""
     from replay_tpu.ops.hashing import keep_threshold, murmur_bits
 
     qs = _packed_head_slices(q_ref, num_heads)
     ks = _packed_head_slices(k_ref, num_heads)
     vs = _packed_head_slices(v_ref, num_heads)
     blk_b, lp, _ = q_ref.shape
+    all_heads = total_heads or num_heads
+    h_base = pl.program_id(1) * num_heads if total_heads else 0
     outs = []
     for h in range(num_heads):
         p = _softmax(_scores(qs[h], ks[h], bias_ref[:], scale=scale, causal=causal))
         if rate > 0.0:
-            idx = _packed_dropout_idx(p.shape, num_heads, h, lp, blk_b)
+            idx = _packed_dropout_idx(p.shape, all_heads, h_base + h, lp, blk_b)
             keep = murmur_bits(idx, seed_ref[0]) >= keep_threshold(rate)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
         outs.append(
@@ -205,7 +212,7 @@ def _attn_fwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
 def _attn_bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                             dq_ref, dk_ref, dv_ref,
                             *, scale: float, causal: bool, rate: float,
-                            num_heads: int):
+                            num_heads: int, total_heads: int = 0):
     from replay_tpu.ops.hashing import keep_threshold, murmur_bits
 
     qs = _packed_head_slices(q_ref, num_heads)
@@ -213,12 +220,14 @@ def _attn_bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     vs = _packed_head_slices(v_ref, num_heads)
     dos = _packed_head_slices(do_ref, num_heads)
     blk_b, lp, _ = q_ref.shape
+    all_heads = total_heads or num_heads
+    h_base = pl.program_id(1) * num_heads if total_heads else 0
     dqs, dks, dvs = [], [], []
     for h in range(num_heads):
         q, k, v, do = qs[h], ks[h], vs[h], dos[h]
         p = _softmax(_scores(q, k, bias_ref[:], scale=scale, causal=causal))
         if rate > 0.0:
-            idx = _packed_dropout_idx(p.shape, num_heads, h, lp, blk_b)
+            idx = _packed_dropout_idx(p.shape, all_heads, h_base + h, lp, blk_b)
             keep = murmur_bits(idx, seed_ref[0]) >= keep_threshold(rate)
             inv = 1.0 / (1.0 - rate)
             pd = jnp.where(keep, p * inv, 0.0)
@@ -272,12 +281,40 @@ def _packed_block_budget(lp: int, num_heads: int, itemsize: int) -> int:
 
 
 def packed_supported(lp: int, num_heads: int, itemsize: int) -> bool:
-    """True when the packed layout fits the scoped-VMEM envelope at a block
-    of ≥ 8 batch rows.  Below that (long sequences × many heads — e.g.
-    lp=256, H=4 measured 24.6 MB stack > the 16 MB limit when the block
-    floor forced blk=8) callers should use the merged-head entry point,
-    where the transposes it pays are noise next to the d≥256 GEMMs."""
+    """True when the FULLY-UNROLLED packed layout fits the scoped-VMEM
+    envelope at a block of ≥ 8 batch rows.  Shapes that fail here (long
+    sequences × many heads — e.g. lp=256, H=4 measured 24.6 MB stack when
+    the block floor forced blk=8) can still run transpose-free via
+    head-chunking: see :func:`auto_head_chunk`."""
     return _packed_block_budget(lp, num_heads, itemsize) >= 8
+
+
+def auto_head_chunk(lp: int, num_heads: int, head_dim: int, itemsize: int):
+    """(head_chunk, block_rows) that makes the packed path fit scoped VMEM.
+
+    (0, 0)  → fully unrolled fits (the tuned headline path);
+    (c, r)  → run with head_chunk=c (and block_rows=r override if nonzero);
+    (-1, 0) → nothing fits, use the merged-head entry point.
+
+    Two chip-measured constraints (round 5, lp=256 sweep):
+    - the chunk's lane width c·head_dim must be a multiple of 128 (Mosaic
+      block divisibility) — hd=64 can never chunk below pairs;
+    - VMEM: chunks at the usual ≥8-row budget are safe; a HALF-budget
+      chunk (budget ≥ 4) still compiles at a forced 8-row block because
+      each grid step carries only that chunk's temporaries (measured:
+      lp=256 c=1 hd=128 compiles and runs 24% faster than merged-head;
+      c=2 at the same lp — 2× the live tiles — is a compile-time OOM)."""
+    if _packed_block_budget(lp, num_heads, itemsize) >= 8:
+        return 0, 0
+    for c in range(num_heads - 1, 0, -1):
+        if num_heads % c or (c * head_dim) % 128:
+            continue
+        budget = _packed_block_budget(lp, c, itemsize)
+        if budget >= 8:
+            return c, 0
+        if budget >= 4:
+            return c, 8
+    return -1, 0
 
 
 def _pick_block_b_packed(
@@ -290,31 +327,58 @@ def _pick_block_b_packed(
     return min(blk, -(-b // 8) * 8)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _attention_core_packed(q, k, v, bias, seed, scale, causal, rate,
-                           num_heads, interpret, block_rows=0):
+                           num_heads, interpret, block_rows=0, head_chunk=0):
     out, _ = _attention_core_packed_fwd(
         q, k, v, bias, seed, scale, causal, rate, num_heads, interpret,
-        block_rows
+        block_rows, head_chunk
     )
     return out
 
 
-def _attention_core_packed_fwd(q, k, v, bias, seed, scale, causal, rate,
-                               num_heads, interpret, block_rows=0):
-    b, lp, d = q.shape
-    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize, block_rows)
-    grid = (b // blk,)
+def _packed_specs(blk, lp, d, num_heads, head_chunk):
+    """(grid-tail, q/k/v spec, bias spec, kernel head args).
+
+    ``head_chunk`` < num_heads puts the head axis on the grid: each step's
+    block covers ``head_chunk`` heads' lane slice ([blk, lp, chunk·hd] via
+    index_map on the feature axis), so only that many f32 score tiles are
+    ever live — the lever that fits lp=256×H=4 inside scoped VMEM."""
+    if head_chunk and head_chunk < num_heads:
+        d_chunk = (d // num_heads) * head_chunk
+        spec3 = pl.BlockSpec(
+            (blk, lp, d_chunk), lambda i, hi, _seed: (i, 0, hi),
+            memory_space=pltpu.VMEM,
+        )
+        spec_bias = pl.BlockSpec(
+            (blk, lp), lambda i, hi, _seed: (i, 0), memory_space=pltpu.VMEM
+        )
+        return (num_heads // head_chunk,), spec3, spec_bias, {
+            "num_heads": head_chunk, "total_heads": num_heads,
+        }
     spec3 = pl.BlockSpec(
         (blk, lp, d), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
     )
     spec_bias = pl.BlockSpec(
         (blk, lp), lambda i, _seed: (i, 0), memory_space=pltpu.VMEM
     )
+    return (), spec3, spec_bias, {"num_heads": num_heads}
+
+
+def _attention_core_packed_fwd(q, k, v, bias, seed, scale, causal, rate,
+                               num_heads, interpret, block_rows=0,
+                               head_chunk=0):
+    b, lp, d = q.shape
+    heads_eff = head_chunk if head_chunk and head_chunk < num_heads else num_heads
+    blk = _pick_block_b_packed(b, lp, heads_eff, q.dtype.itemsize, block_rows)
+    grid_tail, spec3, spec_bias, head_args = _packed_specs(
+        blk, lp, d, num_heads, head_chunk
+    )
+    grid = (b // blk, *grid_tail)
     hd = d // num_heads
     out = pl.pallas_call(
         partial(_attn_fwd_kernel_packed, scale=scale, causal=causal,
-                rate=rate, num_heads=num_heads),
+                rate=rate, **head_args),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -333,21 +397,19 @@ def _attention_core_packed_fwd(q, k, v, bias, seed, scale, causal, rate,
 
 
 def _attention_core_packed_bwd(scale, causal, rate, num_heads, interpret,
-                               block_rows, residuals, do):
+                               block_rows, head_chunk, residuals, do):
     q, k, v, bias, seed = residuals
     b, lp, d = q.shape
-    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize, block_rows)
-    grid = (b // blk,)
-    spec3 = pl.BlockSpec(
-        (blk, lp, d), lambda i, _seed: (i, 0, 0), memory_space=pltpu.VMEM
+    heads_eff = head_chunk if head_chunk and head_chunk < num_heads else num_heads
+    blk = _pick_block_b_packed(b, lp, heads_eff, q.dtype.itemsize, block_rows)
+    grid_tail, spec3, spec_bias, head_args = _packed_specs(
+        blk, lp, d, num_heads, head_chunk
     )
-    spec_bias = pl.BlockSpec(
-        (blk, lp), lambda i, _seed: (i, 0), memory_space=pltpu.VMEM
-    )
+    grid = (b // blk, *grid_tail)
     hd = d // num_heads
     dq, dk, dv = pl.pallas_call(
         partial(_attn_bwd_kernel_packed, scale=scale, causal=causal,
-                rate=rate, num_heads=num_heads),
+                rate=rate, **head_args),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -395,6 +457,7 @@ def fused_attention_packed(
     dropout_key=None,
     interpret: bool = False,
     block_rows: int = 0,
+    head_chunk: int = 0,
 ) -> jnp.ndarray:
     """:func:`fused_attention` on the PACKED [B, L, H·hd] layout — the
     natural output of the q/k/v projections — with a static in-kernel head
@@ -406,13 +469,23 @@ def fused_attention_packed(
     'layout' slice): q/k/v/o move through HBM exactly once, in the layout
     the surrounding GEMMs already use.  Dropout masks are bitwise the same
     noise the merged-head kernel draws for the same key.
-    """
+
+    ``head_chunk`` (a divisor of ``num_heads``, 0 = all) moves the head
+    loop onto the grid: each grid step touches only that many heads' lane
+    slice, shrinking live score tiles by H/chunk — this is what lets the
+    transpose-free path cover long-sequence × many-head shapes (lp=256,
+    H=4) that blow scoped VMEM fully unrolled.  ``auto_head_chunk`` picks
+    it."""
     b, length, d = q.shape
     if d % num_heads:
         msg = f"model dim {d} not divisible by num_heads {num_heads}"
         raise ValueError(msg)
+    if head_chunk and num_heads % head_chunk:
+        msg = f"head_chunk {head_chunk} must divide num_heads {num_heads}"
+        raise ValueError(msg)
     lp = _round_up(length, 64)
-    blk = _pick_block_b_packed(b, lp, num_heads, q.dtype.itemsize, block_rows)
+    heads_eff = head_chunk if head_chunk and head_chunk < num_heads else num_heads
+    blk = _pick_block_b_packed(b, lp, heads_eff, q.dtype.itemsize, block_rows)
     b_pad = _round_up(b, blk)
     rate = float(dropout_rate)
 
@@ -434,7 +507,7 @@ def fused_attention_packed(
         seed = jnp.zeros((1,), jnp.int32)
     out = _attention_core_packed(
         qp, kp, vp, bias, seed, scale, causal, rate, num_heads, interpret,
-        block_rows
+        block_rows, head_chunk
     )
     return out[:b, :length, :]
 

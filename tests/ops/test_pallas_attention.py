@@ -278,6 +278,59 @@ def test_packed_supported_routing():
     assert not packed_supported(128, 4, 4)     # f32 halves the budget
 
 
+def test_auto_head_chunk_routing():
+    """Round-5 head-chunked extension: long-L shapes route to a grid head
+    chunk when a ≥128-lane chunk fits VMEM (chip-measured: lp=256 hd=128
+    chunk=1 compiles and beats merged-head 24%; lp=256 hd=64 chunk=2 is a
+    compile-time VMEM OOM → merged-head)."""
+    from replay_tpu.ops.pallas_attention import auto_head_chunk
+
+    # headline shape: fully unrolled already fits
+    assert auto_head_chunk(64, 2, 32, 2) == (0, 0)
+    # lp=256 × H=2 × hd=128: single-head chunk at the forced 8-row block
+    assert auto_head_chunk(256, 2, 128, 2) == (1, 8)
+    # lp=256 × H=4 × hd=64: chunk=1 is an illegal 64-lane block, chunk=2
+    # doubles the live tiles past VMEM → merged-head
+    assert auto_head_chunk(256, 4, 64, 2) == (-1, 0)
+
+
+@pytest.mark.parametrize("chunk", [1, 2])
+def test_packed_head_chunk_bitwise_equal(chunk):
+    """Chunked grid = unchunked kernel bitwise (fwd, grads, dropout noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from replay_tpu.ops.pallas_attention import fused_attention_packed
+
+    b, length, heads, hd = 4, 24, 4, 16
+    d = heads * hd
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (b, length, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, length, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, length, d), jnp.float32)
+    bias = jnp.zeros((b, length), jnp.float32)
+    dropout_key = jax.random.PRNGKey(11)
+
+    def run(head_chunk):
+        def loss(q, k, v):
+            out = fused_attention_packed(
+                q, k, v, bias, num_heads=heads, causal=True, scale=0.25,
+                dropout_rate=0.2, dropout_key=dropout_key, interpret=True,
+                head_chunk=head_chunk,
+            )
+            return jnp.sum(out**2), out
+
+        (val, out), grads = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                               has_aux=True)(q, k, v)
+        return out, grads
+
+    out0, g0 = run(0)
+    outc, gc = run(chunk)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(outc))
+    for a, bb in zip(g0, gc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
 def test_fully_masked_rows_are_finite():
     q, k, v, _ = _make_inputs(jax.random.PRNGKey(5), 8, 16, 32)
     bias = jnp.full((8, 16), -2.3e38, jnp.float32)  # everything masked
