@@ -60,7 +60,14 @@ def _sgns_step(
 
 
 class Word2VecRec(ANNMixin, Recommender, ItemVectorModel):
-    """Skip-gram item embeddings; query = mean of history item vectors."""
+    """Skip-gram item embeddings; query = mean of history item vectors.
+
+    .. note:: ``max_iter`` defaults to 1 to mirror the reference's
+       Spark-Word2Vec default (replay/models/word2vec.py:22), which
+       UNDERTRAINS on most datasets — one epoch of SGNS rarely converges.
+       The examples and the quality table use ``max_iter=5``; raise it (or
+       let ``optimize()`` pick it — it is in the default search space) for
+       real runs."""
 
     can_predict_cold_queries = True
     _search_space = _search_space

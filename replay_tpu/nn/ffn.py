@@ -54,9 +54,15 @@ class SwiGLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         dim = x.shape[-1]
+        # xavier_normal kernels: the reference's reset_parameters applies
+        # torch.nn.init.xavier_normal_ to every SwiGLU weight
+        # (reference: replay/nn/ffn.py:38,80); flax's lecun default is
+        # ~0.7x that scale at these fans (quality-neutral in the round-5
+        # synthetic-ML-1M seed sweep — kept for init-semantics parity)
         dense = lambda n, name: nn.Dense(  # noqa: E731
             n, use_bias=self.use_bias, dtype=resolve_dtype(self.dtype),
             param_dtype=jnp.float32, name=name,
+            kernel_init=nn.initializers.xavier_normal(),
         )
         gate = dense(self.hidden_dim, "w_gate")(x)
         up = dense(self.hidden_dim, "w_up")(x)

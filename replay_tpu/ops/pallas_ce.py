@@ -9,12 +9,15 @@ HBM touches only the operands: O(M·D + N·D) per pass instead of O(M·N).
 
 Forward grid is (m-blocks, n-blocks) with n innermost: per m-block the
 item table streams through VMEM once while [block_m]-row statistics live
-in scratch.  The backward splits into two kernels so every accumulator
-lives in scratch for exactly one grid row — dh with n innermost, dW with
-m innermost.  Each recomputes the logits tile (one extra streaming GEMM,
-~25% more MXU work) in exchange for zero cross-step output aliasing,
-which Pallas TPU's write-only, prefetch-pipelined output buffers cannot
-express race-free.
+in scratch.  The backward is ONE combined kernel (grid (n, m), m
+innermost): a single logits/exp recompute feeds both grads — dW
+accumulates in scratch, dh is emitted as per-n-block partials summed
+outside (Pallas TPU output buffers are write-only/prefetch-pipelined, so
+cross-step read-modify-write of dh's m-blocks across the outer n loop
+cannot be expressed race-free).  Small catalogs materialize all partials
+at once; large ones drive the same kernel one n-block per ``lax.scan``
+step with dh in the scan carry (3 streaming GEMMs + one exp total — the
+old separate dh/dW kernel pair paid 4 GEMMs + two exps; −23% at N=1M).
 
 The positive-logit term (gather of label rows) and the masked mean stay in
 XLA — they are O(M·D) and gather/scatter do not belong in Mosaic.
@@ -91,53 +94,6 @@ def _fwd_kernel(h_ref, w_ref, bias_ref, lse_ref, mx_s, s_s, *, n_steps,
     @pl.when(ni == n_steps - 1)
     def _fin():
         lse_ref[:] = mx_s[:] + jnp.log(s_s[:])
-
-
-def _dh_kernel(h_ref, w_ref, bias_ref, lse_ref, g_ref, dh_ref, dh_s, *,
-               n_steps, compute_dtype):
-    """grid (m, n), n innermost: dh[block_m, D] accumulates in scratch."""
-    ni = pl.program_id(1)
-
-    @pl.when(ni == 0)
-    def _init():
-        dh_s[:] = jnp.zeros_like(dh_s[:])
-
-    logits, _, w = _masked_logits(
-        h_ref, w_ref, bias_ref, compute_dtype=compute_dtype
-    )
-    # P = softmax * upstream row grad; masked cols exp to exactly 0
-    p = jnp.exp(logits - lse_ref[:][:, :1]) * g_ref[:][:, :1]
-    dh_s[:] = dh_s[:] + jax.lax.dot_general(
-        p.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(ni == n_steps - 1)
-    def _fin():
-        dh_ref[:] = dh_s[:]
-
-
-def _dw_kernel(h_ref, w_ref, bias_ref, lse_ref, g_ref, dw_ref, dw_s, *,
-               m_steps, compute_dtype):
-    """grid (n, m), m innermost: dW[block_n, D] accumulates in scratch."""
-    mi = pl.program_id(1)
-
-    @pl.when(mi == 0)
-    def _init():
-        dw_s[:] = jnp.zeros_like(dw_s[:])
-
-    logits, h, _ = _masked_logits(
-        h_ref, w_ref, bias_ref, compute_dtype=compute_dtype
-    )
-    p = jnp.exp(logits - lse_ref[:][:, :1]) * g_ref[:][:, :1]
-    dw_s[:] = dw_s[:] + jax.lax.dot_general(
-        p.astype(h.dtype), h, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(mi == m_steps - 1)
-    def _fin():
-        dw_ref[:] = dw_s[:]
 
 
 def _dhw_kernel(h_ref, w_ref, bias_ref, lse_ref, g_ref, dh_part_ref, dw_ref,
@@ -412,13 +368,6 @@ def flash_softmax_grads(flat_h, item_weights, lse_panel, g, block_m: int = 512,
         block_m,
     )
     bias = _col_bias(n, n_pad)
-    in_specs_mn = [
-        pl.BlockSpec((block_m, d), lambda a, b: (a, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_n, d), lambda a, b: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, block_n), lambda a, b: (0, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_m, LANES), lambda a, b: (a, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_m, LANES), lambda a, b: (a, 0), memory_space=pltpu.VMEM),
-    ]
     in_specs_nm = [
         pl.BlockSpec((block_m, d), lambda a, b: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_n, d), lambda a, b: (a, 0), memory_space=pltpu.VMEM),
@@ -456,36 +405,56 @@ def flash_softmax_grads(flat_h, item_weights, lse_panel, g, block_m: int = 512,
             ),
         )(h_p, w_p, bias, lse_p, g_p)
         return jnp.sum(dh_parts, axis=0)[:m], dw[:n]
-    dh = pl.pallas_call(
-        partial(_dh_kernel, n_steps=n_steps,
-                compute_dtype=compute_dtype),
-        grid=(m_steps, n_steps),
-        in_specs=in_specs_mn,
-        out_specs=pl.BlockSpec((block_m, d), lambda mi, ni: (mi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_m, d), jnp.float32)],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * m_pad * n_pad * d,
-            bytes_accessed=(m_steps * n_pad + m_pad * 2) * d * 4,
-            transcendentals=m_pad * n_pad,
-        ),
-    )(h_p, w_p, bias, lse_p, g_p)
-    dw = pl.pallas_call(
-        partial(_dw_kernel, m_steps=m_steps,
-                compute_dtype=compute_dtype),
-        grid=(n_pad // block_n, m_steps),
-        in_specs=in_specs_nm,
-        out_specs=pl.BlockSpec((block_n, d), lambda ni, mi: (ni, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+    # large catalogs: the SAME combined kernel, but driven one n-block per
+    # lax.scan step so the dh partial is a single [M, D] buffer instead of
+    # the [n_steps, M, D] monster — dh accumulates in the scan carry, dW
+    # blocks stack.  Still 3 streaming GEMMs + ONE exp total where the old
+    # separate-kernel pair paid 4 GEMMs + two exps; the carry's
+    # read-add-write HBM traffic overlaps the GEMMs (round-5 chip sweep at
+    # M=25.6k, N=1M, D=256: 228 ms vs 296 — the production backward's -23%;
+    # larger per-step chunks are strictly worse: 2→230, 4→240, 8→244).
+    kernel = pl.pallas_call(
+        partial(_dhw_kernel, m_steps=m_steps, compute_dtype=compute_dtype),
+        grid=(1, m_steps),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda a, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda a, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda a, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, LANES), lambda a, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, LANES), lambda a, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_m, d), lambda a, b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda a, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, m_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((block_n, d), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((block_n, d), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * m_pad * n_pad * d,
-            bytes_accessed=(n_steps * m_pad + n_pad * 2) * d * 4,
-            transcendentals=m_pad * n_pad,
+            flops=6 * m_pad * block_n * d,
+            bytes_accessed=(m_pad * 2 + block_n + m_pad) * d * 4,
+            transcendentals=m_pad * block_n,
         ),
-    )(h_p, w_p, bias, lse_p, g_p)
-    return dh[:m], dw[:n]
+    )
+    w_blocks = w_p.reshape(n_steps, block_n, d)
+    bias_blocks = bias.reshape(8, n_steps, block_n).transpose(1, 0, 2)
+
+    def body(dh_acc, inp):
+        w_b, bias_b = inp
+        dh_part, dw_b = kernel(h_p, w_b, bias_b, lse_p, g_p)
+        return dh_acc + dh_part[0], dw_b
+
+    dh, dw_blocks = jax.lax.scan(
+        body, jnp.zeros((m_pad, d), jnp.float32), (w_blocks, bias_blocks)
+    )
+    return dh[:m], dw_blocks.reshape(n_pad, d)[:n]

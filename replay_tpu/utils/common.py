@@ -154,3 +154,25 @@ def load_from_replay(path: str):
         return Dataset.load(path)
     msg = f"Cannot identify saved object at {path}"
     raise ValueError(msg)
+
+
+def save_picklable_to_parquet(obj, path: str) -> None:
+    """Dump any picklable object as a one-row parquet file with a single
+    ``data`` binary column — byte-compatible with the reference's layout so
+    artifacts can move between the two frameworks
+    (reference: replay/utils/spark_utils.py:789; Spark RDD plumbing replaced
+    by a direct single-row frame — same on-disk schema)."""
+    import pickle
+
+    pd.DataFrame({"data": [pickle.dumps(obj)]}).to_parquet(path)
+
+
+def load_pickled_from_parquet(path: str):
+    """Inverse of :func:`save_picklable_to_parquet`
+    (reference: replay/utils/spark_utils.py:807).
+
+    Only unpickle artifacts you trust — pickle executes code on load."""
+    import pickle
+
+    frame = pd.read_parquet(path, columns=["data"])
+    return pickle.loads(bytes(frame["data"].iloc[0]))

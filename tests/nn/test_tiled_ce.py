@@ -177,8 +177,8 @@ class TestFlashCE:
 
 class TestFlashBackwardPaths:
     """Both backward schedules must match dense grads: the combined
-    single-recompute kernel (n_steps <= 4) and the split dh/dW kernels
-    (large catalogs)."""
+    single-recompute kernel with materialized partials (n_steps <= 4) and
+    the scan-driven per-n-block variant (large catalogs, round 5)."""
 
     def _grads(self, n_items, block_n):
         from replay_tpu.nn.losses import CELoss
@@ -205,8 +205,8 @@ class TestFlashBackwardPaths:
 
     @pytest.mark.parametrize(
         "n_items,block_n",
-        [(200, 128), (900, 128)],  # n_steps 2 (combined) and 8 (split)
-        ids=["combined_kernel", "split_kernels"],
+        [(200, 128), (900, 128)],  # n_steps 2 (materialized) and 8 (scan)
+        ids=["combined_kernel", "scan_kernel"],
     )
     def test_both_paths_match_dense(self, n_items, block_n):
         ref, got = self._grads(n_items, block_n)
