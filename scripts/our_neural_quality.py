@@ -70,12 +70,18 @@ def train_ours(train: pd.DataFrame, epochs: int, model_name: str, seed: int):
     train_seq = tokenizer.fit_transform(
         Dataset(schema, train[["query_id", "item_id", "timestamp"]], check_consistency=False)
     )
+    # the reference-torch composition this differential trains against
+    # (what twotower_from_torch reproduces): kang-variant query blocks
+    # (query-only LN, residual from the normalized query —
+    # transformer.py:95-108), torch eps 1e-8, and an FFN of width D — the
+    # reference's PointWiseFeedForward is Conv1d(D, D, 1) twice
+    # (ffn.py:32-35), NOT the 4·D default our preln stack uses
+    arch = dict(num_blocks=2, num_heads=2, dropout_rate=0.2,
+                variant="kang", layer_norm_eps=1e-8, hidden_dim=EMBED)
     if model_name == "twotower":
-        model = TwoTower(schema=tensor_schema, max_sequence_length=SEQ_LEN,
-                         num_blocks=2, num_heads=2, dropout_rate=0.2)
+        model = TwoTower(schema=tensor_schema, max_sequence_length=SEQ_LEN, **arch)
     else:
-        model = SasRec(schema=tensor_schema, max_sequence_length=SEQ_LEN,
-                       num_blocks=2, num_heads=2, dropout_rate=0.2)
+        model = SasRec(schema=tensor_schema, max_sequence_length=SEQ_LEN, **arch)
     trainer = Trainer(
         model,
         CELoss(),

@@ -311,3 +311,65 @@ class TestEagerFlashCE:
         bf16 = self._mean(hidden, labels, mask, weights,
                           compute_dtype=jnp.bfloat16)
         np.testing.assert_allclose(float(f32), float(bf16), rtol=2e-2)
+
+
+class TestMaxFreeForward:
+    """Round-5 max-free flash forward: GEMM-rate lse for large catalogs
+    with a finiteness certificate → exact shifted-kernel fallback."""
+
+    def _mk(self, scale=0.05, m=24, n=640, d=16, seed=0):
+        h = jax.random.normal(jax.random.PRNGKey(seed), (m, d), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(seed + 1), (n, d)) * scale
+        return h, w
+
+    def test_maxfree_matches_shifted(self, monkeypatch):
+        from replay_tpu.ops import pallas_ce
+
+        h, w = self._mk()
+        ref = pallas_ce.flash_lse(h, w, block_m=8, block_n=128, interpret=True)
+        monkeypatch.setattr(pallas_ce, "MAXFREE_MIN_N", 1)
+        jax.clear_caches()  # flash_lse is jitted; the threshold is trace-time
+        got = pallas_ce.flash_lse(h, w, block_m=8, block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        jax.clear_caches()
+
+    def test_overflow_certificate_falls_back(self, monkeypatch):
+        """Logits past f32's exp range overflow the max-free sum; the
+        certificate must flip to the shifted kernel, whose result is
+        finite and exact."""
+        from replay_tpu.ops import pallas_ce
+
+        h, w = self._mk(scale=50.0)  # logits ~ O(1000) >> 88
+        ref = pallas_ce.flash_lse(h, w, block_m=8, block_n=128, interpret=True)
+        assert np.isfinite(np.asarray(ref)).all()
+        monkeypatch.setattr(pallas_ce, "MAXFREE_MIN_N", 1)
+        jax.clear_caches()
+        got = pallas_ce.flash_lse(h, w, block_m=8, block_n=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        jax.clear_caches()
+
+    def test_grads_still_match_dense_with_maxfree(self, monkeypatch):
+        from replay_tpu.nn.losses import CELoss
+        from replay_tpu.nn.tiled_ce import _masked_mean, _safe_labels, flash_ce_nll
+        from replay_tpu.ops import pallas_ce
+
+        monkeypatch.setattr(pallas_ce, "MAXFREE_MIN_N", 1)
+        jax.clear_caches()
+        rng = jax.random.PRNGKey(3)
+        B, L, D, n = 3, 4, 16, 900
+        hidden = jax.random.normal(rng, (B, L, D), jnp.float32)
+        weights = jax.random.normal(jax.random.PRNGKey(4), (n, D)) * 0.1
+        labels = jax.random.randint(rng, (B, L), 0, n)
+        mask = jnp.ones((B, L), jnp.int8)
+
+        def flash_loss(h, w):
+            nll = flash_ce_nll(h, _safe_labels(labels, mask), w, 8, 128, None, True)
+            return _masked_mean(nll, mask)
+
+        ref = jax.grad(lambda h, w: CELoss()(h, labels, mask, w), argnums=(0, 1))(
+            hidden, weights)
+        got = jax.grad(flash_loss, argnums=(0, 1))(hidden, weights)
+        np.testing.assert_allclose(ref[0], got[0], rtol=3e-4, atol=1e-5)
+        np.testing.assert_allclose(ref[1], got[1], rtol=3e-4, atol=1e-5)
+        jax.clear_caches()  # traces compiled under the patched threshold
