@@ -291,7 +291,10 @@ class QuantileItemsFilter(_BaseFilter):
             self.items_proportion * (counts_items[~long_tail_mask] - max_long_count)
         ).astype(int)
         short["_cu"] = counts_users[~long_tail_mask]
-        short = short.sort_values("_cu", ascending=False, kind="stable")
+        # default (unstable) sort kind on purpose: WHICH tied-activity rows
+        # get undersampled is the observable contract, and the reference's
+        # tie order comes from numpy's introsort (same rationale as KFolds)
+        short = short.sort_values("_cu", ascending=False)
         rank = short.groupby(self.item_column).cumcount()
         kept_short = short[rank >= short["_n_del"]].drop(columns=["_n_del", "_cu"])
         return pd.concat([long_tail, kept_short])
