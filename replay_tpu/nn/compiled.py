@@ -101,17 +101,37 @@ class CompiledSequentialModel:
         return cls(exported, field_specs, length, mode)
 
     # --------------------------------------------------------------- predict
-    def predict(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
-        """[B, n_items] logits from a padded batch dict."""
-        args = [
+    def _cached(self, key, build):
+        """Jitted entry points are built once and reused: ``Exported.call``
+        re-traces on every invocation, which under the remote-compile tunnel
+        re-lowers (measured 1.6 s/call before caching vs 2 ms after)."""
+        cache = getattr(self, "_call_cache", None)
+        if cache is None:
+            cache = self._call_cache = {}
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
+
+    def _args(self, batch):
+        return [
             jnp.asarray(batch[name], dtype=jnp.dtype(dtype))
             for name, _, dtype in self.field_specs
         ]
-        return np.asarray(self._exported.call(*args))
+
+    def predict(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        """[B, n_items] logits from a padded batch dict."""
+        fn = self._cached("logits", lambda: jax.jit(self._exported.call))
+        return np.asarray(fn(*self._args(batch)))
 
     def predict_topk(self, batch: Dict[str, np.ndarray], k: int):
-        logits = jnp.asarray(self.predict(batch))
-        vals, idx = jax.lax.top_k(logits, k)
+        """Top-k on device inside the same jit — only [B, k] crosses back."""
+        fn = self._cached(
+            ("topk", k),
+            lambda: jax.jit(
+                lambda *a: jax.lax.top_k(self._exported.call(*a), k)
+            ),
+        )
+        vals, idx = fn(*self._args(batch))
         return np.asarray(vals), np.asarray(idx)
 
     # ------------------------------------------------------------- save/load
