@@ -23,6 +23,11 @@ _search_space = {
 }
 
 
+@jax.jit
+def _gram_dot(a):
+    return jnp.dot(a.T, a, preferred_element_type=jnp.float32)
+
+
 class ItemKNN(NeighbourRec):
     """Item-item cosine KNN with optional shrink and tf-idf/bm25 reweighting."""
 
@@ -140,7 +145,7 @@ class ItemKNN(NeighbourRec):
         """Item co-occurrence Gram matrix RᵀR as blocked MXU matmuls."""
         n_q, n_i = ratings_matrix.shape
         gram = np.zeros((n_i, n_i), dtype=np.float64)
-        dot = jax.jit(lambda a: jnp.dot(a.T, a, preferred_element_type=jnp.float32))
+        dot = _gram_dot  # module-level jit: re-fits (optimize sweeps) reuse the executable
         for start in range(0, n_q, block):
             dense = ratings_matrix[start : start + block].toarray()
             gram += np.asarray(dot(jnp.asarray(dense)), dtype=np.float64)

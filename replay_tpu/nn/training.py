@@ -16,6 +16,7 @@ multi-host determinism requirement).
 """
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Union
 
 import jax
@@ -600,6 +601,13 @@ class Trainer:
         return builder.get_metrics()
 
     def _make_infer_fn(self):
+        # cached on the instance: a fresh jit closure per call would
+        # re-trace AND re-compile on every predict_topk/evaluate invocation
+        # (the round-5 AOT-serving finding — 40 s per call through a
+        # remote-compile tunnel)
+        cached = getattr(self, "_infer_fn", None)
+        if cached is not None:
+            return cached
         model = self.model
         extra = self.extra_variables
 
@@ -610,7 +618,8 @@ class Trainer:
                 method=type(model).forward_inference,
             )
 
-        return jax.jit(infer)
+        self._infer_fn = jax.jit(infer)
+        return self._infer_fn
 
     def predict_candidates(
         self,
@@ -628,14 +637,23 @@ class Trainer:
         extra = self.extra_variables
         cand = jnp.asarray(np.asarray(candidates))
 
-        @jax.jit
-        def infer(params, batch):
-            return model.apply(
-                {"params": params, **extra},
-                batch,
-                cand,
-                method=type(model).forward_inference,
-            )
+        # cached per instance: candidates ride as a traced ARGUMENT so one
+        # compiled executable serves every candidate set of the same length
+        # (a fresh jit closure per call would recompile each invocation —
+        # the round-5 AOT-serving finding)
+        cached = getattr(self, "_candidates_fn", None)
+        if cached is None:
+
+            def infer(params, batch, cand_arg):
+                return model.apply(
+                    {"params": params, **extra},
+                    batch,
+                    cand_arg,
+                    method=type(model).forward_inference,
+                )
+
+            cached = self._candidates_fn = jax.jit(infer)
+        infer = partial(cached, cand_arg=cand)
 
         all_ids, all_scores = [], []
         for batch in dataset.batches(
