@@ -205,7 +205,7 @@ flash_ce_nll.defvjp(_flash_fwd, _flash_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def flash_ce_mean(hidden, labels, mask, item_weights, block_m: int = 128,
+def flash_ce_mean(hidden, labels, mask, item_weights, block_m: int = 0,
                   compute_dtype=None, interpret: bool = False):
     """Masked-mean CE via the ONE-PASS eager-grad kernel
     (ops/pallas_ce.py::flash_lse_and_grads): the forward computes the loss
@@ -370,7 +370,7 @@ class CELossTiled:
                 # CE is transcendental-bound here, PERF.md round-4 bisect)
                 return flash_ce_mean(
                     hidden, labels, mask, item_weights,
-                    128, compute_dtype, self._interpret,
+                    0, compute_dtype, self._interpret,  # 0 = auto block
                 )
             nll = flash_ce_nll(
                 hidden, labels, item_weights,

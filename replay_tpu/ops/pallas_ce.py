@@ -217,10 +217,25 @@ def eager_ce_supported(n: int, d: int, block_m: int = 128,
     return table + tiles <= (8 << 20)
 
 
+def pick_eager_block_m(n: int) -> int:
+    """Largest eager block that compiles: the f32 [block_m, n_pad] logits
+    tile must stay ≤ ~12 MB of the 16 MB scoped-VMEM (chip-measured round
+    5: bm=512 compiles at n_pad 6016 = 12.3 MB, OOMs at 8192 = 16.8 MB).
+    Bigger blocks pay off — the headline catalog at bm=512 runs the step
+    +2% over the old fixed 128 (169 → 172k ex/s, official protocol)."""
+    n_pad = -(-n // LANES) * LANES
+    for bm in (512, 256, 128):
+        if bm * n_pad * 4 <= (12 << 20):
+            return bm
+    return 128
+
+
 def _eager_operands(flat_h, item_weights, g_rows, block_m):
     m, d = flat_h.shape
     n = item_weights.shape[0]
     w_p, n_pad = _pad_rows(item_weights, LANES)
+    if not block_m:
+        block_m = pick_eager_block_m(n)
     block_m = min(block_m, -(-m // 8) * 8)
     h_p, m_pad = _pad_rows(flat_h, block_m)
     g_p, _ = _pad_rows(
@@ -239,7 +254,7 @@ def _eager_operands(flat_h, item_weights, g_rows, block_m):
 
 
 @partial(jax.jit, static_argnames=("block_m", "interpret", "compute_dtype"))
-def flash_lse_and_grads(flat_h, item_weights, g_rows, block_m: int = 128,
+def flash_lse_and_grads(flat_h, item_weights, g_rows, block_m: int = 0,
                         interpret: bool = False, compute_dtype=None):
     """One fused pass: lse panel + softmax-term dh/dW for a scalar-cotangent
     reduction (``g_rows`` = per-row weights of the masked mean).
@@ -282,7 +297,7 @@ def flash_lse_and_grads(flat_h, item_weights, g_rows, block_m: int = 128,
 
 
 @partial(jax.jit, static_argnames=("block_m", "interpret", "compute_dtype"))
-def eager_lse(flat_h, item_weights, block_m: int = 128,
+def eager_lse(flat_h, item_weights, block_m: int = 0,
               interpret: bool = False, compute_dtype=None):
     """Value-only twin of :func:`flash_lse_and_grads` with the SAME
     whole-row reduction order — bitwise-equal lse, none of the grad work.
