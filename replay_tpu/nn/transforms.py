@@ -441,13 +441,16 @@ class UnsqueezeTransform:
 
 class GroupTransform:
     """Nest named fields under a sub-dict (reference:
-    replay/nn/transform/group.py — the feature_tensors grouping)."""
+    replay/nn/transform/grouping.py — the feature_tensors grouping).
+    Grouped fields LEAVE the top level, exactly like the reference
+    (grouping.py:34 drops every grouped key — round-5 parity fix)."""
 
     def __init__(self, groups):
         self.groups = groups  # {group_name: [field, ...]}
+        self._grouped = set().union(*groups.values()) if groups else set()
 
     def __call__(self, batch: Batch, key=None) -> Batch:
-        out = {k: v for k, v in batch.items()}
+        out = {k: v for k, v in batch.items() if k not in self._grouped}
         for name, fields in self.groups.items():
             out[name] = {f: batch[f] for f in fields if f in batch}
         return out

@@ -179,3 +179,69 @@ def test_token_mask_statistics(reference, seq_batch):
     frac = tm.sum() / pad.sum()
     assert 0.25 < frac < 0.36, frac
     assert (tm.sum(axis=1) >= 1).all()  # every row trains
+
+
+def _run_pair(ref_t, mine_t, batch):
+    """Apply a reference torch transform and ours to the same batch dict,
+    compare every output key elementwise."""
+    ref_in = {k: torch.as_tensor(np.asarray(v).copy()) for k, v in batch.items()}
+    ref_out = ref_t(ref_in)
+    mine_out = mine_t({k: jnp.asarray(v) for k, v in batch.items()})
+
+    def flatten(d, prefix=""):
+        flat = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                flat.update(flatten(v, prefix + k + "/"))
+            else:
+                flat[prefix + k] = np.asarray(v)
+        return flat
+
+    ref_f, mine_f = flatten(ref_out), flatten(mine_out)
+    assert set(ref_f) == set(mine_f), (sorted(ref_f), sorted(mine_f))
+    for k in ref_f:
+        np.testing.assert_array_equal(mine_f[k], ref_f[k], err_msg=k)
+
+
+def test_rename_parity(reference, seq_batch):
+    from replay.nn.transform import RenameTransform as Ref
+
+    from replay_tpu.nn.transforms import RenameTransform
+
+    _run_pair(Ref({"items": "input_ids", "pad": "padding_mask"}),
+              RenameTransform({"items": "input_ids", "pad": "padding_mask"}),
+              seq_batch)
+
+
+def test_copy_parity(reference, seq_batch):
+    from replay.nn.transform import CopyTransform as Ref
+
+    from replay_tpu.nn.transforms import CopyTransform
+
+    _run_pair(Ref({"items": "items_copy"}),
+              CopyTransform({"items": "items_copy"}), seq_batch)
+
+
+def test_unsqueeze_parity(reference, seq_batch):
+    from replay.nn.transform import UnsqueezeTransform as Ref
+
+    from replay_tpu.nn.transforms import UnsqueezeTransform
+
+    _run_pair(Ref("items", -1), UnsqueezeTransform("items", -1), seq_batch)
+
+
+def test_group_parity(reference, seq_batch):
+    from replay.nn.transform import GroupTransform as Ref
+
+    from replay_tpu.nn.transforms import GroupTransform
+
+    _run_pair(Ref({"feature_tensors": ["items"]}),
+              GroupTransform({"feature_tensors": ["items"]}), seq_batch)
+
+
+def test_select_parity(reference, seq_batch):
+    from replay.nn.transform import SelectTransform as Ref
+
+    from replay_tpu.nn.transforms import SelectTransform
+
+    _run_pair(Ref(["items"]), SelectTransform(["items"]), seq_batch)
