@@ -91,3 +91,26 @@ def test_sessionizer_matches_reference(session_gap, kwargs):
     t = theirs.sort_values(key).reset_index(drop=True)
     assert len(o) == len(t)
     assert o["session_id"].tolist() == t["session_id"].tolist()
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"min_sessions_per_user": 2},
+    {"max_sessions_per_user": 3},
+    {"min_inter_per_session": 2, "min_sessions_per_user": 2},
+])
+def test_sessionizer_session_count_filters(kwargs):
+    """min/max_sessions_per_user combos (round-5 grid widening)."""
+    from replay.preprocessing import Sessionizer as RefSessionizer
+
+    from replay_tpu.preprocessing import Sessionizer
+
+    df = _log(seed=9, n=200)
+    common = dict(user_column="user_id", time_column="timestamp",
+                  session_gap=5000, **kwargs)
+    ours = Sessionizer(**common).transform(df)
+    theirs = RefSessionizer(**common).transform(df)
+    key = ["user_id", "item_id", "timestamp"]
+    o = ours.sort_values(key).reset_index(drop=True)
+    t = theirs.sort_values(key).reset_index(drop=True)
+    assert len(o) == len(t)
+    assert o["session_id"].tolist() == t["session_id"].tolist()

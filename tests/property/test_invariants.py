@@ -239,3 +239,70 @@ def test_a2a_lookup_exact_for_any_ids_and_capacity(ids, capacity):
     np.testing.assert_array_equal(
         np.asarray(got), np.asarray(table)[np.asarray(ids)]
     )
+
+
+def _model_zoo():
+    from replay_tpu.models import (
+        ALSWrap,
+        ItemKNN,
+        PopRec,
+        RandomRec,
+        Wilson,
+    )
+
+    return [
+        lambda: PopRec(),
+        lambda: Wilson(),
+        lambda: RandomRec(seed=5),
+        lambda: ItemKNN(num_neighbours=5),
+        lambda: ALSWrap(rank=4, num_iterations=2, seed=5),
+    ]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(log=interaction_logs(), model_idx=st.integers(0, 4), k=st.integers(1, 5))
+def test_classical_predict_invariants(log, model_idx, k):
+    """For ARBITRARY logs and every classical family: ≤k rows per query,
+    no seen items under the default filter, and determinism across a refit
+    (the contract every downstream metric relies on)."""
+    from replay_tpu.data import Dataset
+    from replay_tpu.data.schema import (
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureSource,
+        FeatureType,
+    )
+
+    log = log.drop_duplicates(["query_id", "item_id"])
+    schema = FeatureSchema(
+        [
+            FeatureInfo("query_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, feature_hint=FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, feature_hint=FeatureHint.RATING,
+                        feature_source=FeatureSource.INTERACTIONS),
+        ]
+    )
+    ds = Dataset(schema, log[["query_id", "item_id", "rating"]], check_consistency=False)
+    make = _model_zoo()[model_idx]
+
+    m = make()
+    m.fit(ds)
+    recs = m.predict(ds, k=k)
+    assert set(recs.columns) >= {"query_id", "item_id", "rating"}
+    per_q = recs.groupby("query_id").size()
+    assert (per_q <= k).all(), f"{type(m).__name__} returned >k rows"
+    seen = set(map(tuple, log[["query_id", "item_id"]].values))
+    rec_pairs = set(map(tuple, recs[["query_id", "item_id"]].values))
+    assert not (rec_pairs & seen), f"{type(m).__name__} recommended seen items"
+
+    m2 = make()
+    m2.fit(ds)
+    recs2 = m2.predict(ds, k=k)
+    key = ["query_id", "item_id"]
+    pd.testing.assert_frame_equal(
+        recs.sort_values(key).reset_index(drop=True)[key],
+        recs2.sort_values(key).reset_index(drop=True)[key],
+        obj=f"{type(m).__name__} refit determinism",
+    )
