@@ -100,6 +100,17 @@ class _StateRepr(nn.Module):
 class DDPG(Recommender):
     """Deterministic policy-gradient recommender (offline)."""
 
+    # optimize() space over this formulation's knobs — the analog of the
+    # reference DDPG's space (replay/experimental/models/ddpg.py:495:
+    # gamma/value_lr/policy_lr/memory_size); noise/decay knobs have no
+    # counterpart in the deterministic-actor JAX reformulation
+    _search_space = {
+        "gamma": {"type": "uniform", "args": [0.7, 1.0]},
+        "actor_lr": {"type": "loguniform", "args": [1e-5, 1e-1]},
+        "critic_lr": {"type": "loguniform", "args": [1e-5, 1e-1]},
+        "state_window": {"type": "categorical", "args": [3, 5, 7, 9]},
+    }
+
     def __init__(
         self,
         embedding_dim: int = 32,

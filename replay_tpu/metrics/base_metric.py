@@ -226,6 +226,14 @@ class Metric(ABC):
 
     def _dict_call(self, users: list, **kwargs: dict) -> MetricsReturnType:
         """Evaluate the per-user kernel for every user; aggregate via the mode."""
+        if not users:
+            # the reference raises the same class here, just cryptically
+            # ("need at least one array to stack") — keep the error, say why
+            msg = (
+                f"{self.__name__}: ground truth is empty — no queries to "
+                "evaluate (check your split/filters)"
+            )
+            raise ValueError(msg)
         keys_list = sorted(kwargs.keys())
         distribution_per_user: Dict[Any, List[float]] = {}
         for user in users:
