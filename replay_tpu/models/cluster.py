@@ -69,6 +69,17 @@ class ClusterRec(QueryRecommender):
     def _dataframes(self):
         return {"item_rel_in_cluster": self.item_rel_in_cluster}
 
+    def _get_save_state(self):
+        # the fitted feature-column order is load-bearing: _query_matrix
+        # indexes query features by it (round-5 roundtrip-drive finding —
+        # a loaded model crashed on predict without it)
+        return {"_feature_columns": self._feature_columns}
+
+    def _set_save_state(self, state):
+        cols = state.get("_feature_columns")
+        if cols is not None:
+            self._feature_columns = list(cols)
+
     def _query_matrix(self, query_features: pd.DataFrame) -> np.ndarray:
         return query_features[self._feature_columns].to_numpy(dtype=np.float32)
 

@@ -77,6 +77,29 @@ class LinUCB(HybridRecommender):
     def _init_args(self):
         return {"is_hybrid": self.is_hybrid, "eps": self.eps, "alpha": self.alpha}
 
+    @property
+    def _dataframes(self):
+        return {"_item_features": self._item_features}
+
+    def _get_save_state(self):
+        # feature-column order and the hybrid shared weights are load-bearing
+        # for predict (round-5 roundtrip-drive finding)
+        state = {
+            "_feature_cols": self._feature_cols,
+            "_item_feature_cols": self._item_feature_cols,
+        }
+        if self.beta_shared is not None:
+            state["beta_shared"] = np.asarray(self.beta_shared)
+        return state
+
+    def _set_save_state(self, state):
+        if state.get("_feature_cols") is not None:
+            self._feature_cols = list(state["_feature_cols"])
+        if state.get("_item_feature_cols") is not None:
+            self._item_feature_cols = list(state["_item_feature_cols"])
+        if state.get("beta_shared") is not None:
+            self.beta_shared = np.asarray(state["beta_shared"])
+
     def _verify_features(self, dataset: Dataset) -> None:
         if dataset.query_features is None:
             msg = "User features are missing"
