@@ -71,6 +71,20 @@ def save(model, path, overwrite: bool = False) -> None:
     }
     (path / "columns.json").write_text(json.dumps(columns))
 
+    # ANN round-trip: persist index PARAMS and rebuild on load (the
+    # reference's init-meta contract, ann_mixin.py:194; before round 5 a
+    # loaded ANN model silently degraded to the exact scoring path)
+    index_builder = getattr(model, "index_builder", None)
+    if index_builder is not None:
+        import dataclasses
+
+        (path / "ann_params.json").write_text(json.dumps({
+            "index_param": {
+                "class": type(index_builder).__name__,
+                "init_args": dataclasses.asdict(index_builder),
+            }
+        }))
+
 
 def load(path, model_type: Optional[type] = None):
     """Restore a model saved with :func:`save`."""
@@ -138,6 +152,18 @@ def load(path, model_type: Optional[type] = None):
     if columns_path.exists():
         for attr, value in json.loads(columns_path.read_text()).items():
             setattr(model, attr, value)
+
+    ann_path = path / "ann_params.json"
+    if ann_path.exists() and hasattr(model, "init_builder_from_dict"):
+        model.init_builder_from_dict(json.loads(ann_path.read_text()))
+        # rebuild the index from the restored vectors/similarity (the index
+        # itself is derived state — params + fitted arrays reproduce it)
+        if type(model.index_builder).__name__ == "SparseSimParam" and hasattr(
+            model, "_build_sparse_index"
+        ):
+            model._build_sparse_index()
+        elif hasattr(model, "_build_ann_index"):
+            model._build_ann_index()
 
     model._load_model(str(path / "model"))
     return model

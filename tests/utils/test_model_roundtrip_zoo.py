@@ -104,3 +104,34 @@ def test_save_load_predict_equality(tmp_path, zoo_data, model, needs_features):
         check_dtype=False,
         obj=type(model).__name__,
     )
+
+
+def test_ann_index_survives_save_load(tmp_path, zoo_data):
+    """ANN params persist and the index rebuilds on load (round 5 — before
+    this a loaded ANN model silently degraded to exact scoring)."""
+    from replay_tpu.ann.mixin import HnswParam, SparseSimParam
+    from replay_tpu.models import ALSWrap, ItemKNN
+
+    plain, _ = zoo_data
+    als = ALSWrap(rank=6, num_iterations=2, seed=3, index_builder=HnswParam(ef_search=200))
+    als.fit(plain)
+    r1 = als.predict(plain, k=5)
+    save(als, str(tmp_path / "als"))
+    loaded = load(str(tmp_path / "als"))
+    assert loaded.ann_enabled and loaded._ann_index is not None
+    r2 = loaded.predict(plain, k=5)
+    key = sorted(r1.columns)
+    pd.testing.assert_frame_equal(
+        r1.sort_values(key).reset_index(drop=True)[key],
+        r2.sort_values(key).reset_index(drop=True)[key], check_dtype=False)
+
+    knn = ItemKNN(num_neighbours=8, index_builder=SparseSimParam())
+    knn.fit(plain)
+    k1 = knn.predict(plain, k=5)
+    save(knn, str(tmp_path / "knn"))
+    loaded_knn = load(str(tmp_path / "knn"))
+    assert loaded_knn.index_builder is not None
+    k2 = loaded_knn.predict(plain, k=5)
+    pd.testing.assert_frame_equal(
+        k1.sort_values(key).reset_index(drop=True)[key],
+        k2.sort_values(key).reset_index(drop=True)[key], check_dtype=False)
