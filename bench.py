@@ -9,9 +9,9 @@ MovieLens-1M-scale catalog):
   (ML-1M item count), full-softmax CE loss — the reference example's
   notebook 09 configuration scale.
 - measure: steady-state jitted train-step throughput on the default JAX
-  device (TPU under the driver; CPU locally), batch 4096 (throughput
-  scales near-linearly with batch until the HBM limit; small batches are
-  dispatch-latency-bound).
+  device (TPU under the driver; CPU locally), batch 8192 (the round-5
+  sweep's sweet spot; small batches are dispatch-latency-bound, 16384
+  regresses).
 - vs_baseline: the same model/loss/step implemented in PyTorch, run in this
   same image (CPU — the only torch backend available here), measured with
   identical shapes.  The reference publishes no examples/s numbers
@@ -54,7 +54,10 @@ def _ensure_live_backend(timeout_s: int = 420) -> str:
 
 N_ITEMS = 3706
 SEQ_LEN = 50
-BATCH = 4096        # TPU batch: throughput scales ~linearly to the HBM limit
+BATCH = 8192        # TPU batch sweet spot (round-5 sweep with the adaptive
+# eager-CE blocks: 4096 → 170.3k, 8192 → 177.9k, 16384 → 165.6k ex/s; the
+# pre-round-5 sweep had 8192 ~flat — the bm=512 blocks amortize better at
+# the larger M)
 TORCH_BATCH = 256   # feasible CPU batch; examples/s normalizes the comparison
 DIM = 64
 BLOCKS = 2
