@@ -6,7 +6,7 @@ serving latency, one reproduce command each (round-4 verdict item 7).
     python scripts/bench_serving.py --mode serve
 
 Train config matches bench.py's headline protocol (ML-1M-scale catalog
-N=3706, d=64, L=50, 2 blocks, batch 4096, exact full-softmax CE via
+N=3706, d=64, L=50, 2 blocks, batch 8192, exact full-softmax CE via
 CELossTiled) so the three families' numbers are directly comparable;
 serving is the jitted ``forward_inference`` + full-catalog top-10 path
 (filter-seen off — the mask scatter is query-set-dependent host work).
@@ -34,7 +34,7 @@ SEQ_LEN = 50
 DIM = 64
 BLOCKS = 2
 HEADS = 2
-TRAIN_BATCH = 4096
+TRAIN_BATCH = 8192  # headline protocol batch (round-5 sweet spot)
 K = 10
 
 
